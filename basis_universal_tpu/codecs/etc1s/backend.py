@@ -1,0 +1,383 @@
+"""ETC1S backend: entropy-code codebooks + slice streams into .basis sections.
+
+Host-side serial layer (SURVEY.md §7 "entropy coding is irreducibly serial"):
+device kernels hand over dense index arrays; this module turns them into the
+bit-exact stream format consumed by decode_palettes/decode_tables/
+transcode_slice (see codecs/etc1s/stream.py for the decode-side contract and
+the reference citations; encoder behavior mirrors basisu_backend.cpp:77-1747).
+
+Everything vectorizable is numpy (pred selection, delta symbols, palette
+deltas); only the selector MTF-history simulation is a Python loop (it is
+inherently sequential; a C++ extension replaces it when throughput demands).
+"""
+
+import numpy as np
+
+from ...entropy.bitio import BitWriter
+from ...entropy.huffman import HuffmanEncoder
+from .stream import (
+    ENDPOINT_PRED_COUNT_VLC_BITS,
+    ENDPOINT_PRED_MIN_REPEAT_COUNT,
+    ENDPOINT_PRED_REPEAT_LAST_SYMBOL,
+    ENDPOINT_PRED_TOTAL_SYMBOLS,
+    MAX_SELECTOR_HISTORY_BUF_SIZE,
+    SELECTOR_HISTORY_BUF_RLE_COUNT_THRESH,
+    SELECTOR_HISTORY_BUF_RLE_COUNT_TOTAL,
+)
+
+
+def sort_endpoint_palette(color5, inten5, block_endpoints):
+    """Order the endpoint palette for cheap delta coding; remap block indices.
+
+    The reference uses a usage-locality reorderer (palette_index_reorderer,
+    basisu_backend.cpp:197); sorting by luma then components groups similar
+    endpoints so both the palette deltas and the per-block index deltas
+    stay small.
+    """
+    luma = (color5[:, 0].astype(np.int64) * 54 + color5[:, 1].astype(np.int64) * 183
+            + color5[:, 2].astype(np.int64) * 19)
+    order = np.lexsort((inten5, color5[:, 2], color5[:, 1], color5[:, 0], luma))
+    inv = np.empty_like(order)
+    inv[order] = np.arange(order.size)
+    return color5[order], inten5[order], inv[block_endpoints]
+
+
+def sort_selector_palette(selectors, block_selectors):
+    """Order selector patterns so adjacent entries differ in few bits
+    (helps the XOR-delta palette coding)."""
+    as_bytes = _selector_rows_to_bytes(selectors)             # (S,4)
+    key = (as_bytes.astype(np.int64) << np.array([24, 16, 8, 0])).sum(1)
+    order = np.argsort(key, kind="stable")
+    inv = np.empty_like(order)
+    inv[order] = np.arange(order.size)
+    return selectors[order], inv[block_selectors]
+
+
+def _selector_rows_to_bytes(selectors):
+    """(S,16) selector values (idx=y*4+x) → (S,4) packed bytes, row y per
+    byte, x at bits 2x (decode_palettes bit layout)."""
+    s = selectors.reshape(-1, 4, 4).astype(np.uint32)
+    return (s[..., 0] | (s[..., 1] << 2) | (s[..., 2] << 4) | (s[..., 3] << 6)).astype(np.uint8)
+
+
+def encode_endpoint_palette(color5, inten5) -> bytes:
+    """Inverse of decode_palettes' endpoint section."""
+    e = color5.shape[0]
+    inten_prev = np.concatenate([[0], inten5[:-1].astype(np.int64)])
+    inten_delta = (inten5.astype(np.int64) - inten_prev) & 7
+
+    c = color5.astype(np.int64)                                # (E,3)
+    prev = np.empty_like(c)
+    prev[0] = 16
+    prev[1:] = c[:-1]
+    delta = (c - prev) & 31                                    # (E,3)
+    model_sel = np.where(prev <= 9, 0, np.where(prev <= 21, 1, 2))
+
+    freqs = [np.bincount(delta[model_sel == m], minlength=32) for m in range(3)]
+    enc_c = [HuffmanEncoder(f) for f in freqs]
+    enc_i = HuffmanEncoder(np.bincount(inten_delta, minlength=8))
+
+    w = BitWriter()
+    for m in range(3):
+        enc_c[m].write_table(w)
+    enc_i.write_table(w)
+    w.put_bits(0, 1)  # not grayscale
+
+    # interleave: per endpoint: inten sym, then r,g,b syms
+    codes = np.empty((e, 4), dtype=np.uint64)
+    lens = np.empty((e, 4), dtype=np.uint8)
+    codes[:, 0] = enc_i.codes[inten_delta]
+    lens[:, 0] = enc_i.lengths[inten_delta]
+    for ch in range(3):
+        for m in range(3):
+            mask = model_sel[:, ch] == m
+            codes[mask, 1 + ch] = enc_c[m].codes[delta[mask, ch]]
+            lens[mask, 1 + ch] = enc_c[m].lengths[delta[mask, ch]]
+    w.put_bits_array(codes.ravel(), lens.ravel())
+    return w.to_bytes()
+
+
+def encode_selector_palette(selectors) -> bytes:
+    """Inverse of decode_palettes' selector section (XOR-delta coding)."""
+    s = selectors.shape[0]
+    rows = _selector_rows_to_bytes(selectors).astype(np.int64)  # (S,4)
+    w = BitWriter()
+    w.put_bits(0, 1)  # no global cb
+    w.put_bits(0, 1)  # no hybrid cb
+    if s == 1:
+        w.put_bits(1, 1)  # raw
+        w.put_bits_array(rows[0], np.full(4, 8))
+        return w.to_bytes()
+    delta = rows[1:] ^ rows[:-1]                               # (S-1,4)
+    freqs = np.bincount(delta.ravel(), minlength=256)
+    enc = HuffmanEncoder(freqs)
+    huff_cost = 14 + 8 * 4 + enc.cost_bits(delta.ravel()) + 400  # + table approx
+    raw_cost = s * 32
+    if raw_cost <= huff_cost:
+        w.put_bits(1, 1)  # raw
+        w.put_bits_array(rows.ravel(), np.full(rows.size, 8))
+    else:
+        w.put_bits(0, 1)
+        enc.write_table(w)
+        w.put_bits_array(rows[0], np.full(4, 8))
+        w.put_bits_array(enc.codes[delta.ravel()], enc.lengths[delta.ravel()])
+    return w.to_bytes()
+
+
+def _compute_pred_symbols(e_idx, num_endpoints, is_iframe=True):
+    """Vectorized per-block predictor selection + delta symbols.
+
+    Decoder contract (transcode_slice): pred 0=left (prev raster block,
+    bx>0), 1=upper, 2=upper-left (bx>0 and by>0), 3=explicit delta vs prev
+    raster block, modulo wraparound.
+    Returns (pred (BY,BX) int8, delta_sym (BY,BX) int32 valid where pred==3).
+    """
+    by, bx = e_idx.shape
+    e = e_idx.astype(np.int64)
+    left = np.zeros_like(e)
+    left[:, 1:] = e[:, :-1]
+    up = np.zeros_like(e)
+    up[1:, :] = e[:-1, :]
+    ul = np.zeros_like(e)
+    ul[1:, 1:] = e[:-1, :-1]
+    can_left = np.zeros(e.shape, dtype=bool)
+    can_left[:, 1:] = True
+    can_up = np.zeros(e.shape, dtype=bool)
+    can_up[1:, :] = True
+    can_ul = can_left & can_up
+
+    pred = np.full(e.shape, 3, dtype=np.int8)
+    pred = np.where(can_ul & (e == ul), 2, pred)
+    pred = np.where(can_up & (e == up), 1, pred)
+    pred = np.where(can_left & (e == left), 0, pred)
+
+    flat = e.ravel()
+    prev = np.concatenate([[0], flat[:-1]])
+    delta = (flat - prev) % num_endpoints
+    return pred, delta.reshape(by, bx).astype(np.int64)
+
+
+def _pack_group_syms(pred):
+    """Pack 2x2 per-block preds into group symbols (8-bit layout:
+    bits[1:0]=(x,y)=(0,0), [3:2]=(1,0), [5:4]=(0,1), [7:6]=(1,1))."""
+    by, bx = pred.shape
+    gy, gx = (by + 1) // 2, (bx + 1) // 2
+    p = np.zeros((gy * 2, gx * 2), dtype=np.int64)
+    p[:by, :bx] = pred
+    g = (p[0::2, 0::2]
+         | (p[0::2, 1::2] << 2)
+         | (p[1::2, 0::2] << 4)
+         | (p[1::2, 1::2] << 6))
+    return g  # (gy, gx)
+
+
+class _MtfEncoder:
+    """Exact encoder-side mirror of the decoder's ApproxMoveToFront
+    (zero-initialized buffer, duplicates allowed, first-match find —
+    basisu_transcoder_internal.h:863-925)."""
+
+    def __init__(self, n):
+        self.values = [0] * n
+        self.rover = n // 2
+
+    def find(self, v):
+        try:
+            return self.values.index(v)
+        except ValueError:
+            return -1
+
+    def add(self, v):
+        self.values[self.rover] = v
+        self.rover += 1
+        if self.rover == len(self.values):
+            self.rover = len(self.values) // 2
+
+    def use(self, index):
+        if index:
+            half = index // 2
+            self.values[half], self.values[index] = (
+                self.values[index], self.values[half])
+
+
+def _collect_slice_symbols(e_idx, s_idx, num_endpoints, num_selectors):
+    """Serial symbol-collection pass for one slice.
+
+    Returns an ordered op list [(kind, value)] where kind ∈
+    {"pred", "pred_rle_vlc", "delta", "sel", "sel_rle", "sel_rle_vlc"}
+    plus the frequency tables for the four models.
+    """
+    by, bx = e_idx.shape
+    pred, delta = _compute_pred_symbols(e_idx, num_endpoints)
+    groups = _pack_group_syms(pred)
+
+    SEL_RLE_SYM = num_selectors + MAX_SELECTOR_HISTORY_BUF_SIZE
+    # per-block op lists: a selector RLE's symbols are read by the decoder at
+    # the FIRST block of the run, after that block's pred/delta symbols —
+    # buffering per block preserves the interleave when a run is closed later.
+    nb = by * bx
+    block_ops = [[] for _ in range(nb)]
+    pred_freq = np.zeros(ENDPOINT_PRED_TOTAL_SYMBOLS, dtype=np.int64)
+    delta_freq = np.zeros(num_endpoints, dtype=np.int64)
+    sel_freq = np.zeros(num_selectors + MAX_SELECTOR_HISTORY_BUF_SIZE + 1, dtype=np.int64)
+    rle_freq = np.zeros(SELECTOR_HISTORY_BUF_RLE_COUNT_TOTAL, dtype=np.int64)
+
+    hist = _MtfEncoder(MAX_SELECTOR_HISTORY_BUF_SIZE)
+
+    # endpoint-pred RLE state (runs over group raster order)
+    prev_group_sym = -1
+    group_repeat_left = 0   # how many upcoming groups are covered by an RLE
+    gflat = groups.ravel()
+    run_end = np.empty(gflat.size, dtype=np.int64)
+    run_end[-1] = 1
+    for k in range(gflat.size - 2, -1, -1):
+        run_end[k] = run_end[k + 1] + 1 if gflat[k] == gflat[k + 1] else 1
+
+    gx = groups.shape[1]
+
+    # selector RLE pending run (selector == hist[0] repeats)
+    pending_sel_run = 0
+    run_start_block = 0
+
+    def flush_sel_run():
+        nonlocal pending_sel_run
+        n = pending_sel_run
+        pending_sel_run = 0
+        if n == 0:
+            return
+        if n < SELECTOR_HISTORY_BUF_RLE_COUNT_THRESH:
+            # short run: each block reads its own hist-index-0 symbol
+            for k in range(n):
+                block_ops[run_start_block + k].append(("sel", num_selectors))
+                sel_freq[num_selectors] += 1
+        else:
+            tgt = block_ops[run_start_block]
+            tgt.append(("sel", SEL_RLE_SYM))
+            sel_freq[SEL_RLE_SYM] += 1
+            if n >= (SELECTOR_HISTORY_BUF_RLE_COUNT_TOTAL - 1
+                     + SELECTOR_HISTORY_BUF_RLE_COUNT_THRESH):
+                run_sym = SELECTOR_HISTORY_BUF_RLE_COUNT_TOTAL - 1
+                tgt.append(("sel_rle", run_sym))
+                rle_freq[run_sym] += 1
+                tgt.append(("sel_rle_vlc", n - SELECTOR_HISTORY_BUF_RLE_COUNT_THRESH))
+            else:
+                run_sym = n - SELECTOR_HISTORY_BUF_RLE_COUNT_THRESH
+                tgt.append(("sel_rle", run_sym))
+                rle_freq[run_sym] += 1
+
+    for y in range(by):
+        for x in range(bx):
+            bi = y * bx + x
+            ops = block_ops[bi]
+            if (x & 1) == 0 and (y & 1) == 0:
+                gi = (y >> 1) * gx + (x >> 1)
+                if group_repeat_left:
+                    # decoder consumes no symbol here (repeat counter active)
+                    group_repeat_left -= 1
+                else:
+                    sym = int(gflat[gi])
+                    run = int(run_end[gi])
+                    if sym == prev_group_sym and run >= ENDPOINT_PRED_MIN_REPEAT_COUNT:
+                        # decoder: REPEAT read at THIS group → this group uses
+                        # prev sym, counter = vlc + MIN-1 covers the next
+                        # groups; total covered = vlc + MIN = run
+                        ops.append(("pred", ENDPOINT_PRED_REPEAT_LAST_SYMBOL))
+                        pred_freq[ENDPOINT_PRED_REPEAT_LAST_SYMBOL] += 1
+                        ops.append(("pred_rle_vlc",
+                                    run - ENDPOINT_PRED_MIN_REPEAT_COUNT))
+                        group_repeat_left = run - 1
+                    else:
+                        ops.append(("pred", sym))
+                        pred_freq[sym] += 1
+                        prev_group_sym = sym
+
+            if pred[y, x] == 3:
+                d = int(delta[y, x])
+                ops.append(("delta", d))
+                delta_freq[d] += 1
+
+            s = int(s_idx[y, x])
+            hidx = hist.find(s)
+            if hidx == 0:
+                if pending_sel_run == 0:
+                    run_start_block = bi
+                pending_sel_run += 1
+                continue
+            flush_sel_run()
+            if hidx > 0:
+                ops.append(("sel", num_selectors + hidx))
+                sel_freq[num_selectors + hidx] += 1
+                hist.use(hidx)
+            else:
+                ops.append(("sel", s))
+                sel_freq[s] += 1
+                hist.add(s)
+    flush_sel_run()
+
+    flat_ops = [op for ops in block_ops for op in ops]
+    return flat_ops, pred_freq, delta_freq, sel_freq, rle_freq
+
+
+def encode_slices(e_idx_list, s_idx_list, num_endpoints, num_selectors):
+    """Encode all slices; models are shared across slices (decode_tables is
+    read once per file). Returns (tables_bytes, [slice_bytes...])."""
+    all_ops = []
+    pred_freq = np.zeros(ENDPOINT_PRED_TOTAL_SYMBOLS, dtype=np.int64)
+    delta_freq = np.zeros(num_endpoints, dtype=np.int64)
+    sel_freq = np.zeros(num_selectors + MAX_SELECTOR_HISTORY_BUF_SIZE + 1, dtype=np.int64)
+    rle_freq = np.zeros(SELECTOR_HISTORY_BUF_RLE_COUNT_TOTAL, dtype=np.int64)
+    for e_idx, s_idx in zip(e_idx_list, s_idx_list):
+        ops, pf, df, sf, rf = _collect_slice_symbols(
+            e_idx, s_idx, num_endpoints, num_selectors)
+        all_ops.append(ops)
+        pred_freq += pf
+        delta_freq += df
+        sel_freq += sf
+        rle_freq += rf
+
+    # Models must be non-empty (decode_tables rejects empty tables); ensure
+    # at least one symbol has a code.
+    for f in (pred_freq, delta_freq, sel_freq, rle_freq):
+        if not f.any():
+            f[0] = 1
+
+    enc_pred = HuffmanEncoder(pred_freq)
+    enc_delta = HuffmanEncoder(delta_freq)
+    enc_sel = HuffmanEncoder(sel_freq)
+    enc_rle = HuffmanEncoder(rle_freq)
+
+    tw = BitWriter()
+    enc_pred.write_table(tw)
+    enc_delta.write_table(tw)
+    enc_sel.write_table(tw)
+    enc_rle.write_table(tw)
+    tw.put_bits(MAX_SELECTOR_HISTORY_BUF_SIZE, 13)
+    tables = tw.to_bytes()
+
+    slices = []
+    for ops in all_ops:
+        w = BitWriter()
+        vals, bits = [], []
+        for kind, v in ops:
+            if kind == "pred":
+                vals.append(enc_pred.codes[v]); bits.append(enc_pred.lengths[v])
+            elif kind == "delta":
+                vals.append(enc_delta.codes[v]); bits.append(enc_delta.lengths[v])
+            elif kind == "sel":
+                vals.append(enc_sel.codes[v]); bits.append(enc_sel.lengths[v])
+            elif kind == "sel_rle":
+                vals.append(enc_rle.codes[v]); bits.append(enc_rle.lengths[v])
+            else:  # vlc values
+                if vals:
+                    w.put_bits_array(np.array(vals, np.uint64), np.array(bits, np.uint8))
+                    vals, bits = [], []
+                if kind == "pred_rle_vlc":
+                    w.put_vlc(v, ENDPOINT_PRED_COUNT_VLC_BITS)
+                else:
+                    w.put_vlc(v, 7)
+        if vals:
+            w.put_bits_array(np.array(vals, np.uint64), np.array(bits, np.uint8))
+        data = w.to_bytes()
+        if not data:
+            data = b"\0"  # decoder requires non-empty slice data
+        slices.append(data)
+    return tables, slices

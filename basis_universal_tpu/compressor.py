@@ -1,0 +1,202 @@
+"""basis_compressor equivalent: image(s) → .basis/.KTX2 bytes.
+
+Mirrors the reference pipeline stages (basis_compressor::process,
+encoder/basisu_comp.cpp:828-995): read sources → mipmaps → extract blocks →
+frontend (device) → backend (host entropy) → container write → optional
+validation transcode. The quality→codebook-size mapping reproduces
+basisu_comp.cpp:3325-3422 so file sizes land in the reference's regime.
+"""
+
+import dataclasses
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+from .codecs.etc1s import backend as etc1s_backend
+from .codecs.etc1s import frontend as etc1s_frontend
+from .formats import basis_file
+from .formats.constants import (
+    BasisTexFormat,
+    BasisTextureType,
+    HeaderFlags,
+    SliceDescFlags,
+)
+from .ops.etc1 import image_to_blocks, pack_etc1_blocks
+from .utils.crc import crc16
+
+MAX_ENDPOINT_CLUSTERS = 16128
+MAX_SELECTOR_CLUSTERS = 16128
+
+
+def etc1s_quality_to_clusters(quality_level: int, total_blocks: int):
+    """quality 1-255 → (max_endpoint_clusters, max_selector_clusters).
+
+    Reproduces basisu_comp.cpp:3325-3382 (same constants and curves).
+    """
+    q = min(max(quality_level, 1), 255) / 255.0
+    total_texels = total_blocks * 16.0
+
+    bits_per_endpoint_cluster = 14.0
+    max_endpoints = int(total_texels / bits_per_endpoint_cluster)
+    mid = 128.0 / 255.0
+    MID_SIZE = 4800
+    MAX_SIZE = 8192
+    if q <= mid:
+        ceq = 0.5 * (q / mid) ** 0.65
+        max_endpoints = min(max(min(max(max_endpoints, 256), MID_SIZE), 64), total_blocks)
+        endpoint_clusters = int(0.5 + 32 + (max_endpoints - 32) * (ceq / 0.5))
+    else:
+        ceq = ((q - mid) / (1.0 - mid)) ** 1.6
+        max_endpoints = min(max(max_endpoints, 256), MAX_SIZE)
+        max_endpoints = min(max_endpoints, total_blocks)
+        max_endpoints = max(max_endpoints, MID_SIZE)
+        endpoint_clusters = int(0.5 + MID_SIZE + (max_endpoints - MID_SIZE) * ceq)
+    endpoint_clusters = min(max(endpoint_clusters, 32), MAX_ENDPOINT_CLUSTERS)
+
+    max_selectors = int(total_texels / 14.0)
+    max_selectors = min(max(max_selectors, 256), MAX_SELECTOR_CLUSTERS)
+    max_selectors = min(max_selectors, total_blocks)
+    max_selectors = max(max_selectors, 96)
+    csq = q ** 2.62
+    selector_clusters = int(0.5 + 96 + (max_selectors - 96) * csq)
+    selector_clusters = min(max(selector_clusters, 8), MAX_SELECTOR_CLUSTERS)
+    return endpoint_clusters, selector_clusters
+
+
+@dataclasses.dataclass
+class CompressorParams:
+    tex_format: BasisTexFormat = BasisTexFormat.ETC1S
+    quality_level: int = 128       # ETC1S: 1-255 (reference -q)
+    effort: int = 1                # 0-10 (reference etc1s comp_level 0-6)
+    perceptual: bool = True
+    mip_gen: bool = False
+    mip_smallest_dimension: int = 1
+    tex_type: BasisTextureType = BasisTextureType.TEX_2D
+    userdata0: int = 0
+    userdata1: int = 0
+    max_endpoint_clusters: Optional[int] = None   # override quality mapping
+    max_selector_clusters: Optional[int] = None
+    seed: int = 0
+
+
+@dataclasses.dataclass
+class CompressorOutput:
+    basis_data: bytes
+    num_endpoints: int
+    num_selectors: int
+    # per-slice decoded indices (for stats/validation without re-decoding)
+    slice_endpoints: List[np.ndarray]
+    slice_selectors: List[np.ndarray]
+
+
+def _prepare_slices(images: Sequence[np.ndarray], params: CompressorParams):
+    """images → list of (image_index, level_index, orig_w, orig_h, blocks)."""
+    from .ops.resample import generate_mipmaps
+
+    slices = []
+    for image_index, img in enumerate(images):
+        img = np.asarray(img)
+        if img.ndim == 2:
+            img = img[..., None].repeat(3, axis=-1)
+        if img.shape[-1] == 4:
+            rgb = img[..., :3]
+        else:
+            rgb = img
+        levels = [rgb]
+        if params.mip_gen:
+            levels += generate_mipmaps(rgb, params.mip_smallest_dimension)
+        for level_index, lvl in enumerate(levels):
+            h, w = lvl.shape[:2]
+            blocks = image_to_blocks(lvl).astype(np.float32)
+            by, bx = blocks.shape[:2]
+            slices.append(dict(
+                image_index=image_index, level_index=level_index,
+                orig_width=w, orig_height=h,
+                num_blocks_x=bx, num_blocks_y=by,
+                blocks=blocks.reshape(by * bx, 16, 3),
+            ))
+    return slices
+
+
+def compress(images, params: CompressorParams = CompressorParams()) -> CompressorOutput:
+    """Encode RGB(A) uint8 image(s) to a .basis file (ETC1S path)."""
+    if isinstance(images, np.ndarray):
+        images = [images]
+    assert params.tex_format == BasisTexFormat.ETC1S, "only ETC1S implemented so far"
+
+    slices = _prepare_slices(images, params)
+    total_blocks = sum(s["blocks"].shape[0] for s in slices)
+
+    if params.max_endpoint_clusters and params.max_selector_clusters:
+        num_e, num_s = params.max_endpoint_clusters, params.max_selector_clusters
+    else:
+        num_e, num_s = etc1s_quality_to_clusters(params.quality_level, total_blocks)
+
+    all_blocks = np.concatenate([s["blocks"] for s in slices], axis=0)
+    fp = etc1s_frontend.FrontendParams(
+        max_endpoint_clusters=num_e,
+        max_selector_clusters=num_s,
+        effort=params.effort,
+        perceptual=params.perceptual,
+    )
+    fe = etc1s_frontend.compress(all_blocks, fp, seed=params.seed)
+
+    # sort palettes for cheap delta coding; remap indices
+    e_color5, e_inten, block_e = etc1s_backend.sort_endpoint_palette(
+        fe.endpoint_color5, fe.endpoint_inten5, fe.block_endpoints)
+    sel_cb, block_s = etc1s_backend.sort_selector_palette(
+        fe.selectors, fe.block_selectors)
+
+    # split back into per-slice index grids
+    e_grids, s_grids = [], []
+    ofs = 0
+    for s in slices:
+        n = s["blocks"].shape[0]
+        shape = (s["num_blocks_y"], s["num_blocks_x"])
+        e_grids.append(block_e[ofs:ofs + n].reshape(shape))
+        s_grids.append(block_s[ofs:ofs + n].reshape(shape))
+        ofs += n
+
+    endpoint_palette = etc1s_backend.encode_endpoint_palette(e_color5, e_inten)
+    selector_palette = etc1s_backend.encode_selector_palette(sel_cb)
+    tables, slice_streams = etc1s_backend.encode_slices(
+        e_grids, s_grids, e_color5.shape[0], sel_cb.shape[0])
+
+    descs = []
+    for s, e_grid, s_grid in zip(slices, e_grids, s_grids):
+        physical = pack_etc1_blocks(e_grid, s_grid, e_color5, e_inten, sel_cb)
+        descs.append(basis_file.SliceDesc(
+            image_index=s["image_index"],
+            level_index=s["level_index"],
+            flags=0,
+            orig_width=s["orig_width"],
+            orig_height=s["orig_height"],
+            num_blocks_x=s["num_blocks_x"],
+            num_blocks_y=s["num_blocks_y"],
+            slice_data_crc16=crc16(physical.tobytes()),
+        ))
+
+    flags = HeaderFlags.ETC1S
+    if params.perceptual:
+        flags |= HeaderFlags.SRGB
+
+    data = basis_file.write_basis_file(
+        BasisTexFormat.ETC1S, descs, slice_streams,
+        endpoint_palette=endpoint_palette,
+        selector_palette=selector_palette,
+        tables=tables,
+        num_endpoints=e_color5.shape[0],
+        num_selectors=sel_cb.shape[0],
+        tex_type=params.tex_type,
+        flags=int(flags),
+        us_per_frame=0,
+        userdata0=params.userdata0,
+        userdata1=params.userdata1,
+    )
+    return CompressorOutput(
+        basis_data=data,
+        num_endpoints=e_color5.shape[0],
+        num_selectors=sel_cb.shape[0],
+        slice_endpoints=e_grids,
+        slice_selectors=s_grids,
+    )
