@@ -68,7 +68,7 @@ def compress(pixels: np.ndarray, params: FrontendParams, seed: int = 0) -> Front
     _, assign = ops.kmeans(vec6, weights, seeds, num_e, iters=kmeans_iters)
 
     # --- alternate cluster-endpoint optimization and exact reassignment
-    color5 = inten = None
+    color5 = inten = cb_pal = None
     for _ in range(refine_iters):
         one_cnt = jax.ops.segment_sum(jnp.ones(nblocks), assign, num_segments=num_e)
         mean_px = jax.ops.segment_sum(jnp.mean(px, axis=1), assign, num_segments=num_e)
@@ -104,17 +104,23 @@ def compress(pixels: np.ndarray, params: FrontendParams, seed: int = 0) -> Front
     e_color5[:, 2] = (kept_vals >> 6) & 31
     e_inten[:] = kept_vals & 7
 
-    # --- selector phase
-    final_pal = jnp.asarray(
-        etc1s_palette(e_color5, e_inten), dtype=jnp.float32)[jnp.asarray(block_endpoints)]
+    # --- selector phase (uses the fixed-size cluster palette so every device
+    # shape is static across images; dedup only affects host-side indices)
+    final_pal = cb_pal[assign]
     dists = ops.block_selector_distances(px, final_pal)        # (B,16,4)
     opt_sel = np.asarray(jnp.argmin(dists, axis=-1)).astype(np.uint8)
 
-    # init codebook = most frequent optimal patterns
+    # init codebook = most frequent optimal patterns, padded to a static
+    # size (data-dependent sizes would recompile the device kernels per
+    # image; duplicates are deduped after refinement)
     uniq_pat, counts = np.unique(opt_sel, axis=0, return_counts=True)
     order = np.argsort(-counts, kind="stable")
-    ns = min(num_s, uniq_pat.shape[0])
-    patterns = jnp.asarray(uniq_pat[order[:ns]].astype(np.int32))
+    ns = num_s
+    init_pat = uniq_pat[order[:ns]].astype(np.int32)
+    if init_pat.shape[0] < ns:
+        reps = -(-ns // init_pat.shape[0])
+        init_pat = np.tile(init_pat, (reps, 1))[:ns]
+    patterns = jnp.asarray(init_pat)
     sel_assign = None
     for _ in range(sel_iters):
         sel_assign, _ = ops.find_best_selector_patterns(dists, patterns, ns)

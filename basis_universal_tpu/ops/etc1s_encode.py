@@ -153,44 +153,46 @@ def kmeans(vecs, weights, init_centroids, num_clusters: int, iters: int = 4):
     return centroids, assigns[-1]
 
 
+@functools.partial(jax.jit, static_argnames=("num_clusters",))
 def bisecting_init(vecs, weights, num_clusters: int, key):
     """Hierarchical top-down split init (device analog of tree_vector_quant,
     encoder/basisu_enc.h:1547): repeatedly split every cluster along its
-    principal axis until >= num_clusters, then trim via k-means.
+    principal axis until >= num_clusters, then trim to the most populated.
 
-    Runs a fixed log2(num_clusters) rounds; all clusters split each round
-    (fixed shapes; empties are masked).
+    Fully jitted: per-cluster moments via segment-sums (no one-hot
+    materialization), principal axes by power iteration on the (C,F,F)
+    scatter tensors. log2(num_clusters) unrolled rounds, static shapes.
     """
     n, f = vecs.shape
     rounds = max(1, int(np.ceil(np.log2(num_clusters))))
     assign = jnp.zeros(n, dtype=jnp.int32)
     w = weights
+    wv = vecs * w[:, None]
 
-    def split_round(r, assign):
+    for r in range(rounds):
         c = 1 << r
-        one = jax.nn.one_hot(assign, c, dtype=vecs.dtype)
-        cnt = w @ one                                           # (C,)
-        mean = ((vecs * w[:, None]).T @ one / jnp.maximum(cnt, 1e-9)).T  # (C,F)
+        cnt = jax.ops.segment_sum(w, assign, num_segments=c)    # (C,)
+        s1 = jax.ops.segment_sum(wv, assign, num_segments=c)    # (C,F)
+        mean = s1 / jnp.maximum(cnt, 1e-9)[:, None]
         centered = vecs - mean[assign]
-        # principal axis per cluster by power iteration on scatter matrices
-        cov = jnp.einsum("nf,ng,nc->cfg", centered * w[:, None], centered,
-                         one, preferred_element_type=jnp.float32)
+        outer = (centered[:, :, None] * centered[:, None, :]) * w[:, None, None]
+        cov = jax.ops.segment_sum(outer.reshape(n, f * f), assign,
+                                  num_segments=c).reshape(c, f, f)
         v0 = jnp.ones((c, f), dtype=vecs.dtype)
+
         def power(v, _):
             v = jnp.einsum("cfg,cg->cf", cov, v)
             v = v / (jnp.linalg.norm(v, axis=-1, keepdims=True) + 1e-9)
             return v, None
+
         axis, _ = jax.lax.scan(power, v0, None, length=8)
         proj = jnp.sum(centered * axis[assign], -1)             # (N,)
         assign = assign * 2 + (proj > 0).astype(jnp.int32)
-        return assign
 
-    for r in range(rounds):
-        assign = split_round(r, assign)
     c = 1 << rounds
-    one = jax.nn.one_hot(assign, c, dtype=vecs.dtype)
-    cnt = w @ one
-    mean = ((vecs * w[:, None]).T @ one / jnp.maximum(cnt, 1e-9)).T
+    cnt = jax.ops.segment_sum(w, assign, num_segments=c)
+    s1 = jax.ops.segment_sum(wv, assign, num_segments=c)
+    mean = s1 / jnp.maximum(cnt, 1e-9)[:, None]
     # keep the num_clusters most-populated leaves as k-means seeds
     top = jnp.argsort(-cnt)[:num_clusters]
     seeds = mean[top]

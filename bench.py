@@ -1,0 +1,101 @@
+"""Headline benchmark: ETC1S encode throughput (Mpix/s) on real hardware.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+vs_baseline is our Mpix/s divided by the reference C++ encoder's single-CPU
+Mpix/s on the same machine/config (BASELINE.json north star: >= 20x).
+
+Config matches BASELINE.json config 1: ETC1S encode of kodim images at
+quality 128, effort/comp-level 1 (the reference CLI default).
+"""
+
+import json
+import pathlib
+import re
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+TEST_FILES = pathlib.Path("/root/reference/test_files")
+ORACLE = pathlib.Path("/tmp/refbuild/basisu")
+# reference C++ (-q 128, comp level 1, single thread, this machine),
+# measured from its own printed compression time on kodim23 (0.393 Mpix):
+FALLBACK_CPU_MPIX_S = 0.59
+
+IMAGES = ["kodim23.png", "kodim03.png", "kodim18.png", "kodim01.png"]
+
+
+def _load_images():
+    from PIL import Image
+
+    imgs = []
+    for name in IMAGES:
+        p = TEST_FILES / name
+        if p.exists():
+            imgs.append(np.asarray(Image.open(p).convert("RGB")))
+    if not imgs:
+        rng = np.random.default_rng(0)
+        imgs = [rng.integers(0, 256, (512, 768, 3), dtype=np.uint8)]
+    return imgs
+
+
+def _measure_ours(imgs):
+    from basis_universal_tpu import compressor
+
+    params = compressor.CompressorParams(quality_level=128, effort=1)
+    # warm-up / compile
+    compressor.compress(imgs[0], params)
+    t0 = time.time()
+    total_pix = 0
+    for img in imgs:
+        compressor.compress(img, params)
+        total_pix += img.shape[0] * img.shape[1]
+    dt = time.time() - t0
+    return total_pix / 1e6 / dt
+
+
+def _measure_reference(imgs_paths):
+    """Reference CPU Mpix/s from the tool's own printed compression time."""
+    if not ORACLE.exists():
+        return None
+    total_pix, total_t = 0, 0.0
+    for name in imgs_paths:
+        p = TEST_FILES / name
+        if not p.exists():
+            continue
+        r = subprocess.run(
+            [str(ORACLE), str(p), "-q", "128", "-basis"],
+            cwd="/tmp", capture_output=True, text=True, timeout=600)
+        m = re.search(r"in ([0-9.]+) secs", r.stdout)
+        if not m:
+            return None
+        from PIL import Image
+
+        w, h = Image.open(p).size
+        total_pix += w * h
+        total_t += float(m.group(1))
+    if total_t <= 0:
+        return None
+    return total_pix / 1e6 / total_t
+
+
+def main():
+    imgs = _load_images()
+    ours = _measure_ours(imgs)
+    ref = _measure_reference(IMAGES)
+    if ref is None:
+        ref = FALLBACK_CPU_MPIX_S
+        print(f"note: using recorded CPU baseline {ref} Mpix/s", file=sys.stderr)
+    else:
+        print(f"reference CPU: {ref:.3f} Mpix/s", file=sys.stderr)
+    print(json.dumps({
+        "metric": "etc1s_encode_throughput",
+        "value": round(ours, 4),
+        "unit": "Mpix/s",
+        "vs_baseline": round(ours / ref, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -6,11 +6,17 @@ Multi-chip sharding is validated on a host-platform device mesh
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+
+# The axon sitecustomize force-registers the TPU platform and overrides
+# JAX_PLATFORMS; pin the config back to CPU before any backend initializes.
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import pathlib
 
