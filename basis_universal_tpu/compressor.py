@@ -14,7 +14,7 @@ import numpy as np
 
 from .codecs.etc1s import backend as etc1s_backend
 from .codecs.etc1s import frontend as etc1s_frontend
-from .formats import basis_file
+from .formats import basis_file, ktx2
 from .formats.constants import (
     BasisTexFormat,
     BasisTextureType,
@@ -82,6 +82,7 @@ class CompressorParams:
 @dataclasses.dataclass
 class CompressorOutput:
     basis_data: bytes
+    ktx2_data: bytes
     num_endpoints: int
     num_selectors: int
     # per-slice decoded indices (for stats/validation without re-decoding)
@@ -193,8 +194,27 @@ def compress(images, params: CompressorParams = CompressorParams()) -> Compresso
         userdata0=params.userdata0,
         userdata1=params.userdata1,
     )
+
+    base = slices[0]
+    level_count = max(s["level_index"] for s in slices) + 1
+    layer_count = max(s["image_index"] for s in slices) + 1
+    ktx2_data = ktx2.write_ktx2_etc1s(
+        base_width=base["orig_width"], base_height=base["orig_height"],
+        level_count=level_count, layer_count=layer_count, face_count=1,
+        slice_streams=slice_streams,
+        slice_info=[dict(level=s["level_index"], layer=s["image_index"],
+                         face=0, alpha=False, iframe=True) for s in slices],
+        endpoint_palette=endpoint_palette,
+        selector_palette=selector_palette,
+        tables=tables,
+        num_endpoints=e_color5.shape[0],
+        num_selectors=sel_cb.shape[0],
+        srgb=params.perceptual,
+        has_alpha=False,
+    )
     return CompressorOutput(
         basis_data=data,
+        ktx2_data=ktx2_data,
         num_endpoints=e_color5.shape[0],
         num_selectors=sel_cb.shape[0],
         slice_endpoints=e_grids,

@@ -1,0 +1,169 @@
+"""GPU block-format unpackers for validation + stats (gpu_image analog —
+basisu_gpu_texture.cpp's unpack_block family). Vectorized numpy; each takes
+(N, bytes) blocks and returns (N, 4, 4, C) pixels (y, x order)."""
+
+import numpy as np
+
+from .transcode import EAC_MODIFIERS
+
+
+def unpack_bc1(blocks, bc1_threecolor=True):
+    b = np.asarray(blocks, dtype=np.uint32)
+    n = b.shape[0]
+    c0 = b[:, 0] | (b[:, 1] << 8)
+    c1 = b[:, 2] | (b[:, 3] << 8)
+
+    def exp565(c):
+        r = (c >> 11) & 31
+        g = (c >> 5) & 63
+        bl = c & 31
+        return np.stack([(r << 3) | (r >> 2), (g << 2) | (g >> 4),
+                         (bl << 3) | (bl >> 2)], -1).astype(np.int64)
+
+    p0, p1 = exp565(c0), exp565(c1)
+    four = (c0 > c1) | (~np.asarray(bc1_threecolor, dtype=bool))
+    p2_4 = (p0 * 2 + p1) // 3
+    p3_4 = (p0 + p1 * 2) // 3
+    p2_3 = (p0 + p1) // 2
+    p3_3 = np.zeros_like(p0)
+    p2 = np.where(four[:, None], p2_4, p2_3)
+    p3 = np.where(four[:, None], p3_4, p3_3)
+    pal = np.stack([p0, p1, p2, p3], axis=1)                # (N,4,3)
+    bits = (b[:, 4] | (b[:, 5] << 8) | (b[:, 6] << 16)
+            | (b[:, 7].astype(np.uint64) << np.uint64(24))).astype(np.uint64)
+    out = np.zeros((n, 4, 4, 4), dtype=np.uint8)
+    out[..., 3] = 255
+    for i in range(16):
+        idx = ((bits >> np.uint64(2 * i)) & np.uint64(3)).astype(np.int64)
+        out[:, i // 4, i % 4, :3] = pal[np.arange(n), idx]
+        # 3-color mode index 3 alpha=0
+        trans = (~four) & (idx == 3)
+        out[trans, i // 4, i % 4, 3] = 0
+    return out
+
+
+def unpack_bc4(blocks):
+    """(N,8) → (N,4,4) single-channel values."""
+    b = np.asarray(blocks, dtype=np.int64)
+    n = b.shape[0]
+    a0, a1 = b[:, 0], b[:, 1]
+    pal = np.zeros((n, 8), dtype=np.int64)
+    pal[:, 0], pal[:, 1] = a0, a1
+    eight = a0 > a1
+    for k in range(1, 7):
+        pal[:, k + 1] = np.where(eight, ((7 - k) * a0 + k * a1) // 7, 0)
+    # six-interpolant mode (a0 <= a1): pal[2..5]=interp/5, pal[6]=0, pal[7]=255
+    six = ~eight
+    for k in range(1, 5):
+        v = ((5 - k) * a0 + k * a1) // 5
+        pal[six, k + 1] = v[six]
+    pal[six, 6] = 0
+    pal[six, 7] = 255
+    bits = np.zeros(n, dtype=np.uint64)
+    for i in range(6):
+        bits |= b[:, 2 + i].astype(np.uint64) << np.uint64(8 * i)
+    out = np.zeros((n, 4, 4), dtype=np.uint8)
+    for i in range(16):
+        idx = ((bits >> np.uint64(3 * i)) & np.uint64(7)).astype(np.int64)
+        out[:, i // 4, i % 4] = pal[np.arange(n), idx]
+    return out
+
+
+def unpack_bc3(blocks):
+    b = np.asarray(blocks, dtype=np.uint8)
+    rgb = unpack_bc1(b[:, 8:], bc1_threecolor=False)
+    a = unpack_bc4(b[:, :8])
+    rgb[..., 3] = a
+    return rgb
+
+
+def unpack_bc5(blocks):
+    b = np.asarray(blocks, dtype=np.uint8)
+    r = unpack_bc4(b[:, :8])
+    g = unpack_bc4(b[:, 8:])
+    n = b.shape[0]
+    out = np.zeros((n, 4, 4, 4), dtype=np.uint8)
+    out[..., 0] = r
+    out[..., 1] = g
+    out[..., 3] = 255
+    return out
+
+
+def unpack_bc7_mode5(blocks):
+    """Decode BC7 blocks that are known to be mode 5 (our ETC1S output)."""
+    b = np.asarray(blocks, dtype=np.uint8)
+    n = b.shape[0]
+    lo = np.zeros(n, dtype=np.uint64)
+    hi = np.zeros(n, dtype=np.uint64)
+    for i in range(8):
+        lo |= b[:, i].astype(np.uint64) << np.uint64(8 * i)
+        hi |= b[:, 8 + i].astype(np.uint64) << np.uint64(8 * i)
+
+    def get(pos, nbits):
+        if pos >= 64:
+            v = hi >> np.uint64(pos - 64)
+        elif pos + nbits > 64:
+            v = (lo >> np.uint64(pos)) | (hi << np.uint64(64 - pos))
+        else:
+            v = lo >> np.uint64(pos)
+        return (v & np.uint64((1 << nbits) - 1)).astype(np.int64)
+
+    assert True
+    mode = get(0, 6)
+    if not np.all(mode == 0b100000):
+        raise ValueError("not all mode-5 blocks")
+    pos = 8  # skip mode + rotation (assumed 0)
+    rot = get(6, 2)
+    ep = np.zeros((n, 2, 4), dtype=np.int64)
+    for ch in range(3):
+        e0 = get(pos, 7); pos += 7
+        e1 = get(pos, 7); pos += 7
+        ep[:, 0, ch] = (e0 << 1) | (e0 >> 6)
+        ep[:, 1, ch] = (e1 << 1) | (e1 >> 6)
+    ep[:, 0, 3] = get(pos, 8); pos += 8
+    ep[:, 1, 3] = get(pos, 8); pos += 8
+
+    weights = np.array([0, 21, 43, 64], dtype=np.int64)
+    cidx = np.zeros((n, 16), dtype=np.int64)
+    cidx[:, 0] = get(pos, 1); pos += 1
+    for i in range(1, 16):
+        cidx[:, i] = get(pos, 2); pos += 2
+    aidx = np.zeros((n, 16), dtype=np.int64)
+    aidx[:, 0] = get(pos, 1); pos += 1
+    for i in range(1, 16):
+        aidx[:, i] = get(pos, 2); pos += 2
+    assert pos == 128
+
+    out = np.zeros((n, 4, 4, 4), dtype=np.uint8)
+    for i in range(16):
+        wc = weights[cidx[:, i]]
+        wa = weights[aidx[:, i]]
+        rgb = (ep[:, 0, :3] * (64 - wc)[:, None] + ep[:, 1, :3] * wc[:, None] + 32) >> 6
+        a = (ep[:, 0, 3] * (64 - wa) + ep[:, 1, 3] * wa + 32) >> 6
+        out[:, i // 4, i % 4, :3] = rgb
+        out[:, i // 4, i % 4, 3] = a
+    # rotation swaps a channel with alpha; our encoder always writes rot=0
+    if np.any(rot != 0):
+        raise ValueError("rotation != 0 unsupported in validator")
+    return out
+
+
+def unpack_eac_a8(blocks):
+    b = np.asarray(blocks, dtype=np.int64)
+    n = b.shape[0]
+    base = b[:, 0]
+    mult = b[:, 1] >> 4
+    table = b[:, 1] & 15
+    bits = np.zeros(n, dtype=np.uint64)
+    for i in range(6):
+        bits |= b[:, 2 + i].astype(np.uint64) << np.uint64(8 * (5 - i))
+    out = np.zeros((n, 4, 4), dtype=np.uint8)
+    for x in range(4):
+        for y in range(4):
+            shift = np.uint64(45 - 3 * (x * 4 + y))
+            s = ((bits >> shift) & np.uint64(7)).astype(np.int64)
+            v = np.clip(base + EAC_MODIFIERS[table, s] * np.maximum(mult, 1), 0, 255)
+            # mult==0: modifier table scaled by 1/8? spec: multiplier 0 means
+            # modifiers are divided by 8 — our encoder never emits mult=0
+            out[:, y, x] = v
+    return out

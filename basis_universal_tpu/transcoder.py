@@ -1,0 +1,257 @@
+"""High-level transcoder API: .basis/.KTX2 → GPU block formats / rasters.
+
+API mirrors the reference's basisu_transcoder / ktx2_transcoder
+(transcoder/basisu_transcoder.h:860, :1256): parse the container, decode the
+ETC1S codebooks once (start_transcoding), then transcode any (image, level)
+to a target format. The entropy layer runs on host; per-block format
+conversion is batched array work (ops/transcode.py).
+"""
+
+import dataclasses
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from .codecs.etc1s import stream as etc1s_stream
+from .formats import basis_file, ktx2
+from .formats.constants import (
+    BasisTexFormat,
+    BasisTextureType,
+    TranscoderTextureFormat as TF,
+)
+from .ops import etc1 as etc1_ops
+from .ops import transcode as tc_ops
+
+
+@dataclasses.dataclass
+class ImageLevelInfo:
+    orig_width: int
+    orig_height: int
+    num_blocks_x: int
+    num_blocks_y: int
+    has_alpha: bool
+
+
+class _Etc1sDecodedSlice:
+    def __init__(self, endpoint_idx, selector_idx):
+        self.endpoint_idx = endpoint_idx
+        self.selector_idx = selector_idx
+
+
+class Etc1sTranscodeEngine:
+    """Shared ETC1S decode + format conversion used by both containers."""
+
+    def __init__(self, num_endpoints, endpoints_data, num_selectors,
+                 selectors_data, tables_data):
+        self.num_endpoints = num_endpoints
+        self.num_selectors = num_selectors
+        self.codebooks = etc1s_stream.decode_palettes(
+            num_endpoints, endpoints_data, num_selectors, selectors_data)
+        self.tables = etc1s_stream.decode_tables(tables_data)
+
+    def decode_slice(self, data, nbx, nby, is_video=False, prev=None):
+        return etc1s_stream.decode_slice(
+            data, nbx, nby, self.tables, self.num_endpoints,
+            self.num_selectors, is_video=is_video, prev_frame_indices=prev)
+
+    def convert(self, fmt: TF, rgb: _Etc1sDecodedSlice,
+                alpha: Optional[_Etc1sDecodedSlice],
+                orig_width: int, orig_height: int) -> np.ndarray:
+        cb = self.codebooks
+        c5, i5, sels = cb.color5, cb.inten5, cb.selectors
+        e, s = rgb.endpoint_idx, rgb.selector_idx
+        ae = alpha.endpoint_idx if alpha else None
+        asel = alpha.selector_idx if alpha else None
+
+        if fmt == TF.RGBA32:
+            blocks = etc1_ops.decode_blocks_to_rgba(e, s, c5, i5, sels, ae, asel)
+            return etc1_ops.blocks_to_image(blocks, orig_width, orig_height)
+        if fmt in (TF.RGB565, TF.BGR565, TF.RGBA4444):
+            blocks = etc1_ops.decode_blocks_to_rgba(e, s, c5, i5, sels, ae, asel)
+            img = etc1_ops.blocks_to_image(blocks, orig_width, orig_height)
+            if fmt == TF.RGB565:
+                return tc_ops.rgba_to_rgb565(img)
+            if fmt == TF.BGR565:
+                return tc_ops.rgba_to_bgr565(img)
+            return tc_ops.rgba_to_rgba4444(img)
+        if fmt == TF.ETC1_RGB:
+            return etc1_ops.pack_etc1_blocks(e, s, c5, i5, sels)
+        if fmt == TF.BC1_RGB:
+            return tc_ops.etc1s_to_bc1(e, s, c5, i5, sels)
+        if fmt == TF.BC7_RGBA:
+            return tc_ops.etc1s_to_bc7_m5(e, s, c5, i5, sels, ae, asel)
+        if fmt == TF.BC3_RGBA:
+            color = tc_ops.etc1s_to_bc1(e, s, c5, i5, sels)
+            by, bx = e.shape
+            if alpha is not None:
+                avals = tc_ops.etc1s_block_values(ae, asel, c5, i5, sels)
+            else:
+                avals = np.full((by * bx, 16), 255, dtype=np.int64)
+            a = tc_ops.values_to_bc4(avals).reshape(by, bx, 8)
+            return np.concatenate([a, color], axis=-1)
+        if fmt == TF.BC4_R:
+            by, bx = e.shape
+            vals = tc_ops.etc1s_block_values(e, s, c5, i5, sels, channel=1)
+            return tc_ops.values_to_bc4(vals).reshape(by, bx, 8)
+        if fmt == TF.BC5_RG:
+            by, bx = e.shape
+            r = tc_ops.values_to_bc4(
+                tc_ops.etc1s_block_values(e, s, c5, i5, sels, channel=0))
+            if alpha is not None:
+                g = tc_ops.values_to_bc4(
+                    tc_ops.etc1s_block_values(ae, asel, c5, i5, sels, channel=1))
+            else:
+                g = tc_ops.values_to_bc4(
+                    tc_ops.etc1s_block_values(e, s, c5, i5, sels, channel=1))
+            return np.concatenate(
+                [r.reshape(by, bx, 8), g.reshape(by, bx, 8)], axis=-1)
+        if fmt == TF.ETC2_RGBA:
+            by, bx = e.shape
+            color = etc1_ops.pack_etc1_blocks(e, s, c5, i5, sels)
+            if alpha is not None:
+                avals = tc_ops.etc1s_block_values(ae, asel, c5, i5, sels)
+                a = tc_ops.values_to_eac_a8(avals).reshape(by, bx, 8)
+            else:
+                a = np.zeros((by, bx, 8), dtype=np.uint8)
+                a[..., 0] = 255
+                a[..., 1] = 0x10  # multiplier 1, table 0, selectors 0 → 255ish
+                avals = np.full((by * bx, 16), 255, dtype=np.int64)
+                a = tc_ops.values_to_eac_a8(avals).reshape(by, bx, 8)
+            return np.concatenate([a, color], axis=-1)
+        raise NotImplementedError(f"transcode target {fmt!r} not implemented yet")
+
+
+class BasisTranscoder:
+    """.basis reader + transcoder (basisu_transcoder analog)."""
+
+    def __init__(self, data: bytes):
+        self.file = basis_file.BasisFile(data)
+        self._engine: Optional[Etc1sTranscodeEngine] = None
+        # group slices by (image, level)
+        self._slice_map: Dict[Tuple[int, int], Dict[str, int]] = {}
+        for i, sd in enumerate(self.file.slices):
+            key = (sd.image_index, sd.level_index)
+            entry = self._slice_map.setdefault(key, {})
+            entry["alpha" if sd.has_alpha else "rgb"] = i
+        self._decoded: Dict[int, _Etc1sDecodedSlice] = {}
+
+    def validate_header(self) -> bool:
+        return self.file.header.sig == basis_file.BASIS_SIG
+
+    def validate_file_checksums(self) -> bool:
+        return self.file.validate_crcs()
+
+    @property
+    def tex_format(self) -> BasisTexFormat:
+        return self.file.tex_format
+
+    def get_total_images(self) -> int:
+        return self.file.header.total_images
+
+    def get_total_image_levels(self, image_index: int) -> int:
+        return sum(1 for (img, _lvl) in self._slice_map if img == image_index)
+
+    def get_image_level_info(self, image_index: int, level_index: int) -> ImageLevelInfo:
+        entry = self._slice_map[(image_index, level_index)]
+        sd = self.file.slices[entry["rgb"]]
+        return ImageLevelInfo(sd.orig_width, sd.orig_height,
+                              sd.num_blocks_x, sd.num_blocks_y,
+                              "alpha" in entry)
+
+    def start_transcoding(self):
+        if self._engine is None:
+            h = self.file.header
+            if self.tex_format != BasisTexFormat.ETC1S:
+                raise NotImplementedError("only ETC1S .basis decode so far")
+            self._engine = Etc1sTranscodeEngine(
+                h.total_endpoints, self.file.endpoint_cb_data,
+                h.total_selectors, self.file.selector_cb_data,
+                self.file.tables_data)
+        return True
+
+    def _get_decoded(self, slice_index: int) -> _Etc1sDecodedSlice:
+        if slice_index not in self._decoded:
+            sd = self.file.slices[slice_index]
+            e, s = self._engine.decode_slice(
+                self.file.slice_data(slice_index), sd.num_blocks_x, sd.num_blocks_y)
+            self._decoded[slice_index] = _Etc1sDecodedSlice(e, s)
+        return self._decoded[slice_index]
+
+    def transcode_image_level(self, image_index: int, level_index: int,
+                              fmt: TF) -> np.ndarray:
+        self.start_transcoding()
+        entry = self._slice_map[(image_index, level_index)]
+        sd = self.file.slices[entry["rgb"]]
+        rgb = self._get_decoded(entry["rgb"])
+        alpha = self._get_decoded(entry["alpha"]) if "alpha" in entry else None
+        return self._engine.convert(fmt, rgb, alpha, sd.orig_width, sd.orig_height)
+
+
+class Ktx2Transcoder:
+    """.KTX2 reader + transcoder (ktx2_transcoder analog; ETC1S/BasisLZ)."""
+
+    def __init__(self, data: bytes):
+        self.file = ktx2.Ktx2File(data)
+        self._engine: Optional[Etc1sTranscodeEngine] = None
+        self._descs = None
+
+    @property
+    def header(self):
+        return self.file
+
+    def get_width(self) -> int:
+        return self.file.pixel_width
+
+    def get_height(self) -> int:
+        return self.file.pixel_height
+
+    def get_levels(self) -> int:
+        return max(1, self.file.level_count)
+
+    def get_layers(self) -> int:
+        return max(1, self.file.layer_count)
+
+    def get_faces(self) -> int:
+        return max(1, self.file.face_count)
+
+    def get_key_values(self) -> Dict[str, bytes]:
+        return self.file.key_values
+
+    def is_srgb(self) -> bool:
+        return self.file.is_srgb
+
+    def get_basis_tex_format(self) -> Optional[BasisTexFormat]:
+        return self.file.basis_tex_format()
+
+    def start_transcoding(self):
+        if self._engine is None:
+            fmt = self.file.basis_tex_format()
+            if fmt != BasisTexFormat.ETC1S:
+                raise NotImplementedError("only ETC1S KTX2 decode so far")
+            ne, ns, ep, sp, tb, descs = self.file.etc1s_global_data()
+            self._engine = Etc1sTranscodeEngine(ne, ep, ns, sp, tb)
+            self._descs = descs
+        return True
+
+    def transcode_image_level(self, level: int, layer: int, face: int,
+                              fmt: TF) -> np.ndarray:
+        self.start_transcoding()
+        w = max(1, self.file.pixel_width >> level)
+        h = max(1, self.file.pixel_height >> level)
+        nbx, nby = (w + 3) // 4, (h + 3) // 4
+        layers = self.get_layers()
+        faces = self.get_faces()
+        idx = level * (layers * faces) + layer * faces + face
+        d = self._descs[idx]
+        lvl = self.file.level_data(level)
+        rgb_data = lvl[d.rgb_slice_byte_offset:
+                       d.rgb_slice_byte_offset + d.rgb_slice_byte_length]
+        e, s = self._engine.decode_slice(rgb_data, nbx, nby)
+        rgb = _Etc1sDecodedSlice(e, s)
+        alpha = None
+        if d.alpha_slice_byte_length:
+            a_data = lvl[d.alpha_slice_byte_offset:
+                         d.alpha_slice_byte_offset + d.alpha_slice_byte_length]
+            ae, asel = self._engine.decode_slice(a_data, nbx, nby)
+            alpha = _Etc1sDecodedSlice(ae, asel)
+        return self._engine.convert(fmt, rgb, alpha, w, h)
