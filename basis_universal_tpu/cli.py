@@ -1,0 +1,121 @@
+"""Command-line tool (basisu_tool analog, core modes).
+
+Modes mirror the reference CLI (basisu_tool.cpp enum tool_mode): compress
+(default), -unpack, -compare, -version. More modes (bench, test_codecs,
+image utilities) land with their subsystems.
+"""
+
+import argparse
+import pathlib
+import sys
+
+import numpy as np
+
+
+def _load_image(path):
+    from PIL import Image
+
+    return np.asarray(Image.open(path).convert("RGBA"))
+
+
+def _save_png(path, arr):
+    from PIL import Image
+
+    Image.fromarray(arr).save(path)
+
+
+def cmd_compress(args):
+    from . import compressor
+    from .formats.constants import BasisTexFormat
+
+    for src in args.inputs:
+        img = _load_image(src)
+        params = compressor.CompressorParams(
+            quality_level=args.q,
+            effort=args.effort,
+            mip_gen=args.mipmap,
+            perceptual=not args.linear,
+        )
+        out = compressor.compress(img, params)
+        stem = pathlib.Path(args.output_file).stem if args.output_file else pathlib.Path(src).stem
+        outdir = pathlib.Path(args.output_path or ".")
+        if args.basis:
+            p = outdir / f"{stem}.basis"
+            p.write_bytes(out.basis_data)
+        else:
+            p = outdir / f"{stem}.ktx2"
+            p.write_bytes(out.ktx2_data)
+        pix = img.shape[0] * img.shape[1]
+        data = out.basis_data if args.basis else out.ktx2_data
+        print(f"Wrote {p} ({len(data)} bytes, {len(data)*8.0/pix:.3f} bits/texel, "
+              f"{out.num_endpoints} endpoints, {out.num_selectors} selectors)")
+    return 0
+
+
+def cmd_unpack(args):
+    from .api import Transcoder
+
+    tr = Transcoder()
+    for src in args.inputs:
+        data = pathlib.Path(src).read_bytes()
+        h = tr.open(data)
+        stem = pathlib.Path(src).stem
+        outdir = pathlib.Path(args.output_path or ".")
+        for level in range(tr.get_levels(h)):
+            rgba = tr.decode_rgba(h, level=level)
+            p = outdir / f"{stem}_unpacked_rgba_{level:04}.png"
+            _save_png(p, rgba)
+            print(f"Wrote {p} ({rgba.shape[1]}x{rgba.shape[0]})")
+    return 0
+
+
+def cmd_compare(args):
+    from .ops import metrics
+
+    a = _load_image(args.inputs[0]).astype(np.float32)
+    b = _load_image(args.inputs[1]).astype(np.float32)
+    if a.shape != b.shape:
+        print(f"image size mismatch: {a.shape} vs {b.shape}")
+        return 1
+    m = metrics.image_metrics(a, b)
+    for k, v in m.items():
+        print(f"{k}: {float(v):.4f} dB")
+    print(f"ssim: {float(metrics.ssim(a[..., :3], b[..., :3])):.6f}")
+    print(f"psnr_hvs_m: {float(metrics.psnr_hvs_m(a[..., :3], b[..., :3])):.4f} dB")
+    return 0
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(
+        prog="basisu_tpu",
+        description="TPU-native Basis Universal compressor/transcoder")
+    ap.add_argument("inputs", nargs="*", help="input files")
+    ap.add_argument("-version", action="store_true")
+    ap.add_argument("-unpack", action="store_true")
+    ap.add_argument("-compare", action="store_true")
+    ap.add_argument("-basis", action="store_true", help="write .basis instead of .ktx2")
+    ap.add_argument("-q", type=int, default=128, help="ETC1S quality 1-255")
+    ap.add_argument("-effort", "-comp_level", type=int, default=1, dest="effort")
+    ap.add_argument("-mipmap", action="store_true")
+    ap.add_argument("-linear", action="store_true")
+    ap.add_argument("-output_file", default=None)
+    ap.add_argument("-output_path", default=None)
+    args = ap.parse_args(argv)
+
+    if args.version:
+        from . import __version__
+
+        print(f"basis_universal_tpu {__version__}")
+        return 0
+    if not args.inputs:
+        ap.print_help()
+        return 1
+    if args.unpack:
+        return cmd_unpack(args)
+    if args.compare:
+        return cmd_compare(args)
+    return cmd_compress(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

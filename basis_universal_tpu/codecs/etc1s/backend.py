@@ -74,8 +74,14 @@ def encode_endpoint_palette(color5, inten5) -> bytes:
     model_sel = np.where(prev <= 9, 0, np.where(prev <= 21, 1, 2))
 
     freqs = [np.bincount(delta[model_sel == m], minlength=32) for m in range(3)]
+    inten_freqs = np.bincount(inten_delta, minlength=8)
+    # decode_palettes requires all four models valid (non-empty) — give
+    # unused context models a dummy single-symbol code
+    for f in freqs + [inten_freqs]:
+        if not f.any():
+            f[0] = 1
     enc_c = [HuffmanEncoder(f) for f in freqs]
-    enc_i = HuffmanEncoder(np.bincount(inten_delta, minlength=8))
+    enc_i = HuffmanEncoder(inten_freqs)
 
     w = BitWriter()
     for m in range(3):
@@ -110,6 +116,8 @@ def encode_selector_palette(selectors) -> bytes:
         return w.to_bytes()
     delta = rows[1:] ^ rows[:-1]                               # (S-1,4)
     freqs = np.bincount(delta.ravel(), minlength=256)
+    if not freqs.any():
+        freqs[0] = 1
     enc = HuffmanEncoder(freqs)
     huff_cost = 14 + 8 * 4 + enc.cost_bits(delta.ravel()) + 400  # + table approx
     raw_cost = s * 32

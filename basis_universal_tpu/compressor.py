@@ -91,7 +91,9 @@ class CompressorOutput:
 
 
 def _prepare_slices(images: Sequence[np.ndarray], params: CompressorParams):
-    """images → list of (image_index, level_index, orig_w, orig_h, blocks)."""
+    """images → per-slice dicts. Alpha sources produce two ETC1S slices per
+    level: RGB and an (a,a,a) grayscale alpha slice (basisu_comp.cpp:2878-2904);
+    both share the file's global codebooks."""
     from .ops.resample import generate_mipmaps
 
     slices = []
@@ -99,23 +101,29 @@ def _prepare_slices(images: Sequence[np.ndarray], params: CompressorParams):
         img = np.asarray(img)
         if img.ndim == 2:
             img = img[..., None].repeat(3, axis=-1)
-        if img.shape[-1] == 4:
-            rgb = img[..., :3]
-        else:
-            rgb = img
-        levels = [rgb]
+        has_alpha = img.shape[-1] == 4 and bool((img[..., 3] != 255).any())
+        levels = [img]
         if params.mip_gen:
-            levels += generate_mipmaps(rgb, params.mip_smallest_dimension)
+            levels += generate_mipmaps(img, params.mip_smallest_dimension)
         for level_index, lvl in enumerate(levels):
             h, w = lvl.shape[:2]
-            blocks = image_to_blocks(lvl).astype(np.float32)
-            by, bx = blocks.shape[:2]
+            rgb_blocks = image_to_blocks(lvl[..., :3]).astype(np.float32)
+            by, bx = rgb_blocks.shape[:2]
             slices.append(dict(
                 image_index=image_index, level_index=level_index,
                 orig_width=w, orig_height=h,
-                num_blocks_x=bx, num_blocks_y=by,
-                blocks=blocks.reshape(by * bx, 16, 3),
+                num_blocks_x=bx, num_blocks_y=by, alpha=False,
+                blocks=rgb_blocks.reshape(by * bx, 16, 3),
             ))
+            if has_alpha:
+                a = lvl[..., 3:4].repeat(3, axis=-1)
+                a_blocks = image_to_blocks(a).astype(np.float32)
+                slices.append(dict(
+                    image_index=image_index, level_index=level_index,
+                    orig_width=w, orig_height=h,
+                    num_blocks_x=bx, num_blocks_y=by, alpha=True,
+                    blocks=a_blocks.reshape(by * bx, 16, 3),
+                ))
     return slices
 
 
@@ -164,12 +172,17 @@ def compress(images, params: CompressorParams = CompressorParams()) -> Compresso
         e_grids, s_grids, e_color5.shape[0], sel_cb.shape[0])
 
     descs = []
+    any_alpha = False
     for s, e_grid, s_grid in zip(slices, e_grids, s_grids):
         physical = pack_etc1_blocks(e_grid, s_grid, e_color5, e_inten, sel_cb)
+        sflags = 0
+        if s["alpha"]:
+            sflags |= SliceDescFlags.HAS_ALPHA
+            any_alpha = True
         descs.append(basis_file.SliceDesc(
             image_index=s["image_index"],
             level_index=s["level_index"],
-            flags=0,
+            flags=int(sflags),
             orig_width=s["orig_width"],
             orig_height=s["orig_height"],
             num_blocks_x=s["num_blocks_x"],
@@ -180,6 +193,8 @@ def compress(images, params: CompressorParams = CompressorParams()) -> Compresso
     flags = HeaderFlags.ETC1S
     if params.perceptual:
         flags |= HeaderFlags.SRGB
+    if any_alpha:
+        flags |= HeaderFlags.HAS_ALPHA_SLICES
 
     data = basis_file.write_basis_file(
         BasisTexFormat.ETC1S, descs, slice_streams,
@@ -203,14 +218,14 @@ def compress(images, params: CompressorParams = CompressorParams()) -> Compresso
         level_count=level_count, layer_count=layer_count, face_count=1,
         slice_streams=slice_streams,
         slice_info=[dict(level=s["level_index"], layer=s["image_index"],
-                         face=0, alpha=False, iframe=True) for s in slices],
+                         face=0, alpha=s["alpha"], iframe=True) for s in slices],
         endpoint_palette=endpoint_palette,
         selector_palette=selector_palette,
         tables=tables,
         num_endpoints=e_color5.shape[0],
         num_selectors=sel_cb.shape[0],
         srgb=params.perceptual,
-        has_alpha=False,
+        has_alpha=any_alpha,
     )
     return CompressorOutput(
         basis_data=data,

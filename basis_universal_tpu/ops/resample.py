@@ -64,6 +64,8 @@ def resample(img: np.ndarray, out_w: int, out_h: int, filter: str = "kaiser",
     h, w = img.shape[:2]
     if srgb:
         f = _srgb_to_linear_lut()[img]
+        if img.shape[-1] == 4:  # alpha filters linearly
+            f[..., 3] = img[..., 3].astype(np.float32) / 255.0
     else:
         f = img.astype(np.float32) / 255.0
     ky = _filter_kernel(filter, max(1, h // out_h))
@@ -71,7 +73,12 @@ def resample(img: np.ndarray, out_w: int, out_h: int, filter: str = "kaiser",
     f = _downsample_axis(f, 0, out_h, ky)
     f = _downsample_axis(f, 1, out_w, kx)
     if srgb:
-        f = _linear_to_srgb(f)
+        if img.shape[-1] == 4:
+            a = f[..., 3]
+            f = _linear_to_srgb(f)
+            f[..., 3] = a
+        else:
+            f = _linear_to_srgb(f)
     return np.clip(np.round(f * 255.0), 0, 255).astype(np.uint8)
 
 
