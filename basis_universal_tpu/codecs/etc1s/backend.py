@@ -322,21 +322,64 @@ def _collect_slice_symbols(e_idx, s_idx, num_endpoints, num_selectors):
     flush_sel_run()
 
     flat_ops = [op for ops in block_ops for op in ops]
-    return flat_ops, pred_freq, delta_freq, sel_freq, rle_freq
+    kinds = np.array([_OP_KIND_ID[k] for k, _ in flat_ops], dtype=np.int32)
+    vals = np.array([v for _, v in flat_ops], dtype=np.int32)
+    return kinds, vals, pred_freq, delta_freq, sel_freq, rle_freq
+
+
+# op kind ids shared with native/slice_codec.cpp
+_OP_KIND_ID = {"pred": 0, "delta": 1, "sel": 2, "sel_rle": 3,
+               "pred_rle_vlc": 4, "sel_rle_vlc": 5}
+
+
+def _collect_slice_symbols_native(e_idx, s_idx, num_endpoints, num_selectors):
+    import ctypes
+
+    from ... import native
+
+    lib = native.get_lib()
+    by, bx = e_idx.shape
+    cap = 4 * by * bx + 64
+    op_kind = np.zeros(cap, dtype=np.int32)
+    op_val = np.zeros(cap, dtype=np.int32)
+    pred_freq = np.zeros(ENDPOINT_PRED_TOTAL_SYMBOLS, dtype=np.int64)
+    delta_freq = np.zeros(num_endpoints, dtype=np.int64)
+    sel_freq = np.zeros(num_selectors + MAX_SELECTOR_HISTORY_BUF_SIZE + 1, dtype=np.int64)
+    rle_freq = np.zeros(SELECTOR_HISTORY_BUF_RLE_COUNT_TOTAL, dtype=np.int64)
+    e = np.ascontiguousarray(e_idx, dtype=np.int32)
+    s = np.ascontiguousarray(s_idx, dtype=np.int32)
+
+    def p(a, t):
+        return a.ctypes.data_as(ctypes.POINTER(t))
+
+    n = lib.etc1s_collect_slice_symbols(
+        p(e, ctypes.c_int32), p(s, ctypes.c_int32), by, bx,
+        num_endpoints, num_selectors,
+        p(op_kind, ctypes.c_int32), p(op_val, ctypes.c_int32),
+        p(pred_freq, ctypes.c_int64), p(delta_freq, ctypes.c_int64),
+        p(sel_freq, ctypes.c_int64), p(rle_freq, ctypes.c_int64))
+    return (op_kind[:n].copy(), op_val[:n].copy(),
+            pred_freq, delta_freq, sel_freq, rle_freq)
 
 
 def encode_slices(e_idx_list, s_idx_list, num_endpoints, num_selectors):
     """Encode all slices; models are shared across slices (decode_tables is
     read once per file). Returns (tables_bytes, [slice_bytes...])."""
+    from ... import native
+
+    use_native = native.available()
+    collect = (_collect_slice_symbols_native if use_native
+               else _collect_slice_symbols)
+
     all_ops = []
     pred_freq = np.zeros(ENDPOINT_PRED_TOTAL_SYMBOLS, dtype=np.int64)
     delta_freq = np.zeros(num_endpoints, dtype=np.int64)
     sel_freq = np.zeros(num_selectors + MAX_SELECTOR_HISTORY_BUF_SIZE + 1, dtype=np.int64)
     rle_freq = np.zeros(SELECTOR_HISTORY_BUF_RLE_COUNT_TOTAL, dtype=np.int64)
     for e_idx, s_idx in zip(e_idx_list, s_idx_list):
-        ops, pf, df, sf, rf = _collect_slice_symbols(
+        kinds, vals, pf, df, sf, rf = collect(
             e_idx, s_idx, num_endpoints, num_selectors)
-        all_ops.append(ops)
+        all_ops.append((kinds, vals))
         pred_freq += pf
         delta_freq += df
         sel_freq += sf
@@ -362,30 +405,65 @@ def encode_slices(e_idx_list, s_idx_list, num_endpoints, num_selectors):
     tables = tw.to_bytes()
 
     slices = []
-    for ops in all_ops:
-        w = BitWriter()
-        vals, bits = [], []
-        for kind, v in ops:
-            if kind == "pred":
-                vals.append(enc_pred.codes[v]); bits.append(enc_pred.lengths[v])
-            elif kind == "delta":
-                vals.append(enc_delta.codes[v]); bits.append(enc_delta.lengths[v])
-            elif kind == "sel":
-                vals.append(enc_sel.codes[v]); bits.append(enc_sel.lengths[v])
-            elif kind == "sel_rle":
-                vals.append(enc_rle.codes[v]); bits.append(enc_rle.lengths[v])
-            else:  # vlc values
-                if vals:
-                    w.put_bits_array(np.array(vals, np.uint64), np.array(bits, np.uint8))
-                    vals, bits = [], []
-                if kind == "pred_rle_vlc":
-                    w.put_vlc(v, ENDPOINT_PRED_COUNT_VLC_BITS)
-                else:
-                    w.put_vlc(v, 7)
-        if vals:
-            w.put_bits_array(np.array(vals, np.uint64), np.array(bits, np.uint8))
-        data = w.to_bytes()
+    for kinds, vals in all_ops:
+        if use_native:
+            data = _emit_slice_native(
+                kinds, vals, enc_pred, enc_delta, enc_sel, enc_rle)
+        else:
+            data = _emit_slice_py(
+                kinds, vals, enc_pred, enc_delta, enc_sel, enc_rle)
         if not data:
             data = b"\0"  # decoder requires non-empty slice data
         slices.append(data)
     return tables, slices
+
+
+def _emit_slice_py(kinds, vals, enc_pred, enc_delta, enc_sel, enc_rle):
+    w = BitWriter()
+    encs = [enc_pred, enc_delta, enc_sel, enc_rle]
+    pend_v, pend_b = [], []
+    for k, v in zip(kinds, vals):
+        if k <= 3:
+            enc = encs[k]
+            pend_v.append(enc.codes[v])
+            pend_b.append(enc.lengths[v])
+        else:
+            if pend_v:
+                w.put_bits_array(np.array(pend_v, np.uint64),
+                                 np.array(pend_b, np.uint8))
+                pend_v, pend_b = [], []
+            w.put_vlc(int(v), ENDPOINT_PRED_COUNT_VLC_BITS if k == 4 else 7)
+    if pend_v:
+        w.put_bits_array(np.array(pend_v, np.uint64), np.array(pend_b, np.uint8))
+    return w.to_bytes()
+
+
+def _emit_slice_native(kinds, vals, enc_pred, enc_delta, enc_sel, enc_rle):
+    import ctypes
+
+    from ... import native
+
+    lib = native.get_lib()
+    n = kinds.size
+    cap = 4 * n + 64
+    out = np.zeros(cap, dtype=np.uint8)
+
+    def cp(enc):
+        c = np.ascontiguousarray(enc.codes, dtype=np.uint32)
+        l = np.ascontiguousarray(enc.lengths, dtype=np.uint8)
+        return (c, l)
+
+    arrs = [cp(e) for e in (enc_pred, enc_delta, enc_sel, enc_rle)]
+
+    def p(a, t):
+        return a.ctypes.data_as(ctypes.POINTER(t))
+
+    args = [p(np.ascontiguousarray(kinds), ctypes.c_int32),
+            p(np.ascontiguousarray(vals), ctypes.c_int32),
+            ctypes.c_int64(n)]
+    for c, l in arrs:
+        args += [p(c, ctypes.c_uint32), p(l, ctypes.c_uint8)]
+    args += [p(out, ctypes.c_uint8), ctypes.c_int64(cap)]
+    nbytes = lib.etc1s_emit_slice_bits(*args)
+    assert nbytes >= 0
+    return out[:nbytes].tobytes()

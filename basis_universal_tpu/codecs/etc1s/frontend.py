@@ -1,21 +1,25 @@
 """ETC1S frontend: global endpoint/selector codebook generation on TPU.
 
 TPU-native re-design of basisu_frontend (encoder/basisu_frontend.cpp:159-316):
-the hierarchical VQ + iterative refinement pipeline becomes a sequence of
-device kernels (see ops/etc1s_encode.py) — bisecting k-means init, Lloyd
-iterations as distance matmuls on the MXU, per-cluster endpoint optimization
-as a dense candidate scan with segment-sums, selector search as one-hot
-matmuls. Host work is only small-array bookkeeping (dedup, index remapping).
+the hierarchical VQ + iterative refinement pipeline becomes a SINGLE jitted
+device program (see ops/etc1s_encode.py for the kernels) — bisecting k-means
+init, Lloyd iterations as distance matmuls on the MXU, per-cluster endpoint
+optimization as a dense candidate scan with segment-sums, selector-codebook
+init as a device sort/segment-count/top-k, selector search as one-hot
+matmuls. Exactly one device→host transfer per image (sync latency over the
+TPU tunnel dominates otherwise); host work is only small-array bookkeeping
+(dedup, index remapping).
 """
 
 import dataclasses
+import functools
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ...ops import etc1s_encode as ops
-from ...ops.etc1 import etc1s_palette
+from ...ops.etc1 import ETC1_INTEN_TABLES
 
 
 @dataclasses.dataclass
@@ -46,6 +50,85 @@ def _effort_knobs(effort: int):
     return radius, kmeans_iters, refine_iters, sel_iters, topk
 
 
+def _palette_jnp(color5, inten):
+    base8 = ops.expand5(color5).astype(jnp.float32)
+    inten_tab = jnp.asarray(ETC1_INTEN_TABLES, dtype=jnp.float32)
+    return jnp.clip(base8[:, None, :] + inten_tab[inten][:, :, None], 0, 255)
+
+
+def _init_selector_patterns(opt_sel, num_s: int):
+    """Device-side 'most frequent optimal patterns' init: pack each block's
+    16 selector values into an int32 key, sort, run-length count, top-k."""
+    b = opt_sel.shape[0]
+    shifts = jnp.arange(16, dtype=jnp.int32) * 2
+    packed = jnp.sum(opt_sel.astype(jnp.int32) << shifts[None, :], axis=1)
+    skeys = jnp.sort(packed)
+    is_new = jnp.concatenate(
+        [jnp.ones(1, dtype=jnp.int32),
+         (skeys[1:] != skeys[:-1]).astype(jnp.int32)])
+    group = jnp.cumsum(is_new) - 1                           # (B,)
+    counts = jax.ops.segment_sum(jnp.ones(b, jnp.int32), group, num_segments=b)
+    values = jax.ops.segment_max(skeys, group, num_segments=b)
+    _, top = jax.lax.top_k(counts, num_s)
+    keys = values[top]                                       # (S,)
+    pats = (keys[:, None] >> shifts[None, :]) & 3            # (S,16)
+    return pats.astype(jnp.int32)
+
+
+def _frontend_impl(px, seed, *, num_e: int, num_s: int, radius: int,
+                   kmeans_iters: int, refine_iters: int, sel_iters: int,
+                   topk: int):
+    """The full device pipeline: returns (assign, color5, inten, patterns,
+    sel_assign) — everything the host needs for dedup + entropy coding."""
+    nblocks = px.shape[0]
+    key = jax.random.PRNGKey(seed)
+
+    init = ops.encode_blocks(px, radius=radius)
+    vec6 = jnp.concatenate([init["low"], init["high"]], axis=-1) * (1.0 / 255.0)
+    weights = jnp.ones(nblocks, dtype=jnp.float32)
+
+    seeds = ops.bisecting_init(vec6, weights, num_e, key)
+    _, assign = ops.kmeans(vec6, weights, seeds, num_e, iters=kmeans_iters)
+
+    color5 = inten = cb_pal = None
+    for _ in range(refine_iters):
+        cnt = jax.ops.segment_sum(jnp.ones(nblocks), assign, num_segments=num_e)
+        mean_px = jax.ops.segment_sum(jnp.mean(px, axis=1), assign, num_segments=num_e)
+        cluster_means = mean_px / jnp.maximum(cnt, 1.0)[:, None]
+        color5, inten = ops.optimize_cluster_endpoints(
+            px, assign, cluster_means, num_e, radius=radius)
+        cb_pal = _palette_jnp(color5, inten)                 # (C,4,3)
+        cb_vec6 = jnp.concatenate([cb_pal[:, 0, :], cb_pal[:, 3, :]], -1) * (1.0 / 255.0)
+        assign, _ = ops.refine_endpoint_assignment(
+            px, vec6, cb_vec6, color5, inten, topk=topk)
+
+    final_pal = cb_pal[assign]
+    dists = ops.block_selector_distances(px, final_pal)      # (B,16,4)
+    opt_sel = jnp.argmin(dists, axis=-1).astype(jnp.int32)
+
+    patterns = _init_selector_patterns(opt_sel, num_s)
+    sel_assign = None
+    for _ in range(sel_iters):
+        sel_assign, _ = ops.find_best_selector_patterns(dists, patterns, num_s)
+        patterns = ops.update_selector_patterns(dists, sel_assign, num_s)
+    sel_assign, _ = ops.find_best_selector_patterns(dists, patterns, num_s)
+    return assign, color5, inten, patterns, sel_assign
+
+
+@functools.lru_cache(maxsize=64)
+def _jitted_single(**knobs):
+    return jax.jit(functools.partial(_frontend_impl, **knobs))
+
+
+@functools.lru_cache(maxsize=64)
+def _jitted_batch(**knobs):
+    return jax.jit(jax.vmap(functools.partial(_frontend_impl, **knobs)))
+
+
+def _frontend_device(px, seed, **knobs):
+    return _jitted_single(**knobs)(px, seed)
+
+
 def compress(pixels: np.ndarray, params: FrontendParams, seed: int = 0) -> FrontendOutput:
     """pixels: (B, 16, 3) float32 RGB in [0,255] (one entry per 4x4 block)."""
     assert pixels.ndim == 3 and pixels.shape[1:] == (16, 3)
@@ -55,39 +138,65 @@ def compress(pixels: np.ndarray, params: FrontendParams, seed: int = 0) -> Front
     num_s = int(min(params.max_selector_clusters, nblocks))
     topk = min(topk, num_e)
 
-    px = jnp.asarray(pixels, dtype=jnp.float32)
-    key = jax.random.PRNGKey(seed)
+    out = _frontend_device(
+        jnp.asarray(pixels, dtype=jnp.float32), seed,
+        num_e=num_e, num_s=num_s, radius=radius, kmeans_iters=kmeans_iters,
+        refine_iters=refine_iters, sel_iters=sel_iters, topk=topk)
+    # single host sync for the whole pipeline
+    assign_np, color5_np, inten_np, pat_np, sel_np = jax.device_get(out)
+    return _host_finalize(assign_np, color5_np, inten_np, pat_np, sel_np,
+                          num_e, num_s)
 
-    # --- initial per-block encode → 6D endpoint training vectors
-    init = ops.encode_blocks(px, radius=radius)
-    vec6 = jnp.concatenate([init["low"], init["high"]], axis=-1) * (1.0 / 255.0)
-    weights = jnp.ones(nblocks, dtype=jnp.float32)
 
-    # --- endpoint clustering in 6D (init + Lloyd)
-    seeds = ops.bisecting_init(vec6, weights, num_e, key)
-    _, assign = ops.kmeans(vec6, weights, seeds, num_e, iters=kmeans_iters)
+def compress_batch(pixels: np.ndarray, params: FrontendParams,
+                   seed: int = 0):
+    """Batched frontend over N same-shaped images: pixels (N, B, 16, 3).
 
-    # --- alternate cluster-endpoint optimization and exact reassignment
-    color5 = inten = cb_pal = None
-    for _ in range(refine_iters):
-        one_cnt = jax.ops.segment_sum(jnp.ones(nblocks), assign, num_segments=num_e)
-        mean_px = jax.ops.segment_sum(jnp.mean(px, axis=1), assign, num_segments=num_e)
-        cluster_means = mean_px / jnp.maximum(one_cnt, 1.0)[:, None]
-        color5, inten = ops.optimize_cluster_endpoints(
-            px, assign, cluster_means, num_e, radius=radius)
-        # codebook 6D vectors from the optimized endpoints
-        cb_pal = _palette_jnp(color5, inten)                   # (C,4,3)
-        cb_vec6 = jnp.concatenate([cb_pal[:, 0, :], cb_pal[:, 3, :]], -1) * (1.0 / 255.0)
-        assign, _ = ops.refine_endpoint_assignment(
-            px, vec6, cb_vec6, color5, inten, topk=topk)
+    TPU analog of basis_parallel_compress (encoder/basisu_comp.cpp:5466):
+    all N device programs are dispatched asynchronously up front (JAX
+    dispatch is non-blocking), so the chip runs back-to-back while the host
+    overlaps finalize/entropy work for earlier images with device compute of
+    later ones. Returns a list of N FrontendOutput.
 
-    # --- host: drop empty clusters, dedup identical endpoints, remap
-    assign_np = np.asarray(assign)
-    color5_np = np.asarray(color5)
-    inten_np = np.asarray(inten)
+    (A single vmapped megaprogram was measured slower: the (N,B,C) distance
+    and top-k intermediates blow past VMEM and thrash HBM.)
+    """
+    return list(compress_batch_iter(pixels, params, seed))
+
+
+def compress_batch_iter(pixels: np.ndarray, params: FrontendParams,
+                        seed: int = 0):
+    """Generator form of compress_batch: yields FrontendOutput per image as
+    each device program completes, so the caller's host-side entropy coding
+    overlaps with device compute of later images."""
+    assert pixels.ndim == 4 and pixels.shape[2:] == (16, 3)
+    n, nblocks = pixels.shape[:2]
+    radius, kmeans_iters, refine_iters, sel_iters, topk = _effort_knobs(params.effort)
+    num_e = int(min(params.max_endpoint_clusters, nblocks))
+    num_s = int(min(params.max_selector_clusters, nblocks))
+    topk = min(topk, num_e)
+    knobs = dict(num_e=num_e, num_s=num_s, radius=radius,
+                 kmeans_iters=kmeans_iters, refine_iters=refine_iters,
+                 sel_iters=sel_iters, topk=topk)
+    fn = _jitted_single(**knobs)
+    futures = [
+        fn(jnp.asarray(pixels[i], dtype=jnp.float32), seed + i)
+        for i in range(n)
+    ]
+    for i in range(n):
+        got = jax.device_get(futures[i])
+        yield _host_finalize(*got, num_e, num_s)
+
+
+def _host_finalize(assign_np, color5_np, inten_np, pat_np, sel_np,
+                   num_e: int, num_s: int) -> FrontendOutput:
+    """Drop empty clusters, dedup identical entries, remap block indices."""
+    pat_np = pat_np.astype(np.uint8)
+
     used = np.zeros(num_e, dtype=bool)
     used[np.unique(assign_np)] = True
-    packed = (color5_np[:, 0].astype(np.int64) << 16) | (color5_np[:, 1].astype(np.int64) << 11) \
+    packed = (color5_np[:, 0].astype(np.int64) << 16) \
+        | (color5_np[:, 1].astype(np.int64) << 11) \
         | (color5_np[:, 2].astype(np.int64) << 6) | inten_np.astype(np.int64)
     packed[~used] = -1
     uniq, remap_to_uniq = np.unique(packed, return_inverse=True)
@@ -96,41 +205,14 @@ def compress(pixels: np.ndarray, params: FrontendParams, seed: int = 0) -> Front
     new_index[keep] = np.arange(keep.sum())
     block_endpoints = new_index[remap_to_uniq[assign_np]].astype(np.int32)
     assert (block_endpoints >= 0).all()
-    e_color5 = np.zeros((int(keep.sum()), 3), dtype=np.uint8)
-    e_inten = np.zeros(int(keep.sum()), dtype=np.uint8)
     kept_vals = uniq[keep]
+    e_color5 = np.zeros((int(keep.sum()), 3), dtype=np.uint8)
     e_color5[:, 0] = (kept_vals >> 16) & 31
     e_color5[:, 1] = (kept_vals >> 11) & 31
     e_color5[:, 2] = (kept_vals >> 6) & 31
-    e_inten[:] = kept_vals & 7
+    e_inten = (kept_vals & 7).astype(np.uint8)
 
-    # --- selector phase (uses the fixed-size cluster palette so every device
-    # shape is static across images; dedup only affects host-side indices)
-    final_pal = cb_pal[assign]
-    dists = ops.block_selector_distances(px, final_pal)        # (B,16,4)
-    opt_sel = np.asarray(jnp.argmin(dists, axis=-1)).astype(np.uint8)
-
-    # init codebook = most frequent optimal patterns, padded to a static
-    # size (data-dependent sizes would recompile the device kernels per
-    # image; duplicates are deduped after refinement)
-    uniq_pat, counts = np.unique(opt_sel, axis=0, return_counts=True)
-    order = np.argsort(-counts, kind="stable")
-    ns = num_s
-    init_pat = uniq_pat[order[:ns]].astype(np.int32)
-    if init_pat.shape[0] < ns:
-        reps = -(-ns // init_pat.shape[0])
-        init_pat = np.tile(init_pat, (reps, 1))[:ns]
-    patterns = jnp.asarray(init_pat)
-    sel_assign = None
-    for _ in range(sel_iters):
-        sel_assign, _ = ops.find_best_selector_patterns(dists, patterns, ns)
-        patterns = ops.update_selector_patterns(dists, sel_assign, ns)
-    sel_assign, _ = ops.find_best_selector_patterns(dists, patterns, ns)
-
-    # host: dedup selector patterns, drop empties, remap
-    pat_np = np.asarray(patterns).astype(np.uint8)
-    sel_np = np.asarray(sel_assign)
-    used_s = np.zeros(ns, dtype=bool)
+    used_s = np.zeros(num_s, dtype=bool)
     used_s[np.unique(sel_np)] = True
     key_s = pat_np.astype(np.int64) @ (np.int64(4) ** np.arange(16, dtype=np.int64))
     key_s[~used_s] = -1
@@ -149,10 +231,3 @@ def compress(pixels: np.ndarray, params: FrontendParams, seed: int = 0) -> Front
         block_endpoints=block_endpoints,
         block_selectors=block_selectors,
     )
-
-
-def _palette_jnp(color5, inten):
-    from ...ops.etc1 import ETC1_INTEN_TABLES
-    base8 = ops.expand5(color5).astype(jnp.float32)
-    inten_tab = jnp.asarray(ETC1_INTEN_TABLES, dtype=jnp.float32)
-    return jnp.clip(base8[:, None, :] + inten_tab[inten][:, :, None], 0, 255)

@@ -173,7 +173,66 @@ def decode_slice(slice_data: bytes, num_blocks_x: int, num_blocks_y: int,
     Returns (endpoint_idx, selector_idx) int32 arrays of shape
     (num_blocks_y, num_blocks_x). For video P-frames pass the previous
     frame's (endpoint_idx, selector_idx) as prev_frame_indices.
+
+    Dispatches to the native C++ runtime when available (bit-identical
+    Python fallback below).
     """
+    from ... import native
+
+    if native.available():
+        return _decode_slice_native(
+            slice_data, num_blocks_x, num_blocks_y, tables,
+            num_endpoints, num_selectors, is_video, prev_frame_indices)
+    return _decode_slice_py(
+        slice_data, num_blocks_x, num_blocks_y, tables,
+        num_endpoints, num_selectors, is_video, prev_frame_indices)
+
+
+def _decode_slice_native(slice_data, num_blocks_x, num_blocks_y, tables,
+                         num_endpoints, num_selectors, is_video,
+                         prev_frame_indices):
+    import ctypes
+
+    from ... import native
+
+    lib = native.get_lib()
+    data = np.frombuffer(bytes(slice_data) + b"\0" * 8, dtype=np.uint8)
+    out_e = np.zeros((num_blocks_y, num_blocks_x), dtype=np.int32)
+    out_s = np.zeros((num_blocks_y, num_blocks_x), dtype=np.int32)
+    if is_video and prev_frame_indices is not None:
+        pe = np.ascontiguousarray(prev_frame_indices[0], dtype=np.int32)
+        ps = np.ascontiguousarray(prev_frame_indices[1], dtype=np.int32)
+    else:
+        pe = np.zeros((num_blocks_y, num_blocks_x), dtype=np.int32)
+        ps = np.zeros((num_blocks_y, num_blocks_x), dtype=np.int32)
+
+    def p(a, t):
+        return a.ctypes.data_as(ctypes.POINTER(t))
+
+    def tbl(t):
+        sym = np.ascontiguousarray(t.table_sym, dtype=np.int32)
+        ln = np.ascontiguousarray(t.table_len, dtype=np.uint8)
+        return sym, ln, max(1, t.max_len)
+
+    tb = [tbl(t) for t in (tables.endpoint_pred, tables.delta_endpoint,
+                           tables.selector, tables.selector_history_buf_rle)]
+    args = [p(data, ctypes.c_uint8), ctypes.c_int64(len(slice_data)),
+            num_blocks_x, num_blocks_y, num_endpoints, num_selectors,
+            tables.selector_history_buf_size]
+    for sym, ln, ml in tb:
+        args += [p(sym, ctypes.c_int32), p(ln, ctypes.c_uint8), ml]
+    args += [ctypes.c_int32(1 if is_video else 0),
+             p(pe, ctypes.c_int32), p(ps, ctypes.c_int32),
+             p(out_e, ctypes.c_int32), p(out_s, ctypes.c_int32)]
+    rc = lib.etc1s_decode_slice(*args)
+    if rc != 0:
+        raise ValueError(f"invalid ETC1S slice stream (native rc={rc})")
+    return out_e, out_s
+
+
+def _decode_slice_py(slice_data: bytes, num_blocks_x: int, num_blocks_y: int,
+                     tables: Etc1sTables, num_endpoints: int, num_selectors: int,
+                     is_video: bool = False, prev_frame_indices=None):
     r = BitReader(slice_data)
     total_blocks = num_blocks_x * num_blocks_y
     hist = ApproxMoveToFront(tables.selector_history_buf_size)

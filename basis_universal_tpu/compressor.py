@@ -127,6 +127,19 @@ def _prepare_slices(images: Sequence[np.ndarray], params: CompressorParams):
     return slices
 
 
+def _frontend_params(params: CompressorParams, total_blocks: int):
+    if params.max_endpoint_clusters and params.max_selector_clusters:
+        num_e, num_s = params.max_endpoint_clusters, params.max_selector_clusters
+    else:
+        num_e, num_s = etc1s_quality_to_clusters(params.quality_level, total_blocks)
+    return etc1s_frontend.FrontendParams(
+        max_endpoint_clusters=num_e,
+        max_selector_clusters=num_s,
+        effort=params.effort,
+        perceptual=params.perceptual,
+    )
+
+
 def compress(images, params: CompressorParams = CompressorParams()) -> CompressorOutput:
     """Encode RGB(A) uint8 image(s) to a .basis file (ETC1S path)."""
     if isinstance(images, np.ndarray):
@@ -135,21 +148,40 @@ def compress(images, params: CompressorParams = CompressorParams()) -> Compresso
 
     slices = _prepare_slices(images, params)
     total_blocks = sum(s["blocks"].shape[0] for s in slices)
-
-    if params.max_endpoint_clusters and params.max_selector_clusters:
-        num_e, num_s = params.max_endpoint_clusters, params.max_selector_clusters
-    else:
-        num_e, num_s = etc1s_quality_to_clusters(params.quality_level, total_blocks)
-
     all_blocks = np.concatenate([s["blocks"] for s in slices], axis=0)
-    fp = etc1s_frontend.FrontendParams(
-        max_endpoint_clusters=num_e,
-        max_selector_clusters=num_s,
-        effort=params.effort,
-        perceptual=params.perceptual,
-    )
+    fp = _frontend_params(params, total_blocks)
     fe = etc1s_frontend.compress(all_blocks, fp, seed=params.seed)
+    return _assemble(slices, fe, params)
 
+
+def compress_batch(images, params: CompressorParams = CompressorParams()):
+    """Encode N same-sized textures in one batched device program
+    (the basis_parallel_compress analog, basisu_comp.cpp:5466 — but a single
+    vmapped launch instead of one CPU job per file). Returns a list of
+    CompressorOutput, one .basis/.KTX2 per input texture."""
+    assert params.tex_format == BasisTexFormat.ETC1S
+    per_image = [_prepare_slices([img], params) for img in images]
+    # the device program only depends on flat block counts; orientation
+    # (portrait vs landscape) may differ between images
+    shapes = {tuple((s["num_blocks_x"] * s["num_blocks_y"], s["alpha"])
+                    for s in sl) for sl in per_image}
+    if len(shapes) != 1:
+        # mixed sizes: fall back to per-image compression
+        return [compress(img, params) for img in images]
+    total_blocks = sum(s["blocks"].shape[0] for s in per_image[0])
+    fp = _frontend_params(params, total_blocks)
+    batch = np.stack([
+        np.concatenate([s["blocks"] for s in sl], axis=0) for sl in per_image])
+    # stream: host entropy/assembly for image i overlaps device compute of
+    # images i+1.. (device programs are all dispatched asynchronously)
+    outs = []
+    for sl, fe in zip(per_image,
+                      etc1s_frontend.compress_batch_iter(batch, fp, seed=params.seed)):
+        outs.append(_assemble(sl, fe, params))
+    return outs
+
+
+def _assemble(slices, fe, params: CompressorParams) -> CompressorOutput:
     # sort palettes for cheap delta coding; remap indices
     e_color5, e_inten, block_e = etc1s_backend.sort_endpoint_palette(
         fe.endpoint_color5, fe.endpoint_inten5, fe.block_endpoints)

@@ -1,0 +1,473 @@
+// slice_codec.cpp — native host runtime for the serial ETC1S entropy layer.
+//
+// The TPU device kernels hand dense index arrays to this module; it performs
+// the irreducibly-serial work (selector MTF history simulation, predictor
+// RLE state machines, canonical-Huffman bit packing/unpacking) at native
+// speed. Python (codecs/etc1s/{backend,stream}.py) keeps bit-identical
+// reference implementations used as fallback and for differential testing.
+//
+// Stream contract: see basis_universal_tpu/codecs/etc1s/stream.py (decode
+// side) — the format matches transcode_slice in the reference transcoder.
+//
+// Build: g++ -O2 -shared -fPIC (driven by basis_universal_tpu/native.py).
+
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+constexpr uint32_t ENDPOINT_PRED_TOTAL_SYMBOLS = 4 * 4 * 4 * 4 + 1;
+constexpr uint32_t ENDPOINT_PRED_REPEAT_LAST_SYMBOL = ENDPOINT_PRED_TOTAL_SYMBOLS - 1;
+constexpr uint32_t ENDPOINT_PRED_MIN_REPEAT_COUNT = 3;
+constexpr uint32_t ENDPOINT_PRED_COUNT_VLC_BITS = 4;
+constexpr uint32_t MAX_SELECTOR_HISTORY_BUF_SIZE = 64;
+constexpr uint32_t SELECTOR_HISTORY_BUF_RLE_COUNT_THRESH = 3;
+constexpr uint32_t SELECTOR_HISTORY_BUF_RLE_COUNT_BITS = 6;
+constexpr uint32_t SELECTOR_HISTORY_BUF_RLE_COUNT_TOTAL = 1u << SELECTOR_HISTORY_BUF_RLE_COUNT_BITS;
+
+// op kinds shared with the Python layer
+enum OpKind : int32_t {
+  kPred = 0,
+  kDelta = 1,
+  kSel = 2,
+  kSelRle = 3,
+  kPredRleVlc = 4,
+  kSelRleVlc = 5,
+};
+
+struct Mtf {
+  int32_t values[MAX_SELECTOR_HISTORY_BUF_SIZE];
+  uint32_t rover;
+  Mtf() {
+    memset(values, 0, sizeof(values));
+    rover = MAX_SELECTOR_HISTORY_BUF_SIZE / 2;
+  }
+  int find(int32_t v) const {
+    for (uint32_t i = 0; i < MAX_SELECTOR_HISTORY_BUF_SIZE; i++)
+      if (values[i] == v) return (int)i;
+    return -1;
+  }
+  void add(int32_t v) {
+    values[rover++] = v;
+    if (rover == MAX_SELECTOR_HISTORY_BUF_SIZE)
+      rover = MAX_SELECTOR_HISTORY_BUF_SIZE / 2;
+  }
+  void use(uint32_t index) {
+    if (index) {
+      uint32_t half = index / 2;
+      int32_t t = values[half];
+      values[half] = values[index];
+      values[index] = t;
+    }
+  }
+};
+
+struct BitWriter {
+  std::vector<uint8_t>* buf;
+  uint64_t acc = 0;
+  uint32_t nbits = 0;
+  void put(uint32_t v, uint32_t n) {
+    acc |= (uint64_t)v << nbits;
+    nbits += n;
+    while (nbits >= 8) {
+      buf->push_back((uint8_t)acc);
+      acc >>= 8;
+      nbits -= 8;
+    }
+  }
+  void put_vlc(uint32_t v, uint32_t chunk_bits) {
+    uint32_t mask = (1u << chunk_bits) - 1;
+    for (;;) {
+      uint32_t c = v & mask;
+      v >>= chunk_bits;
+      if (v)
+        put(c | (1u << chunk_bits), chunk_bits + 1);
+      else {
+        put(c, chunk_bits + 1);
+        break;
+      }
+    }
+  }
+  void flush() {
+    if (nbits) {
+      buf->push_back((uint8_t)acc);
+      acc = 0;
+      nbits = 0;
+    }
+  }
+};
+
+struct BitReader {
+  const uint8_t* p;
+  size_t size;
+  size_t bitpos = 0;
+  uint32_t get(uint32_t n) {
+    uint64_t w = 0;
+    size_t byte0 = bitpos >> 3;
+    for (int i = 0; i < 8 && byte0 + i < size; i++)
+      w |= (uint64_t)p[byte0 + i] << (8 * i);
+    uint32_t v = (uint32_t)((w >> (bitpos & 7)) & ((1ull << n) - 1));
+    bitpos += n;
+    return v;
+  }
+  uint32_t decode_vlc(uint32_t chunk_bits) {
+    uint32_t mask = (1u << chunk_bits) - 1, v = 0, ofs = 0;
+    for (;;) {
+      uint32_t s = get(chunk_bits + 1);
+      v |= (s & mask) << ofs;
+      ofs += chunk_bits;
+      if (!(s & (1u << chunk_bits))) break;
+      if (ofs >= 32) break;
+    }
+    return v;
+  }
+};
+
+// flat-table huffman decode: table of (sym, len) for every max_len-bit peek
+struct HuffTable {
+  const int32_t* sym;
+  const uint8_t* len;
+  uint32_t max_len;
+  int decode(BitReader& r) const {
+    uint64_t w = 0;
+    size_t byte0 = r.bitpos >> 3;
+    for (int i = 0; i < 8 && byte0 + i < r.size; i++)
+      w |= (uint64_t)r.p[byte0 + i] << (8 * i);
+    uint32_t peek = (uint32_t)((w >> (r.bitpos & 7)) & ((1ull << max_len) - 1));
+    int s = sym[peek];
+    r.bitpos += len[peek];
+    return s;
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+// Pass 1: symbol collection for one slice.
+// Outputs op arrays (kind, value) in decoder read order plus freq tables.
+// Returns number of ops. Buffers must be sized >= 4 * by * bx + 16.
+int64_t etc1s_collect_slice_symbols(
+    const int32_t* e_idx, const int32_t* s_idx, int32_t by, int32_t bx,
+    int32_t num_endpoints, int32_t num_selectors,
+    int32_t* op_kind, int32_t* op_val,
+    int64_t* pred_freq,   // ENDPOINT_PRED_TOTAL_SYMBOLS
+    int64_t* delta_freq,  // num_endpoints
+    int64_t* sel_freq,    // num_selectors + 64 + 1
+    int64_t* rle_freq) {  // 64
+  const int32_t SEL_RLE_SYM = num_selectors + MAX_SELECTOR_HISTORY_BUF_SIZE;
+  const int gx = (bx + 1) / 2, gy = (by + 1) / 2;
+
+  // group pred symbols
+  std::vector<uint8_t> pred(by * bx);
+  std::vector<int32_t> delta(by * bx);
+  {
+    int32_t prev = 0;
+    for (int y = 0; y < by; y++) {
+      for (int x = 0; x < bx; x++) {
+        int32_t e = e_idx[y * bx + x];
+        uint8_t pr = 3;
+        if (x > 0 && y > 0 && e == e_idx[(y - 1) * bx + (x - 1)]) pr = 2;
+        if (y > 0 && e == e_idx[(y - 1) * bx + x]) pr = 1;
+        if (x > 0 && e == e_idx[y * bx + (x - 1)]) pr = 0;
+        pred[y * bx + x] = pr;
+        int32_t d = e - prev;
+        if (d < 0) d += num_endpoints;
+        delta[y * bx + x] = d;
+        prev = e;
+      }
+    }
+  }
+  std::vector<int32_t> groups(gy * gx);
+  for (int g_y = 0; g_y < gy; g_y++) {
+    for (int g_x = 0; g_x < gx; g_x++) {
+      auto pr = [&](int yy, int xx) -> int32_t {
+        if (yy >= by || xx >= bx) return 0;
+        return pred[yy * bx + xx];
+      };
+      int y0 = g_y * 2, x0 = g_x * 2;
+      groups[g_y * gx + g_x] = pr(y0, x0) | (pr(y0, x0 + 1) << 2) |
+                               (pr(y0 + 1, x0) << 4) | (pr(y0 + 1, x0 + 1) << 6);
+    }
+  }
+  std::vector<int32_t> run_end(gy * gx);
+  run_end[gy * gx - 1] = 1;
+  for (int k = gy * gx - 2; k >= 0; k--)
+    run_end[k] = (groups[k] == groups[k + 1]) ? run_end[k + 1] + 1 : 1;
+
+  // per-block op lists are emulated by remembering, per block, an insertion
+  // slot: we buffer ops in a flat array but a selector run's symbols must be
+  // attached to the run's first block. Achieve this with a deferred-ops
+  // scheme: ops for block i are appended when block i is *closed* — a block
+  // closes when we know whether its selector starts/continues a run.
+  struct Op { int32_t kind, val; };
+  std::vector<std::vector<Op>> block_ops(by * bx);
+
+  Mtf hist;
+  int32_t prev_group_sym = -1;
+  int32_t group_repeat_left = 0;
+  int64_t pending_sel_run = 0;
+  int64_t run_start_block = 0;
+
+  auto flush_sel_run = [&]() {
+    int64_t n = pending_sel_run;
+    pending_sel_run = 0;
+    if (!n) return;
+    if (n < (int64_t)SELECTOR_HISTORY_BUF_RLE_COUNT_THRESH) {
+      for (int64_t k = 0; k < n; k++) {
+        block_ops[run_start_block + k].push_back({kSel, num_selectors});
+        sel_freq[num_selectors]++;
+      }
+    } else {
+      auto& tgt = block_ops[run_start_block];
+      tgt.push_back({kSel, SEL_RLE_SYM});
+      sel_freq[SEL_RLE_SYM]++;
+      if (n >= (int64_t)(SELECTOR_HISTORY_BUF_RLE_COUNT_TOTAL - 1 +
+                         SELECTOR_HISTORY_BUF_RLE_COUNT_THRESH)) {
+        int32_t run_sym = SELECTOR_HISTORY_BUF_RLE_COUNT_TOTAL - 1;
+        tgt.push_back({kSelRle, run_sym});
+        rle_freq[run_sym]++;
+        tgt.push_back({kSelRleVlc,
+                       (int32_t)(n - SELECTOR_HISTORY_BUF_RLE_COUNT_THRESH)});
+      } else {
+        int32_t run_sym = (int32_t)(n - SELECTOR_HISTORY_BUF_RLE_COUNT_THRESH);
+        tgt.push_back({kSelRle, run_sym});
+        rle_freq[run_sym]++;
+      }
+    }
+  };
+
+  for (int y = 0; y < by; y++) {
+    for (int x = 0; x < bx; x++) {
+      int64_t bi = (int64_t)y * bx + x;
+      auto& ops = block_ops[bi];
+      if (!(x & 1) && !(y & 1)) {
+        int gi = (y >> 1) * gx + (x >> 1);
+        if (group_repeat_left) {
+          group_repeat_left--;
+        } else {
+          int32_t sym = groups[gi];
+          int32_t run = run_end[gi];
+          if (sym == prev_group_sym &&
+              run >= (int32_t)ENDPOINT_PRED_MIN_REPEAT_COUNT) {
+            ops.push_back({kPred, (int32_t)ENDPOINT_PRED_REPEAT_LAST_SYMBOL});
+            pred_freq[ENDPOINT_PRED_REPEAT_LAST_SYMBOL]++;
+            ops.push_back({kPredRleVlc,
+                           run - (int32_t)ENDPOINT_PRED_MIN_REPEAT_COUNT});
+            group_repeat_left = run - 1;
+          } else {
+            ops.push_back({kPred, sym});
+            pred_freq[sym]++;
+            prev_group_sym = sym;
+          }
+        }
+      }
+      if (pred[bi] == 3) {
+        ops.push_back({kDelta, delta[bi]});
+        delta_freq[delta[bi]]++;
+      }
+      int32_t s = s_idx[bi];
+      int hidx = hist.find(s);
+      if (hidx == 0) {
+        if (!pending_sel_run) run_start_block = bi;
+        pending_sel_run++;
+        continue;
+      }
+      flush_sel_run();
+      if (hidx > 0) {
+        ops.push_back({kSel, num_selectors + hidx});
+        sel_freq[num_selectors + hidx]++;
+        hist.use(hidx);
+      } else {
+        ops.push_back({kSel, s});
+        sel_freq[s]++;
+        hist.add(s);
+      }
+    }
+  }
+  flush_sel_run();
+
+  int64_t n = 0;
+  for (auto& ops : block_ops)
+    for (auto& op : ops) {
+      op_kind[n] = op.kind;
+      op_val[n] = op.val;
+      n++;
+    }
+  return n;
+}
+
+// Pass 2: emit bits for the collected ops given 4 canonical-code tables.
+// codes/lens arrays indexed by symbol per model. Returns byte count written
+// into out (caller allocates generously: 4*nops + 16 bytes is safe).
+int64_t etc1s_emit_slice_bits(
+    const int32_t* op_kind, const int32_t* op_val, int64_t nops,
+    const uint32_t* pred_codes, const uint8_t* pred_lens,
+    const uint32_t* delta_codes, const uint8_t* delta_lens,
+    const uint32_t* sel_codes, const uint8_t* sel_lens,
+    const uint32_t* rle_codes, const uint8_t* rle_lens,
+    uint8_t* out, int64_t out_capacity) {
+  std::vector<uint8_t> buf;
+  buf.reserve((size_t)(nops * 2 + 16));
+  BitWriter w;
+  w.buf = &buf;
+  for (int64_t i = 0; i < nops; i++) {
+    int32_t k = op_kind[i], v = op_val[i];
+    switch (k) {
+      case kPred: w.put(pred_codes[v], pred_lens[v]); break;
+      case kDelta: w.put(delta_codes[v], delta_lens[v]); break;
+      case kSel: w.put(sel_codes[v], sel_lens[v]); break;
+      case kSelRle: w.put(rle_codes[v], rle_lens[v]); break;
+      case kPredRleVlc: w.put_vlc(v, ENDPOINT_PRED_COUNT_VLC_BITS); break;
+      case kSelRleVlc: w.put_vlc(v, 7); break;
+    }
+  }
+  w.flush();
+  if ((int64_t)buf.size() > out_capacity) return -1;
+  memcpy(out, buf.data(), buf.size());
+  return (int64_t)buf.size();
+}
+
+// Decode one slice's symbol stream into index grids.
+// Huffman tables are flat (sym, len) lookup arrays of size 1<<max_len.
+// Returns 0 on success, negative error code otherwise.
+int32_t etc1s_decode_slice(
+    const uint8_t* data, int64_t data_size, int32_t bx, int32_t by,
+    int32_t num_endpoints, int32_t num_selectors,
+    int32_t hist_size,
+    const int32_t* pred_sym, const uint8_t* pred_len, int32_t pred_maxlen,
+    const int32_t* delta_sym, const uint8_t* delta_len, int32_t delta_maxlen,
+    const int32_t* sel_sym, const uint8_t* sel_len, int32_t sel_maxlen,
+    const int32_t* rle_sym, const uint8_t* rle_len, int32_t rle_maxlen,
+    int32_t is_video, const int32_t* prev_e, const int32_t* prev_s,
+    int32_t* out_e, int32_t* out_s) {
+  BitReader r{data, (size_t)data_size};
+  HuffTable pred_t{pred_sym, pred_len, (uint32_t)pred_maxlen};
+  HuffTable delta_t{delta_sym, delta_len, (uint32_t)delta_maxlen};
+  HuffTable sel_t{sel_sym, sel_len, (uint32_t)sel_maxlen};
+  HuffTable rle_t{rle_sym, rle_len, (uint32_t)rle_maxlen};
+
+  std::vector<int32_t> hist_buf(hist_size, 0);
+  uint32_t rover = hist_size / 2;
+  auto hist_add = [&](int32_t v) {
+    hist_buf[rover++] = v;
+    if (rover == (uint32_t)hist_size) rover = hist_size / 2;
+  };
+  auto hist_use = [&](uint32_t idx) {
+    if (idx) {
+      uint32_t half = idx / 2;
+      int32_t t = hist_buf[half];
+      hist_buf[half] = hist_buf[idx];
+      hist_buf[idx] = t;
+    }
+  };
+
+  const int64_t total_blocks = (int64_t)bx * by;
+  const int32_t SEL_HIST_FIRST = num_selectors;
+  const int32_t SEL_RLE_SYM = hist_size + SEL_HIST_FIRST;
+
+  std::vector<int32_t> pred_bits_row(bx, 0);
+  std::vector<int32_t> up_e(2 * bx, 0);
+
+  int64_t cur_selector_rle_count = 0;
+  uint32_t cur_pred_bits = 0;
+  int32_t prev_endpoint_pred_sym = 0;
+  int64_t endpoint_pred_repeat_count = 0;
+  int32_t prev_endpoint_index = 0;
+
+  for (int yy = 0; yy < by; yy++) {
+    int cur_row = yy & 1;
+    for (int xx = 0; xx < bx; xx++) {
+      if (!(xx & 1)) {
+        if (!(yy & 1)) {
+          if (endpoint_pred_repeat_count) {
+            endpoint_pred_repeat_count--;
+            cur_pred_bits = prev_endpoint_pred_sym;
+          } else {
+            int sym = pred_t.decode(r);
+            if (sym < 0) return -1;
+            if (sym == (int)ENDPOINT_PRED_REPEAT_LAST_SYMBOL) {
+              endpoint_pred_repeat_count =
+                  (int64_t)r.decode_vlc(ENDPOINT_PRED_COUNT_VLC_BITS) +
+                  ENDPOINT_PRED_MIN_REPEAT_COUNT - 1;
+              cur_pred_bits = prev_endpoint_pred_sym;
+            } else {
+              cur_pred_bits = sym;
+              prev_endpoint_pred_sym = sym;
+            }
+          }
+          pred_bits_row[xx] = cur_pred_bits >> 4;
+        } else {
+          cur_pred_bits = pred_bits_row[xx];
+        }
+      }
+      uint32_t pr = cur_pred_bits & 3;
+      cur_pred_bits >>= 2;
+
+      int32_t e, s = 0;
+      bool sel_from_cr = false;
+      if (pr == 0) {
+        if (!xx) return -2;
+        e = prev_endpoint_index;
+      } else if (pr == 1) {
+        if (!yy) return -3;
+        e = up_e[(cur_row ^ 1) * bx + xx];
+      } else if (pr == 2) {
+        if (is_video) {
+          e = prev_e[(int64_t)yy * bx + xx];
+          s = prev_s[(int64_t)yy * bx + xx];
+          sel_from_cr = true;
+        } else {
+          if (!xx || !yy) return -4;
+          e = up_e[(cur_row ^ 1) * bx + xx - 1];
+        }
+      } else {
+        int d = delta_t.decode(r);
+        if (d < 0) return -5;
+        e = d + prev_endpoint_index;
+        if (e >= num_endpoints) e -= num_endpoints;
+      }
+      up_e[cur_row * bx + xx] = e;
+      prev_endpoint_index = e;
+
+      if (!sel_from_cr) {
+        int sel_sym_v;
+        if (cur_selector_rle_count > 0) {
+          cur_selector_rle_count--;
+          sel_sym_v = num_selectors;
+        } else {
+          sel_sym_v = sel_t.decode(r);
+          if (sel_sym_v < 0) return -6;
+          if (sel_sym_v == SEL_RLE_SYM) {
+            int run_sym = rle_t.decode(r);
+            if (run_sym < 0) return -7;
+            if (run_sym == (int)(SELECTOR_HISTORY_BUF_RLE_COUNT_TOTAL - 1))
+              cur_selector_rle_count =
+                  (int64_t)r.decode_vlc(7) + SELECTOR_HISTORY_BUF_RLE_COUNT_THRESH;
+            else
+              cur_selector_rle_count = run_sym + SELECTOR_HISTORY_BUF_RLE_COUNT_THRESH;
+            if (cur_selector_rle_count > total_blocks) return -8;
+            sel_sym_v = num_selectors;
+            cur_selector_rle_count--;
+          }
+        }
+        if (sel_sym_v >= num_selectors) {
+          int hidx = sel_sym_v - num_selectors;
+          if (hidx >= hist_size) return -9;
+          s = hist_buf[hidx];
+          if (hidx) hist_use(hidx);
+        } else {
+          s = sel_sym_v;
+          hist_add(s);
+        }
+      }
+      if (e >= num_endpoints || s >= num_selectors) return -10;
+      out_e[(int64_t)yy * bx + xx] = e;
+      out_s[(int64_t)yy * bx + xx] = s;
+    }
+  }
+  return 0;
+}
+
+}  // extern "C"
