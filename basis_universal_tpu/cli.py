@@ -31,6 +31,8 @@ def cmd_compress(args):
     for src in args.inputs:
         img = _load_image(src)
         params = compressor.CompressorParams(
+            tex_format=(BasisTexFormat.UASTC_LDR_4x4 if args.uastc
+                        else BasisTexFormat.ETC1S),
             quality_level=args.q,
             effort=args.effort,
             mip_gen=args.mipmap,
@@ -94,6 +96,7 @@ def main(argv=None):
     ap.add_argument("-unpack", action="store_true")
     ap.add_argument("-compare", action="store_true")
     ap.add_argument("-basis", action="store_true", help="write .basis instead of .ktx2")
+    ap.add_argument("-uastc", action="store_true", help="UASTC LDR 4x4 mode")
     ap.add_argument("-q", type=int, default=128, help="ETC1S quality 1-255")
     ap.add_argument("-effort", "-comp_level", type=int, default=1, dest="effort")
     ap.add_argument("-mipmap", action="store_true")

@@ -141,10 +141,13 @@ def _frontend_params(params: CompressorParams, total_blocks: int):
 
 
 def compress(images, params: CompressorParams = CompressorParams()) -> CompressorOutput:
-    """Encode RGB(A) uint8 image(s) to a .basis file (ETC1S path)."""
+    """Encode RGB(A) uint8 image(s) to .basis/.KTX2 (ETC1S or UASTC LDR 4x4)."""
     if isinstance(images, np.ndarray):
         images = [images]
-    assert params.tex_format == BasisTexFormat.ETC1S, "only ETC1S implemented so far"
+    if params.tex_format == BasisTexFormat.UASTC_LDR_4x4:
+        return _compress_uastc(images, params)
+    assert params.tex_format == BasisTexFormat.ETC1S, \
+        f"{params.tex_format!r} encoding not implemented yet"
 
     slices = _prepare_slices(images, params)
     total_blocks = sum(s["blocks"].shape[0] for s in slices)
@@ -179,6 +182,76 @@ def compress_batch(images, params: CompressorParams = CompressorParams()):
                       etc1s_frontend.compress_batch_iter(batch, fp, seed=params.seed)):
         outs.append(_assemble(sl, fe, params))
     return outs
+
+
+def _compress_uastc(images, params: CompressorParams) -> CompressorOutput:
+    """UASTC LDR 4x4: per-slice raw UASTC blocks (8 bpp), optional RDO later.
+
+    Mirrors basis_compressor's UASTC path (encoder/basisu_comp.cpp:1065-1129):
+    slice data = raw blocks, slice CRC over the block bytes, KTX2 uses
+    Zstandard supercompression."""
+    from .codecs.uastc import encode as uastc_encode
+    from .ops.resample import generate_mipmaps
+
+    slices = []
+    any_alpha = False
+    for image_index, img in enumerate(images):
+        img = np.asarray(img)
+        if img.ndim == 2:
+            img = img[..., None].repeat(3, axis=-1)
+        if img.shape[-1] == 3:
+            img = np.concatenate(
+                [img, np.full(img.shape[:2] + (1,), 255, np.uint8)], axis=-1)
+        has_alpha = bool((img[..., 3] != 255).any())
+        any_alpha |= has_alpha
+        levels = [img]
+        if params.mip_gen:
+            levels += generate_mipmaps(img, params.mip_smallest_dimension)
+        for level_index, lvl in enumerate(levels):
+            h, w = lvl.shape[:2]
+            blocks = image_to_blocks(lvl).astype(np.float32)
+            by, bx = blocks.shape[:2]
+            ub = uastc_encode.encode_blocks(
+                blocks.reshape(by * bx, 16, 4), effort=params.effort,
+                has_alpha=has_alpha)
+            slices.append(dict(
+                image_index=image_index, level_index=level_index,
+                orig_width=w, orig_height=h, num_blocks_x=bx,
+                num_blocks_y=by, alpha=has_alpha, data=ub.tobytes()))
+
+    descs = []
+    for s in slices:
+        descs.append(basis_file.SliceDesc(
+            image_index=s["image_index"], level_index=s["level_index"],
+            flags=int(SliceDescFlags.HAS_ALPHA) if s["alpha"] else 0,
+            orig_width=s["orig_width"], orig_height=s["orig_height"],
+            num_blocks_x=s["num_blocks_x"], num_blocks_y=s["num_blocks_y"],
+            slice_data_crc16=crc16(s["data"]),
+        ))
+    flags = 0
+    if params.perceptual:
+        flags |= HeaderFlags.SRGB
+    if any_alpha:
+        flags |= HeaderFlags.HAS_ALPHA_SLICES
+    data = basis_file.write_basis_file(
+        BasisTexFormat.UASTC_LDR_4x4, descs, [s["data"] for s in slices],
+        tex_type=params.tex_type, flags=int(flags),
+        userdata0=params.userdata0, userdata1=params.userdata1)
+
+    base = slices[0]
+    ktx2_data = ktx2.write_ktx2_uastc(
+        base_width=base["orig_width"], base_height=base["orig_height"],
+        level_count=max(s["level_index"] for s in slices) + 1,
+        layer_count=max(s["image_index"] for s in slices) + 1,
+        face_count=1,
+        slice_blocks=[s["data"] for s in slices],
+        slice_info=[dict(level=s["level_index"], layer=s["image_index"], face=0)
+                    for s in slices],
+        srgb=params.perceptual, has_alpha=any_alpha)
+    return CompressorOutput(
+        basis_data=data, ktx2_data=ktx2_data,
+        num_endpoints=0, num_selectors=0,
+        slice_endpoints=[], slice_selectors=[])
 
 
 def _assemble(slices, fe, params: CompressorParams) -> CompressorOutput:

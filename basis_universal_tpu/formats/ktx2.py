@@ -96,6 +96,79 @@ def etc1s_dfd(srgb: bool, alpha: bool) -> bytes:
         alpha_plane_bytes=8 if alpha else 0, channels=channels)
 
 
+def uastc_ldr_4x4_dfd(srgb: bool, alpha: bool) -> bytes:
+    """Matches g_ktx2_uastc_ldr_4x4_{non,}alpha_dfd (44 bytes): one 128-bit
+    sample, channelType 4 (RGB) or 3 (RGBA) — basisu_comp.cpp:4505-4534."""
+    channels = [(0, 127, 0x03 if alpha else 0x04, 0, 0xFFFFFFFF)]
+    return make_dfd(
+        KDF_MODEL_UASTC_LDR_4X4, bytes_per_block=16, srgb=srgb, alpha=False,
+        channels=channels)
+
+
+def write_ktx2_uastc(
+    *, base_width: int, base_height: int, level_count: int,
+    layer_count: int, face_count: int,
+    slice_blocks: List[bytes],            # raw UASTC block bytes per slice
+    slice_info: List[dict],               # {level, layer, face}
+    srgb: bool = True, has_alpha: bool = False,
+    zstd_level: int = 6, supercompression: bool = True,
+    key_values: Optional[Dict[str, bytes]] = None,
+) -> bytes:
+    """Assemble a UASTC LDR 4x4 .KTX2 (optional Zstandard supercompression,
+    basisu_comp.cpp create_ktx2_file UASTC path)."""
+    total_levels = max(1, level_count)
+    total_layers = max(1, layer_count)
+    total_faces = max(1, face_count)
+    level_bytes = [bytearray() for _ in range(total_levels)]
+    for data, info in zip(slice_blocks, slice_info):
+        level_bytes[info["level"]] += data
+
+    scheme = KTX2_SS_NONE
+    comp_levels = [bytes(lb) for lb in level_bytes]
+    if supercompression:
+        try:
+            import zstandard
+
+            cctx = zstandard.ZstdCompressor(level=zstd_level)
+            comp_levels = [cctx.compress(bytes(lb)) for lb in level_bytes]
+            scheme = KTX2_SS_ZSTANDARD
+        except ImportError:
+            pass
+
+    dfd = uastc_ldr_4x4_dfd(srgb, has_alpha)
+    kvs = dict(key_values or {})
+    kvs.setdefault("KTXwriter", b"basis_universal_tpu 0.1.0\0")
+    kvd = pack_key_values(kvs)
+
+    out = bytearray()
+    out += KTX2_IDENTIFIER
+    hdr_ofs = len(out)
+    out += b"\0" * struct.calcsize(_HDR_FMT)
+    li_ofs = len(out)
+    out += b"\0" * (24 * total_levels)
+    dfd_ofs = len(out)
+    out += dfd
+    kvd_ofs = len(out)
+    out += kvd
+    if scheme == KTX2_SS_NONE:
+        _align(out, 16)
+
+    li = [None] * total_levels
+    for lvl in range(total_levels - 1, -1, -1):
+        bo = len(out)
+        out += comp_levels[lvl]
+        li[lvl] = (bo, len(comp_levels[lvl]),
+                   len(level_bytes[lvl]) if scheme else 0)
+    for i, (bo, bl, ul) in enumerate(li):
+        struct.pack_into("<3Q", out, li_ofs + 24 * i, bo, bl, ul)
+    struct.pack_into(
+        _HDR_FMT, out, hdr_ofs,
+        KTX2_VK_FORMAT_UNDEFINED, 1, base_width, base_height,
+        0, layer_count if layer_count > 1 else 0, total_faces, total_levels,
+        scheme, dfd_ofs, len(dfd), kvd_ofs, len(kvd), 0, 0)
+    return bytes(out)
+
+
 def _align(buf: bytearray, a: int):
     while len(buf) % a:
         buf.append(0)

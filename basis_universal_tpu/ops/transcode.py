@@ -290,6 +290,143 @@ def values_to_eac_a8(vals, chunk: int = 8192):
     return out
 
 
+# --- generic RGBA block re-encoders (real-time class, like the reference's
+# bc15 SPMD encoders, basisu_bc15_spmd.cpp) ----------------------------------
+
+def _line_fit_weights(v, levels):
+    """Fit a line to (N,16,C) values; return (lo, hi, per-texel level idx).
+    levels: (L,) interpolation factors 0..64."""
+    n = v.shape[0]
+    mean = v.mean(axis=1, keepdims=True)
+    c = v - mean
+    cov = np.einsum("bif,big->bfg", c, c)
+    d = np.ones((n, v.shape[2]), dtype=np.float64)
+    for _ in range(6):
+        d = np.einsum("bfg,bg->bf", cov, d)
+        d /= (np.linalg.norm(d, axis=-1, keepdims=True) + 1e-9)
+    proj = np.einsum("bif,bf->bi", c, d)
+    lo = mean[:, 0] + d * proj.min(1, keepdims=True)
+    hi = mean[:, 0] + d * proj.max(1, keepdims=True)
+    # two LS refinement rounds
+    for _ in range(2):
+        rec = (lo[:, None, :] * (64.0 - levels)[None, :, None]
+               + hi[:, None, :] * levels[None, :, None]) / 64.0   # (N,L,C)
+        e = np.sum((v[:, :, None, :] - rec[:, None, :, :]) ** 2, -1)
+        k = np.argmin(e, axis=-1)                                  # (N,16)
+        a_k = (64.0 - levels[k]) / 64.0
+        b_k = levels[k] / 64.0
+        A = np.sum(a_k * a_k, 1); Bm = np.sum(a_k * b_k, 1); C = np.sum(b_k * b_k, 1)
+        P = np.einsum("bi,bic->bc", a_k, v)
+        Q = np.einsum("bi,bic->bc", b_k, v)
+        det = A * C - Bm * Bm
+        ok = np.abs(det) > 1e-9
+        lo = np.where(ok[:, None], (C[:, None] * P - Bm[:, None] * Q) / np.where(ok, det, 1)[:, None], lo)
+        hi = np.where(ok[:, None], (A[:, None] * Q - Bm[:, None] * P) / np.where(ok, det, 1)[:, None], hi)
+        lo = np.clip(lo, 0, 255)
+        hi = np.clip(hi, 0, 255)
+    rec = (lo[:, None, :] * (64.0 - levels)[None, :, None]
+           + hi[:, None, :] * levels[None, :, None]) / 64.0
+    e = np.sum((v[:, :, None, :] - rec[:, None, :, :]) ** 2, -1)
+    k = np.argmin(e, axis=-1)
+    return lo, hi, k
+
+
+_BC1_LEVELS = np.array([0, 64 / 3, 128 / 3, 64.0])   # c0, c2, c3, c1 order on line
+
+
+def rgba_blocks_to_bc1(pixels):
+    """(N,16,4) float/int RGBA → BC1 blocks (N,8). Real-time line-fit encode."""
+    v = np.asarray(pixels, dtype=np.float64)[..., :3]
+    lo, hi, k = _line_fit_weights(v, _BC1_LEVELS)
+    n = v.shape[0]
+    c0 = _pack_565(hi)   # hi at t=1 → but BC1 line param below maps explicitly
+    c1 = _pack_565(lo)
+    # k: 0→lo,1→1/3,2→2/3,3→hi along lo→hi; BC1 idx with c0=hi,c1=lo:
+    # hi=c0(idx0), lo=c1(idx1), 2/3 point (closer to hi)=c2(idx2), 1/3=c3(idx3)
+    k_to_idx = np.array([1, 3, 2, 0], dtype=np.uint32)
+    idx = k_to_idx[k]
+    swapped = c0 < c1
+    c0s = np.where(swapped, c1, c0)
+    c1s = np.where(swapped, c0, c1)
+    flipm = np.array([1, 0, 3, 2], dtype=np.uint32)
+    idx = np.where(swapped[:, None], flipm[idx], idx)
+    eq = c0s == c1s
+    can_dec = (c1s & 31) > 0
+    c1s = np.where(eq & can_dec, c1s - 1, c1s)
+    c0s = np.where(eq & ~can_dec, c0s + 1, c0s)
+    bits = np.zeros(n, dtype=np.uint32)
+    for i in range(16):
+        bits |= idx[:, i].astype(np.uint32) << (2 * i)
+    out = np.empty((n, 8), dtype=np.uint8)
+    out[:, 0] = c0s & 0xFF
+    out[:, 1] = c0s >> 8
+    out[:, 2] = c1s & 0xFF
+    out[:, 3] = c1s >> 8
+    for b in range(4):
+        out[:, 4 + b] = (bits >> (8 * b)) & 0xFF
+    return out
+
+
+def rgba_blocks_to_bc7_m5(pixels):
+    """(N,16,4) RGBA → BC7 mode 5 blocks (N,16). Line-fit color + alpha."""
+    v = np.asarray(pixels, dtype=np.float64)
+    n = v.shape[0]
+    levels = _BC7_M5_WEIGHTS.astype(np.float64)
+    lo, hi, k = _line_fit_weights(v[..., :3], levels)
+    a = v[..., 3]
+    a_lo, a_hi = a.min(1), a.max(1)
+    denom = np.maximum(a_hi - a_lo, 1e-9)
+    ak = np.clip(np.round(3.0 * (a - a_lo[:, None]) / denom[:, None]), 0, 3).astype(np.int64)
+    # anchor constraints
+    flip_c = k[:, 0] >= 2
+    k = np.where(flip_c[:, None], 3 - k, k)
+    lo2 = np.where(flip_c[:, None], hi, lo)
+    hi2 = np.where(flip_c[:, None], lo, hi)
+    flip_a = ak[:, 0] >= 2
+    ak = np.where(flip_a[:, None], 3 - ak, ak)
+    al = np.where(flip_a, a_hi, a_lo)
+    ah = np.where(flip_a, a_lo, a_hi)
+
+    lo7 = np.clip(np.round(lo2 * 127.0 / 255.0), 0, 127).astype(np.int64)
+    hi7 = np.clip(np.round(hi2 * 127.0 / 255.0), 0, 127).astype(np.int64)
+    lo64 = np.zeros(n, dtype=np.uint64)
+    hi64 = np.zeros(n, dtype=np.uint64)
+
+    pos = [0]
+
+    def put(value, nbits):
+        p = pos[0]
+        val = value.astype(np.uint64) & np.uint64((1 << nbits) - 1)
+        nonlocal lo64, hi64
+        if p < 64:
+            lo64 = lo64 | (val << np.uint64(p))
+            if p + nbits > 64:
+                hi64 = hi64 | (val >> np.uint64(64 - p))
+        else:
+            hi64 = hi64 | (val << np.uint64(p - 64))
+        pos[0] = p + nbits
+
+    put(np.full(n, 0b100000, np.int64), 6)
+    put(np.zeros(n, np.int64), 2)
+    for ch in range(3):
+        put(lo7[:, ch], 7)
+        put(hi7[:, ch], 7)
+    put(np.round(al).astype(np.int64), 8)
+    put(np.round(ah).astype(np.int64), 8)
+    put(k[:, 0], 1)
+    for i in range(1, 16):
+        put(k[:, i], 2)
+    put(ak[:, 0], 1)
+    for i in range(1, 16):
+        put(ak[:, i], 2)
+    assert pos[0] == 128
+    out = np.empty((n, 16), dtype=np.uint8)
+    for b in range(8):
+        out[:, b] = ((lo64 >> np.uint64(8 * b)) & np.uint64(0xFF)).astype(np.uint8)
+        out[:, 8 + b] = ((hi64 >> np.uint64(8 * b)) & np.uint64(0xFF)).astype(np.uint8)
+    return out
+
+
 # --- uncompressed raster outputs -------------------------------------------
 
 def rgba_to_rgb565(img):

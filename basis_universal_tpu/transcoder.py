@@ -121,6 +121,67 @@ class Etc1sTranscodeEngine:
         raise NotImplementedError(f"transcode target {fmt!r} not implemented yet")
 
 
+class UastcTranscodeEngine:
+    """UASTC LDR 4x4 block decode + format conversion."""
+
+    def convert(self, fmt: TF, blocks: np.ndarray, nbx: int, nby: int,
+                orig_width: int, orig_height: int) -> np.ndarray:
+        from .codecs.uastc import decode as uastc_decode
+
+        rgba = uastc_decode.decode_rgba(blocks)              # (N,4,4,4)
+        grid = rgba.reshape(nby, nbx, 4, 4, 4)
+        if fmt == TF.RGBA32:
+            return etc1_ops.blocks_to_image(grid, orig_width, orig_height)
+        if fmt in (TF.RGB565, TF.BGR565, TF.RGBA4444):
+            img = etc1_ops.blocks_to_image(grid, orig_width, orig_height)
+            if fmt == TF.RGB565:
+                return tc_ops.rgba_to_rgb565(img)
+            if fmt == TF.BGR565:
+                return tc_ops.rgba_to_bgr565(img)
+            return tc_ops.rgba_to_rgba4444(img)
+        px = rgba.reshape(-1, 16, 4).astype(np.float64)
+        if fmt == TF.BC1_RGB:
+            return tc_ops.rgba_blocks_to_bc1(px).reshape(nby, nbx, 8)
+        if fmt in (TF.BC7_RGBA, TF.BC7_ALT):
+            return tc_ops.rgba_blocks_to_bc7_m5(px).reshape(nby, nbx, 16)
+        if fmt == TF.BC3_RGBA:
+            color = tc_ops.rgba_blocks_to_bc1(px).reshape(nby, nbx, 8)
+            a = tc_ops.values_to_bc4(px[..., 3].astype(np.int64)).reshape(nby, nbx, 8)
+            return np.concatenate([a, color], axis=-1)
+        if fmt == TF.BC4_R:
+            return tc_ops.values_to_bc4(px[..., 0].astype(np.int64)).reshape(nby, nbx, 8)
+        if fmt == TF.BC5_RG:
+            r = tc_ops.values_to_bc4(px[..., 0].astype(np.int64)).reshape(nby, nbx, 8)
+            g = tc_ops.values_to_bc4(px[..., 1].astype(np.int64)).reshape(nby, nbx, 8)
+            return np.concatenate([r, g], axis=-1)
+        if fmt == TF.ETC2_RGBA:
+            a = tc_ops.values_to_eac_a8(px[..., 3].astype(np.int64)).reshape(nby, nbx, 8)
+            color = self._reencode_etc1(px)
+            return np.concatenate([a, color.reshape(nby, nbx, 8)], axis=-1)
+        if fmt == TF.ETC1_RGB:
+            return self._reencode_etc1(px).reshape(nby, nbx, 8)
+        raise NotImplementedError(f"UASTC transcode target {fmt!r} not implemented yet")
+
+    @staticmethod
+    def _reencode_etc1(px):
+        """Real-time ETC1 re-encode of decoded RGBA (device kernel)."""
+        import jax.numpy as jnp
+
+        from .ops import etc1s_encode as eops
+
+        res = eops.encode_blocks(jnp.asarray(px[..., :3], jnp.float32), radius=1)
+        import jax
+
+        got = jax.device_get(res)
+        n = px.shape[0]
+        e_idx = np.arange(n).reshape(1, n)
+        s_idx = np.arange(n).reshape(1, n)
+        return etc1_ops.pack_etc1_blocks(
+            e_idx, s_idx, got["color5"].astype(np.uint8),
+            got["inten"].astype(np.uint8),
+            got["selectors"].astype(np.uint8)).reshape(n, 8)
+
+
 class BasisTranscoder:
     """.basis reader + transcoder (basisu_transcoder analog)."""
 
@@ -129,10 +190,12 @@ class BasisTranscoder:
         self._engine: Optional[Etc1sTranscodeEngine] = None
         # group slices by (image, level)
         self._slice_map: Dict[Tuple[int, int], Dict[str, int]] = {}
+        etc1s = self.file.tex_format == BasisTexFormat.ETC1S
         for i, sd in enumerate(self.file.slices):
             key = (sd.image_index, sd.level_index)
             entry = self._slice_map.setdefault(key, {})
-            entry["alpha" if sd.has_alpha else "rgb"] = i
+            # only ETC1S uses separate alpha slices; UASTC alpha is in-block
+            entry["alpha" if (sd.has_alpha and etc1s) else "rgb"] = i
         self._decoded: Dict[int, _Etc1sDecodedSlice] = {}
 
     def validate_header(self) -> bool:
@@ -161,12 +224,16 @@ class BasisTranscoder:
     def start_transcoding(self):
         if self._engine is None:
             h = self.file.header
-            if self.tex_format != BasisTexFormat.ETC1S:
-                raise NotImplementedError("only ETC1S .basis decode so far")
-            self._engine = Etc1sTranscodeEngine(
-                h.total_endpoints, self.file.endpoint_cb_data,
-                h.total_selectors, self.file.selector_cb_data,
-                self.file.tables_data)
+            if self.tex_format == BasisTexFormat.ETC1S:
+                self._engine = Etc1sTranscodeEngine(
+                    h.total_endpoints, self.file.endpoint_cb_data,
+                    h.total_selectors, self.file.selector_cb_data,
+                    self.file.tables_data)
+            elif self.tex_format == BasisTexFormat.UASTC_LDR_4x4:
+                self._engine = UastcTranscodeEngine()
+            else:
+                raise NotImplementedError(
+                    f"{self.tex_format.name} .basis decode not implemented yet")
         return True
 
     def _get_decoded(self, slice_index: int) -> _Etc1sDecodedSlice:
@@ -182,6 +249,12 @@ class BasisTranscoder:
         self.start_transcoding()
         entry = self._slice_map[(image_index, level_index)]
         sd = self.file.slices[entry["rgb"]]
+        if isinstance(self._engine, UastcTranscodeEngine):
+            blocks = np.frombuffer(
+                self.file.slice_data(entry["rgb"]), dtype=np.uint8).reshape(-1, 16)
+            return self._engine.convert(fmt, blocks, sd.num_blocks_x,
+                                        sd.num_blocks_y, sd.orig_width,
+                                        sd.orig_height)
         rgb = self._get_decoded(entry["rgb"])
         alpha = self._get_decoded(entry["alpha"]) if "alpha" in entry else None
         return self._engine.convert(fmt, rgb, alpha, sd.orig_width, sd.orig_height)
@@ -226,11 +299,15 @@ class Ktx2Transcoder:
     def start_transcoding(self):
         if self._engine is None:
             fmt = self.file.basis_tex_format()
-            if fmt != BasisTexFormat.ETC1S:
-                raise NotImplementedError("only ETC1S KTX2 decode so far")
-            ne, ns, ep, sp, tb, descs = self.file.etc1s_global_data()
-            self._engine = Etc1sTranscodeEngine(ne, ep, ns, sp, tb)
-            self._descs = descs
+            if fmt == BasisTexFormat.ETC1S:
+                ne, ns, ep, sp, tb, descs = self.file.etc1s_global_data()
+                self._engine = Etc1sTranscodeEngine(ne, ep, ns, sp, tb)
+                self._descs = descs
+            elif fmt == BasisTexFormat.UASTC_LDR_4x4:
+                self._engine = UastcTranscodeEngine()
+            else:
+                raise NotImplementedError(
+                    f"KTX2 decode for {fmt!r} not implemented yet")
         return True
 
     def transcode_image_level(self, level: int, layer: int, face: int,
@@ -242,6 +319,13 @@ class Ktx2Transcoder:
         layers = self.get_layers()
         faces = self.get_faces()
         idx = level * (layers * faces) + layer * faces + face
+        if isinstance(self._engine, UastcTranscodeEngine):
+            lvl = self.file.level_data(level)
+            img_bytes = nbx * nby * 16
+            ofs = (layer * faces + face) * img_bytes
+            blocks = np.frombuffer(
+                lvl[ofs:ofs + img_bytes], dtype=np.uint8).reshape(-1, 16)
+            return self._engine.convert(fmt, blocks, nbx, nby, w, h)
         d = self._descs[idx]
         lvl = self.file.level_data(level)
         rgb_data = lvl[d.rgb_slice_byte_offset:

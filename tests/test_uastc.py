@@ -1,0 +1,144 @@
+"""UASTC LDR 4x4: decode conformance vs the oracle, encoder round trips,
+container wiring, and transcode targets."""
+
+import subprocess
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from basis_universal_tpu import compressor
+from basis_universal_tpu.codecs.uastc import decode as ud
+from basis_universal_tpu.codecs.uastc import encode as ue
+from basis_universal_tpu.codecs.uastc import tables as T
+from basis_universal_tpu.formats.basis_file import BasisFile
+from basis_universal_tpu.formats.constants import (
+    BasisTexFormat,
+    TranscoderTextureFormat as TF,
+)
+from basis_universal_tpu.ops.etc1 import blocks_to_image, image_to_blocks
+from basis_universal_tpu.transcoder import BasisTranscoder, Ktx2Transcoder
+
+
+def _psnr(a, b):
+    mse = np.mean((np.asarray(a, np.float64) - np.asarray(b, np.float64)) ** 2)
+    return 10 * np.log10(255.0 ** 2 / mse) if mse > 0 else 99.0
+
+
+@pytest.fixture(scope="module")
+def oracle_uastc(golden_dir, oracle, test_files):
+    """Reference-encoded UASTC .basis of a kodim23 crop + its RGBA unpack."""
+    src = golden_dir / "k23_crop.png"
+    if not src.exists():
+        img = np.asarray(Image.open(test_files / "kodim23.png").convert("RGB"))
+        Image.fromarray(img[:128, :160]).save(src)
+    out = golden_dir / "k23_crop_uastc.basis"
+    if not out.exists():
+        subprocess.run([str(oracle), "-uastc", str(src), "-basis",
+                        "-output_file", str(out)],
+                       cwd=golden_dir, check=True, capture_output=True)
+        subprocess.run([str(oracle), "-unpack", str(out)],
+                       cwd=golden_dir, check=True, capture_output=True)
+    unp = golden_dir / "k23_crop_uastc_unpacked_rgba_RGBA32_0_0000.png"
+    return out.read_bytes(), np.asarray(Image.open(unp).convert("RGBA"))
+
+
+def test_decode_oracle_exact(oracle_uastc):
+    data, ref_rgba = oracle_uastc
+    f = BasisFile(data)
+    assert f.tex_format == BasisTexFormat.UASTC_LDR_4x4
+    s = f.slices[0]
+    blocks = np.frombuffer(f.slice_data(0), dtype=np.uint8).reshape(-1, 16)
+    rgba = ud.decode_rgba(blocks)
+    img = blocks_to_image(rgba.reshape(s.num_blocks_y, s.num_blocks_x, 4, 4, 4),
+                          s.orig_width, s.orig_height)
+    np.testing.assert_array_equal(img, ref_rgba)
+
+
+def test_decode_oracle_exact_alpha(golden_dir, oracle, test_files):
+    src = test_files / "alpha0.png"
+    out = golden_dir / "alpha0_uastc.basis"
+    if not out.exists():
+        subprocess.run([str(oracle), "-uastc", str(src), "-basis",
+                        "-output_file", str(out)],
+                       cwd=golden_dir, check=True, capture_output=True)
+        subprocess.run([str(oracle), "-unpack", str(out)],
+                       cwd=golden_dir, check=True, capture_output=True)
+    unp = sorted(golden_dir.glob("alpha0_uastc_unpacked_rgba_RGBA32*.png"))[0]
+    ref = np.asarray(Image.open(unp).convert("RGBA"))
+    tr = BasisTranscoder(out.read_bytes())
+    ours = tr.transcode_image_level(0, 0, TF.RGBA32)
+    np.testing.assert_array_equal(ours, ref)
+
+
+def test_encode_roundtrip_quality(test_files):
+    img = np.asarray(Image.open(test_files / "kodim23.png").convert("RGBA"))[:128, :160]
+    px = image_to_blocks(img).astype(np.float32)
+    by, bx = px.shape[:2]
+    ub = ue.encode_blocks(px.reshape(-1, 16, 4), effort=2, has_alpha=False)
+    rgba = ud.decode_rgba(ub)
+    out = blocks_to_image(rgba.reshape(by, bx, 4, 4, 4), 160, 128)
+    assert _psnr(out[..., :3], img[..., :3]) > 38.0
+
+
+def test_encode_alpha_quality(test_files):
+    img = np.asarray(Image.open(test_files / "alpha0.png").convert("RGBA"))[:64, :64]
+    px = image_to_blocks(img).astype(np.float32)
+    by, bx = px.shape[:2]
+    ub = ue.encode_blocks(px.reshape(-1, 16, 4), effort=2, has_alpha=True)
+    rgba = ud.decode_rgba(ub)
+    out = blocks_to_image(rgba.reshape(by, bx, 4, 4, 4), 64, 64)
+    assert _psnr(out[..., 3], img[..., 3]) > 35.0
+
+
+def test_our_uastc_basis_accepted_by_oracle(test_files, oracle, tmp_path):
+    img = np.asarray(Image.open(test_files / "kodim23.png").convert("RGB"))[:64, :96]
+    params = compressor.CompressorParams(
+        tex_format=BasisTexFormat.UASTC_LDR_4x4, effort=2)
+    out = compressor.compress(img, params)
+    p = tmp_path / "ours_uastc.basis"
+    p.write_bytes(out.basis_data)
+    r = subprocess.run([str(oracle), "-unpack", str(p)],
+                       cwd=tmp_path, capture_output=True, text=True)
+    assert r.returncode == 0, r.stdout + r.stderr
+    unp = list(tmp_path.glob("*unpacked_rgba_RGBA32*.png"))
+    assert unp
+    ref = np.asarray(Image.open(unp[0]).convert("RGBA"))
+    tr = BasisTranscoder(out.basis_data)
+    ours = tr.transcode_image_level(0, 0, TF.RGBA32)
+    np.testing.assert_array_equal(ref, ours)
+
+
+def test_our_uastc_ktx2_roundtrip(test_files, oracle, tmp_path):
+    img = np.asarray(Image.open(test_files / "kodim23.png").convert("RGB"))[:64, :96]
+    params = compressor.CompressorParams(
+        tex_format=BasisTexFormat.UASTC_LDR_4x4, effort=1)
+    out = compressor.compress(img, params)
+    tr = Ktx2Transcoder(out.ktx2_data)
+    assert tr.get_basis_tex_format() == BasisTexFormat.UASTC_LDR_4x4
+    rgba = tr.transcode_image_level(0, 0, 0, TF.RGBA32)
+    assert _psnr(rgba[..., :3], img) > 38.0
+    # oracle accepts the zstd-supercompressed KTX2
+    p = tmp_path / "ours_uastc.ktx2"
+    p.write_bytes(out.ktx2_data)
+    r = subprocess.run([str(oracle), "-unpack", str(p)],
+                       cwd=tmp_path, capture_output=True, text=True)
+    assert r.returncode == 0, r.stdout + r.stderr
+
+
+def test_uastc_transcode_targets(oracle_uastc):
+    data, ref_rgba = oracle_uastc
+    tr = BasisTranscoder(data)
+    rgba = tr.transcode_image_level(0, 0, TF.RGBA32)
+    from basis_universal_tpu.ops import gpu_unpack
+
+    bc7 = tr.transcode_image_level(0, 0, TF.BC7_RGBA)
+    by, bx = bc7.shape[:2]
+    dec = gpu_unpack.unpack_bc7_mode5(bc7.reshape(-1, 16)).reshape(by, bx, 4, 4, 4)
+    img = blocks_to_image(dec, rgba.shape[1], rgba.shape[0])
+    assert _psnr(img[..., :3], rgba[..., :3]) > 33.0
+
+    bc1 = tr.transcode_image_level(0, 0, TF.BC1_RGB)
+    dec1 = gpu_unpack.unpack_bc1(bc1.reshape(-1, 8)).reshape(by, bx, 4, 4, 4)
+    img1 = blocks_to_image(dec1, rgba.shape[1], rgba.shape[0])
+    assert _psnr(img1[..., :3], rgba[..., :3]) > 28.0
