@@ -13,6 +13,23 @@ Architecture (TPU-first, not a port):
 
 __version__ = "0.1.0"
 
+# Persistent XLA compilation cache: device programs are keyed by shape, and
+# fresh processes would otherwise pay full (remote) compiles per program.
+import os as _os
+
+if _os.environ.get("BASISU_TPU_DISABLE_COMPILE_CACHE") != "1":
+    try:
+        import jax as _jax
+
+        _cache_dir = _os.environ.get(
+            "JAX_COMPILATION_CACHE_DIR",
+            _os.path.join(_os.path.expanduser("~"), ".cache", "basisu_tpu", "xla"))
+        _os.makedirs(_cache_dir, exist_ok=True)
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:  # pragma: no cover - cache is best-effort
+        pass
+
 from .formats.constants import (  # noqa: F401
     BasisTexFormat,
     BasisTextureType,

@@ -27,30 +27,142 @@ from .stream import (
 
 
 def sort_endpoint_palette(color5, inten5, block_endpoints):
-    """Order the endpoint palette for cheap delta coding; remap block indices.
+    """Order the endpoint palette by usage locality; remap block indices.
 
-    The reference uses a usage-locality reorderer (palette_index_reorderer,
-    basisu_backend.cpp:197); sorting by luma then components groups similar
-    endpoints so both the palette deltas and the per-block index deltas
-    stay small.
+    Greedy co-occurrence chaining (palette_index_reorderer analog,
+    basisu_backend.cpp:197): entries whose blocks neighbor each other in
+    raster order get adjacent palette indices, so the explicit
+    delta-endpoint symbols concentrate near zero.
     """
-    luma = (color5[:, 0].astype(np.int64) * 54 + color5[:, 1].astype(np.int64) * 183
-            + color5[:, 2].astype(np.int64) * 19)
-    order = np.lexsort((inten5, color5[:, 2], color5[:, 1], color5[:, 0], luma))
+    e = np.asarray(block_endpoints, dtype=np.int64).ravel()
+    num = color5.shape[0]
+    if num <= 2 or e.size < 2:
+        order = np.arange(num)
+    else:
+        # sparse co-occurrence counts of consecutive distinct indices
+        a, b = e[:-1], e[1:]
+        m = a != b
+        a, b = a[m], b[m]
+        lo = np.minimum(a, b)
+        hi = np.maximum(a, b)
+        key = lo * num + hi
+        uniq, cnt = np.unique(key, return_counts=True)
+        pairs = np.empty((uniq.size, 3), dtype=np.int64)
+        pairs[:, 0] = uniq // num
+        pairs[:, 1] = uniq % num
+        pairs[:, 2] = cnt
+        usage = np.bincount(e, minlength=num).astype(np.int64)
+        order = _cooccurrence_order(pairs, usage, num)
     inv = np.empty_like(order)
     inv[order] = np.arange(order.size)
-    return color5[order], inten5[order], inv[block_endpoints]
+    return color5[order], inten5[order], inv[np.asarray(block_endpoints)]
 
 
 def sort_selector_palette(selectors, block_selectors):
-    """Order selector patterns so adjacent entries differ in few bits
-    (helps the XOR-delta palette coding)."""
-    as_bytes = _selector_rows_to_bytes(selectors)             # (S,4)
-    key = (as_bytes.astype(np.int64) << np.array([24, 16, 8, 0])).sum(1)
-    order = np.argsort(key, kind="stable")
+    """Order selector patterns so adjacent entries differ in few BYTES
+    (the palette is XOR-delta coded per byte row): greedy nearest-neighbor
+    chain on byte-row hamming distance (optimize_selector_codebook analog)."""
+    as_bytes = _selector_rows_to_bytes(selectors)             # (S,4) uint8
+    s = as_bytes.shape[0]
+    if s <= 2:
+        order = np.arange(s)
+    else:
+        # distance = number of differing byte rows (drives XOR zero-runs)
+        a32 = as_bytes.astype(np.uint32) @ np.array(
+            [1, 1 << 8, 1 << 16, 1 << 24], dtype=np.uint32)
+        order = _selector_chain(np.ascontiguousarray(a32))
     inv = np.empty_like(order)
     inv[order] = np.arange(order.size)
-    return selectors[order], inv[block_selectors]
+    return selectors[order], inv[np.asarray(block_selectors)]
+
+
+def _selector_chain(a32: np.ndarray) -> np.ndarray:
+    """Greedy chain on packed selector byte keys; native when available."""
+    import ctypes
+
+    from ... import native
+
+    n = a32.shape[0]
+    lib = native.get_lib()
+    if lib is not None:
+        out = np.zeros(n, dtype=np.int32)
+        lib.selector_chain_order(
+            a32.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)), n,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+        return out.astype(np.int64)
+    x = a32[:, None] ^ a32[None, :]
+    d = (((x & np.uint32(0xFF)) != 0).astype(np.uint8)
+         + ((x & np.uint32(0xFF00)) != 0)
+         + ((x & np.uint32(0xFF0000)) != 0)
+         + ((x >> np.uint32(24)) != 0))
+    return _greedy_chain(np.ascontiguousarray(d, dtype=np.uint8))
+
+
+def _greedy_chain(d: np.ndarray) -> np.ndarray:
+    """Greedy nearest-neighbor chain; native when available."""
+    import ctypes
+
+    from ... import native
+
+    n = d.shape[0]
+    lib = native.get_lib()
+    if lib is not None:
+        out = np.zeros(n, dtype=np.int32)
+        lib.greedy_chain_order(
+            d.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), n,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+        return out.astype(np.int64)
+    placed = np.zeros(n, dtype=bool)
+    placed[0] = True
+    order = [0]
+    row = d[0].astype(np.int16)
+    for _ in range(n - 1):
+        row[placed] = 32767
+        nxt = int(np.argmin(row))
+        placed[nxt] = True
+        order.append(nxt)
+        row = d[nxt].astype(np.int16)
+    return np.asarray(order)
+
+
+def _cooccurrence_order(pairs: np.ndarray, usage: np.ndarray, n: int) -> np.ndarray:
+    """Usage-locality greedy order; native when available."""
+    import ctypes
+
+    from ... import native
+
+    lib = native.get_lib()
+    if lib is not None:
+        out = np.zeros(n, dtype=np.int32)
+        lib.cooccurrence_order(
+            np.ascontiguousarray(pairs).ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            pairs.shape[0],
+            np.ascontiguousarray(usage).ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            n, out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+        return out.astype(np.int64)
+    adj = [[] for _ in range(n)]
+    for i, j, c in pairs:
+        adj[int(i)].append((int(j), int(c)))
+        adj[int(j)].append((int(i), int(c)))
+    placed = np.zeros(n, dtype=bool)
+    cur = int(np.argmax(usage))
+    placed[cur] = True
+    order = [cur]
+    affinity = np.zeros(n, dtype=np.int64)
+    for _ in range(n - 1):
+        for j, c in adj[cur]:
+            if not placed[j]:
+                affinity[j] += c
+        affinity[placed] = -1
+        nxt = int(np.argmax(affinity))
+        if affinity[nxt] <= 0:
+            rem = np.flatnonzero(~placed)
+            nxt = int(rem[np.argmax(usage[rem])])
+        placed[nxt] = True
+        order.append(nxt)
+        affinity[nxt] = -1
+        cur = nxt
+    return np.asarray(order)
 
 
 def _selector_rows_to_bytes(selectors):

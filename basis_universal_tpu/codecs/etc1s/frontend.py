@@ -30,6 +30,9 @@ class FrontendParams:
     # (the reference's etc1s_compression_level 0-6 plays the same role)
     effort: int = 3
     perceptual: bool = True  # reserved; error metrics currently uniform RGB
+    # neighbor-copy RDO thresholds (1.0 disables)
+    endpoint_rdo_thresh: float = 1.0
+    selector_rdo_thresh: float = 1.0
 
 
 @dataclasses.dataclass
@@ -75,9 +78,10 @@ def _init_selector_patterns(opt_sel, num_s: int):
     return pats.astype(jnp.int32)
 
 
-def _frontend_impl(px, seed, *, num_e: int, num_s: int, radius: int,
+def _frontend_impl(px, seed, left_idx, up_idx, e_thresh, s_thresh, *,
+                   num_e: int, num_s: int, radius: int,
                    kmeans_iters: int, refine_iters: int, sel_iters: int,
-                   topk: int):
+                   topk: int, rdo: bool):
     """The full device pipeline: returns (assign, color5, inten, patterns,
     sel_assign) — everything the host needs for dedup + entropy coding."""
     nblocks = px.shape[0]
@@ -112,6 +116,11 @@ def _frontend_impl(px, seed, *, num_e: int, num_s: int, radius: int,
         sel_assign, _ = ops.find_best_selector_patterns(dists, patterns, num_s)
         patterns = ops.update_selector_patterns(dists, sel_assign, num_s)
     sel_assign, _ = ops.find_best_selector_patterns(dists, patterns, num_s)
+
+    if rdo:
+        assign, sel_assign = ops.rdo_neighbor_copy(
+            px, assign, sel_assign, cb_pal, patterns,
+            left_idx, up_idx, e_thresh, s_thresh)
     return assign, color5, inten, patterns, sel_assign
 
 
@@ -120,36 +129,42 @@ def _jitted_single(**knobs):
     return jax.jit(functools.partial(_frontend_impl, **knobs))
 
 
-@functools.lru_cache(maxsize=64)
-def _jitted_batch(**knobs):
-    return jax.jit(jax.vmap(functools.partial(_frontend_impl, **knobs)))
-
-
-def _frontend_device(px, seed, **knobs):
-    return _jitted_single(**knobs)(px, seed)
-
-
-def compress(pixels: np.ndarray, params: FrontendParams, seed: int = 0) -> FrontendOutput:
-    """pixels: (B, 16, 3) float32 RGB in [0,255] (one entry per 4x4 block)."""
-    assert pixels.ndim == 3 and pixels.shape[1:] == (16, 3)
-    nblocks = pixels.shape[0]
+def _knobs_and_neighbors(pixels_shape_b: int, params: FrontendParams,
+                         neighbors):
     radius, kmeans_iters, refine_iters, sel_iters, topk = _effort_knobs(params.effort)
-    num_e = int(min(params.max_endpoint_clusters, nblocks))
-    num_s = int(min(params.max_selector_clusters, nblocks))
+    num_e = int(min(params.max_endpoint_clusters, pixels_shape_b))
+    num_s = int(min(params.max_selector_clusters, pixels_shape_b))
     topk = min(topk, num_e)
+    rdo = (neighbors is not None
+           and (params.endpoint_rdo_thresh > 1.0
+                or params.selector_rdo_thresh > 1.0))
+    if neighbors is None:
+        left = np.full(pixels_shape_b, -1, dtype=np.int32)
+        up = left
+    else:
+        left, up = neighbors
+    knobs = dict(num_e=num_e, num_s=num_s, radius=radius,
+                 kmeans_iters=kmeans_iters, refine_iters=refine_iters,
+                 sel_iters=sel_iters, topk=topk, rdo=rdo)
+    return knobs, jnp.asarray(left), jnp.asarray(up)
 
-    out = _frontend_device(
-        jnp.asarray(pixels, dtype=jnp.float32), seed,
-        num_e=num_e, num_s=num_s, radius=radius, kmeans_iters=kmeans_iters,
-        refine_iters=refine_iters, sel_iters=sel_iters, topk=topk)
+
+def compress(pixels: np.ndarray, params: FrontendParams, seed: int = 0,
+             neighbors=None) -> FrontendOutput:
+    """pixels: (B, 16, 3) float32 RGB in [0,255] (one entry per 4x4 block).
+    neighbors: optional (left_idx, up_idx) flat int32 arrays for RDO."""
+    assert pixels.ndim == 3 and pixels.shape[1:] == (16, 3)
+    knobs, left, up = _knobs_and_neighbors(pixels.shape[0], params, neighbors)
+    out = _jitted_single(**knobs)(
+        jnp.asarray(pixels, dtype=jnp.float32), seed, left, up,
+        float(params.endpoint_rdo_thresh), float(params.selector_rdo_thresh))
     # single host sync for the whole pipeline
-    assign_np, color5_np, inten_np, pat_np, sel_np = jax.device_get(out)
-    return _host_finalize(assign_np, color5_np, inten_np, pat_np, sel_np,
-                          num_e, num_s)
+    got = jax.device_get(out)
+    return _host_finalize(*got, knobs["num_e"], knobs["num_s"])
 
 
 def compress_batch(pixels: np.ndarray, params: FrontendParams,
-                   seed: int = 0):
+                   seed: int = 0, neighbors=None):
     """Batched frontend over N same-shaped images: pixels (N, B, 16, 3).
 
     TPU analog of basis_parallel_compress (encoder/basisu_comp.cpp:5466):
@@ -161,31 +176,36 @@ def compress_batch(pixels: np.ndarray, params: FrontendParams,
     (A single vmapped megaprogram was measured slower: the (N,B,C) distance
     and top-k intermediates blow past VMEM and thrash HBM.)
     """
-    return list(compress_batch_iter(pixels, params, seed))
+    return list(compress_batch_iter(pixels, params, seed, neighbors))
 
 
 def compress_batch_iter(pixels: np.ndarray, params: FrontendParams,
-                        seed: int = 0):
+                        seed: int = 0, neighbors=None):
     """Generator form of compress_batch: yields FrontendOutput per image as
     each device program completes, so the caller's host-side entropy coding
-    overlaps with device compute of later images."""
+    overlaps with device compute of later images. neighbors: optional list
+    of per-image (left_idx, up_idx) arrays (or one shared pair)."""
     assert pixels.ndim == 4 and pixels.shape[2:] == (16, 3)
     n, nblocks = pixels.shape[:2]
-    radius, kmeans_iters, refine_iters, sel_iters, topk = _effort_knobs(params.effort)
-    num_e = int(min(params.max_endpoint_clusters, nblocks))
-    num_s = int(min(params.max_selector_clusters, nblocks))
-    topk = min(topk, num_e)
-    knobs = dict(num_e=num_e, num_s=num_s, radius=radius,
-                 kmeans_iters=kmeans_iters, refine_iters=refine_iters,
-                 sel_iters=sel_iters, topk=topk)
+    if neighbors is not None and isinstance(neighbors, tuple):
+        neighbors = [neighbors] * n
+    knobs, left0, up0 = _knobs_and_neighbors(
+        nblocks, params, neighbors[0] if neighbors else None)
     fn = _jitted_single(**knobs)
-    futures = [
-        fn(jnp.asarray(pixels[i], dtype=jnp.float32), seed + i)
-        for i in range(n)
-    ]
+    futures = []
+    for i in range(n):
+        if neighbors:
+            left = jnp.asarray(neighbors[i][0])
+            up = jnp.asarray(neighbors[i][1])
+        else:
+            left, up = left0, up0
+        futures.append(fn(
+            jnp.asarray(pixels[i], dtype=jnp.float32), seed + i, left, up,
+            float(params.endpoint_rdo_thresh),
+            float(params.selector_rdo_thresh)))
     for i in range(n):
         got = jax.device_get(futures[i])
-        yield _host_finalize(*got, num_e, num_s)
+        yield _host_finalize(*got, knobs["num_e"], knobs["num_s"])
 
 
 def _host_finalize(assign_np, color5_np, inten_np, pat_np, sel_np,

@@ -76,6 +76,9 @@ class CompressorParams:
     userdata1: int = 0
     max_endpoint_clusters: Optional[int] = None   # override quality mapping
     max_selector_clusters: Optional[int] = None
+    # ETC1S backend RDO (reference defaults, basisu_comp.h param defaults)
+    endpoint_rdo_thresh: float = 1.5
+    selector_rdo_thresh: float = 1.25
     seed: int = 0
 
 
@@ -132,12 +135,33 @@ def _frontend_params(params: CompressorParams, total_blocks: int):
         num_e, num_s = params.max_endpoint_clusters, params.max_selector_clusters
     else:
         num_e, num_s = etc1s_quality_to_clusters(params.quality_level, total_blocks)
+    e_t, s_t = _rdo_thresholds(params)
     return etc1s_frontend.FrontendParams(
         max_endpoint_clusters=num_e,
         max_selector_clusters=num_s,
         effort=params.effort,
         perceptual=params.perceptual,
+        endpoint_rdo_thresh=e_t if params.effort >= 1 else 1.0,
+        selector_rdo_thresh=s_t if params.effort >= 1 else 1.0,
     )
+
+
+def _slice_neighbors(slices):
+    """Flat left/up neighbor indices for concatenated per-slice grids."""
+    left = []
+    up = []
+    ofs = 0
+    for s in slices:
+        by, bx = s["num_blocks_y"], s["num_blocks_x"]
+        idx = np.arange(by * bx, dtype=np.int32).reshape(by, bx)
+        l = np.full((by, bx), -1, dtype=np.int32)
+        l[:, 1:] = idx[:, :-1] + ofs
+        u = np.full((by, bx), -1, dtype=np.int32)
+        u[1:, :] = idx[:-1, :] + ofs
+        left.append(l.ravel())
+        up.append(u.ravel())
+        ofs += by * bx
+    return np.concatenate(left), np.concatenate(up)
 
 
 def compress(images, params: CompressorParams = CompressorParams()) -> CompressorOutput:
@@ -153,7 +177,8 @@ def compress(images, params: CompressorParams = CompressorParams()) -> Compresso
     total_blocks = sum(s["blocks"].shape[0] for s in slices)
     all_blocks = np.concatenate([s["blocks"] for s in slices], axis=0)
     fp = _frontend_params(params, total_blocks)
-    fe = etc1s_frontend.compress(all_blocks, fp, seed=params.seed)
+    fe = etc1s_frontend.compress(all_blocks, fp, seed=params.seed,
+                                 neighbors=_slice_neighbors(slices))
     return _assemble(slices, fe, params)
 
 
@@ -177,9 +202,11 @@ def compress_batch(images, params: CompressorParams = CompressorParams()):
         np.concatenate([s["blocks"] for s in sl], axis=0) for sl in per_image])
     # stream: host entropy/assembly for image i overlaps device compute of
     # images i+1.. (device programs are all dispatched asynchronously)
+    nbrs = [_slice_neighbors(sl) for sl in per_image]
     outs = []
     for sl, fe in zip(per_image,
-                      etc1s_frontend.compress_batch_iter(batch, fp, seed=params.seed)):
+                      etc1s_frontend.compress_batch_iter(
+                          batch, fp, seed=params.seed, neighbors=nbrs)):
         outs.append(_assemble(sl, fe, params))
     return outs
 
@@ -254,6 +281,24 @@ def _compress_uastc(images, params: CompressorParams) -> CompressorOutput:
         slice_endpoints=[], slice_selectors=[])
 
 
+def _rdo_thresholds(params: CompressorParams):
+    """Quality-scaled RDO thresholds (basisu_comp.cpp:3383-3422)."""
+    e_t, s_t = params.endpoint_rdo_thresh, params.selector_rdo_thresh
+    q = params.quality_level
+    if q >= 223:
+        scale = 0.25
+    elif q >= 192:
+        scale = 0.5
+    elif q >= 160:
+        scale = 0.75
+    elif q >= 129:
+        l = (q / 255.0 - 129 / 255.0) / ((160 - 129) / 255.0)
+        scale = 1.0 + (0.75 - 1.0) * l
+    else:
+        scale = 1.0
+    return max(1.0, 1.0 + (e_t - 1.0) * scale), max(1.0, 1.0 + (s_t - 1.0) * scale)
+
+
 def _assemble(slices, fe, params: CompressorParams) -> CompressorOutput:
     # sort palettes for cheap delta coding; remap indices
     e_color5, e_inten, block_e = etc1s_backend.sort_endpoint_palette(
@@ -261,7 +306,6 @@ def _assemble(slices, fe, params: CompressorParams) -> CompressorOutput:
     sel_cb, block_s = etc1s_backend.sort_selector_palette(
         fe.selectors, fe.block_selectors)
 
-    # split back into per-slice index grids
     e_grids, s_grids = [], []
     ofs = 0
     for s in slices:

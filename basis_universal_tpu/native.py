@@ -72,6 +72,16 @@ def get_lib():
             u32p, u8p, u32p, u8p, u32p, u8p, u32p, u8p,
             u8p, ctypes.c_int64]
 
+        lib.greedy_chain_order.restype = None
+        lib.greedy_chain_order.argtypes = [u8p, ctypes.c_int32, i32p]
+
+        lib.selector_chain_order.restype = None
+        lib.selector_chain_order.argtypes = [u32p, ctypes.c_int32, i32p]
+
+        lib.cooccurrence_order.restype = None
+        lib.cooccurrence_order.argtypes = [
+            i64p, ctypes.c_int64, i64p, ctypes.c_int32, i32p]
+
         lib.etc1s_decode_slice.restype = ctypes.c_int32
         lib.etc1s_decode_slice.argtypes = [
             u8p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,

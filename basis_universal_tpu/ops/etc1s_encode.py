@@ -257,6 +257,47 @@ def find_best_selector_patterns(dists, patterns, num_patterns: int):
     return best.astype(jnp.int32), jnp.min(err, axis=-1)
 
 
+def rdo_neighbor_copy(px, assign, sel_assign, cb_pal, patterns,
+                      left_idx, up_idx, e_thresh, s_thresh):
+    """Rate-distortion neighbor reuse (device analog of the backend RDO
+    loops, encoder/basisu_backend.cpp:830-1000): copy the left/up neighbor's
+    endpoint cluster (then selector pattern) when the block error stays under
+    thresh x current error. Matches become 2-bit predictor symbols / MTF
+    history hits in the entropy stream. Runs INSIDE the frontend device
+    program — left_idx/up_idx are flat neighbor indices (-1 = none).
+    """
+    def block_err(e_indices, sel_patterns):
+        pal = cb_pal[e_indices]                                # (B,4,3)
+        cols = jnp.take_along_axis(pal, sel_patterns[:, :, None], axis=1)
+        d = px - cols
+        return jnp.sum(d * d, axis=(1, 2))
+
+    sel_pat = patterns[sel_assign]
+    cur_err = block_err(assign, sel_pat)
+
+    for nbr in (left_idx, up_idx):
+        nb = jnp.maximum(nbr, 0)
+        n_assign = assign[nb]
+        n_err = block_err(n_assign, sel_pat)
+        use = (n_err <= cur_err * e_thresh) & (nbr >= 0) & (cur_err > 0) \
+            & (n_assign != assign)
+        assign = jnp.where(use, n_assign, assign)
+        cur_err = jnp.where(use, n_err, cur_err)
+
+    sel_pat = patterns[sel_assign]
+    cur_err = block_err(assign, sel_pat)
+    for nbr in (left_idx, up_idx):
+        nb = jnp.maximum(nbr, 0)
+        n_sel = sel_assign[nb]
+        n_pat = patterns[n_sel]
+        n_err = block_err(assign, n_pat)
+        use = (n_err <= cur_err * s_thresh) & (nbr >= 0) & (cur_err > 0) \
+            & (n_sel != sel_assign)
+        sel_assign = jnp.where(use, n_sel, sel_assign)
+        cur_err = jnp.where(use, n_err, cur_err)
+    return assign.astype(jnp.int32), sel_assign.astype(jnp.int32)
+
+
 @functools.partial(jax.jit, static_argnames=("num_patterns",))
 def update_selector_patterns(dists, assign, num_patterns: int):
     """Recompute each selector cluster's optimal pattern.

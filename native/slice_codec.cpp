@@ -470,4 +470,102 @@ int32_t etc1s_decode_slice(
   return 0;
 }
 
+// Greedy nearest-neighbor chain over a dense (n x n) uint8 distance matrix.
+// Writes the visit order into out (starting from node 0).
+void greedy_chain_order(const uint8_t* dist, int32_t n, int32_t* out) {
+  std::vector<uint8_t> placed(n, 0);
+  int cur = 0;
+  placed[0] = 1;
+  out[0] = 0;
+  for (int k = 1; k < n; k++) {
+    const uint8_t* row = dist + (size_t)cur * n;
+    int best = -1, best_d = 256;
+    for (int j = 0; j < n; j++) {
+      if (!placed[j] && row[j] < best_d) {
+        best_d = row[j];
+        best = j;
+      }
+    }
+    placed[best] = 1;
+    out[k] = best;
+    cur = best;
+  }
+}
+
+// Greedy chain where node distance = number of differing bytes between the
+// packed uint32 keys (computed on the fly; avoids the n x n matrix).
+void selector_chain_order(const uint32_t* keys, int32_t n, int32_t* out) {
+  std::vector<uint8_t> placed(n, 0);
+  int cur = 0;
+  placed[0] = 1;
+  out[0] = 0;
+  for (int k = 1; k < n; k++) {
+    const uint32_t a = keys[cur];
+    int best = -1, best_d = 256;
+    for (int j = 0; j < n; j++) {
+      if (placed[j]) continue;
+      uint32_t x = a ^ keys[j];
+      int d = ((x & 0xFFu) != 0) + ((x & 0xFF00u) != 0) +
+              ((x & 0xFF0000u) != 0) + ((x >> 24) != 0);
+      if (d < best_d) {
+        best_d = d;
+        best = j;
+        if (d == 0) break;
+      }
+    }
+    placed[best] = 1;
+    out[k] = best;
+    cur = best;
+  }
+}
+
+// Greedy usage-locality ordering for the endpoint palette
+// (palette_index_reorderer analog): repeatedly pick the unplaced entry with
+// the highest co-occurrence affinity to the chain tail.
+// pairs: (m x 3) int64 rows [i, j, count]; usage: per-entry block counts.
+void cooccurrence_order(const int64_t* pairs, int64_t num_pairs,
+                        const int64_t* usage, int32_t n, int32_t* out) {
+  // adjacency in CSR-ish form
+  std::vector<std::vector<std::pair<int32_t, int64_t>>> adj(n);
+  for (int64_t p = 0; p < num_pairs; p++) {
+    int32_t i = (int32_t)pairs[p * 3 + 0];
+    int32_t j = (int32_t)pairs[p * 3 + 1];
+    int64_t c = pairs[p * 3 + 2];
+    adj[i].push_back({j, c});
+    adj[j].push_back({i, c});
+  }
+  std::vector<uint8_t> placed(n, 0);
+  std::vector<int64_t> affinity(n, 0);
+  int cur = 0;
+  for (int i = 1; i < n; i++)
+    if (usage[i] > usage[cur]) cur = i;
+  placed[cur] = 1;
+  out[0] = cur;
+  for (int k = 1; k < n; k++) {
+    for (auto& [j, c] : adj[cur])
+      if (!placed[j]) affinity[j] += c;
+    int best = -1;
+    int64_t best_a = 0;
+    for (int j = 0; j < n; j++) {
+      if (!placed[j] && affinity[j] > best_a) {
+        best_a = affinity[j];
+        best = j;
+      }
+    }
+    if (best < 0) {
+      // no affinity: fall back to most-used remaining entry
+      int64_t bu = -1;
+      for (int j = 0; j < n; j++)
+        if (!placed[j] && usage[j] > bu) {
+          bu = usage[j];
+          best = j;
+        }
+    }
+    placed[best] = 1;
+    affinity[best] = 0;
+    out[k] = best;
+    cur = best;
+  }
+}
+
 }  // extern "C"
