@@ -87,6 +87,23 @@ def cmd_compare(args):
     return 0
 
 
+def cmd_test_codecs(args):
+    from .testing import codec_sweep
+
+    test_dir = args.inputs[0] if args.inputs else "/root/reference/test_files"
+    rows = codec_sweep.run_sweep(test_dir)
+    golden = pathlib.Path(__file__).parent.parent / "tests" / "golden_sweep.json"
+    if args.test_codecs_gen or not golden.exists():
+        codec_sweep.save_golden(rows, golden)
+        print(f"Wrote golden table: {golden} ({len(rows)} rows)")
+        return 0
+    failures = codec_sweep.check_against_golden(rows, golden)
+    for f in failures:
+        print("FAIL:", f)
+    print(f"{len(rows) - len(failures)}/{len(rows)} rows within tolerance")
+    return 1 if failures else 0
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(
         prog="basisu_tpu",
@@ -95,6 +112,8 @@ def main(argv=None):
     ap.add_argument("-version", action="store_true")
     ap.add_argument("-unpack", action="store_true")
     ap.add_argument("-compare", action="store_true")
+    ap.add_argument("-test_codecs", action="store_true")
+    ap.add_argument("-test_codecs_gen", action="store_true")
     ap.add_argument("-basis", action="store_true", help="write .basis instead of .ktx2")
     ap.add_argument("-uastc", action="store_true", help="UASTC LDR 4x4 mode")
     ap.add_argument("-q", type=int, default=128, help="ETC1S quality 1-255")
@@ -110,6 +129,8 @@ def main(argv=None):
 
         print(f"basis_universal_tpu {__version__}")
         return 0
+    if args.test_codecs or args.test_codecs_gen:
+        return cmd_test_codecs(args)
     if not args.inputs:
         ap.print_help()
         return 1
