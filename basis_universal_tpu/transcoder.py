@@ -105,6 +105,10 @@ class Etc1sTranscodeEngine:
                     tc_ops.etc1s_block_values(e, s, c5, i5, sels, channel=1))
             return np.concatenate(
                 [r.reshape(by, bx, 8), g.reshape(by, bx, 8)], axis=-1)
+        if fmt == TF.ASTC_4x4_RGBA:
+            from .codecs.uastc import astc_pack
+
+            return astc_pack.etc1s_to_astc(e, s, c5, i5, sels)
         if fmt == TF.ETC2_RGBA:
             by, bx = e.shape
             color = etc1_ops.pack_etc1_blocks(e, s, c5, i5, sels)
@@ -160,6 +164,10 @@ class UastcTranscodeEngine:
             return np.concatenate([a, color.reshape(nby, nbx, 8)], axis=-1)
         if fmt == TF.ETC1_RGB:
             return self._reencode_etc1(px).reshape(nby, nbx, 8)
+        if fmt == TF.ASTC_4x4_RGBA:
+            from .codecs.uastc import astc_pack
+
+            return astc_pack.uastc_blocks_to_astc(blocks).reshape(nby, nbx, 16)
         raise NotImplementedError(f"UASTC transcode target {fmt!r} not implemented yet")
 
     @staticmethod

@@ -142,3 +142,33 @@ def test_uastc_transcode_targets(oracle_uastc):
     dec1 = gpu_unpack.unpack_bc1(bc1.reshape(-1, 8)).reshape(by, bx, 4, 4, 4)
     img1 = blocks_to_image(dec1, rgba.shape[1], rgba.shape[0])
     assert _psnr(img1[..., :3], rgba[..., :3]) > 28.0
+
+
+def test_astc_repack_byte_exact(oracle_uastc, golden_dir, oracle):
+    """Our UASTC -> ASTC physical repack must be byte-identical to the
+    reference transcoder's own ASTC output (lossless, deterministic)."""
+    import struct
+
+    data, _ = oracle_uastc
+    # the oracle -unpack run produced the transcoded ASTC .ktx alongside
+    ktx = sorted(golden_dir.glob("k23_crop_uastc_transcoded_ASTC*\
+.ktx".replace("\\", "")))
+    assert ktx, list(golden_dir.iterdir())
+    raw = ktx[0].read_bytes()
+    kvd = struct.unpack_from("<I", raw, 12 + 12 * 4)[0]
+    ofs = 12 + 13 * 4 + kvd
+    (imgsize,) = struct.unpack_from("<I", raw, ofs)
+    ref_blocks = np.frombuffer(raw, np.uint8, imgsize, ofs + 4).reshape(-1, 16)
+
+    from basis_universal_tpu.codecs.uastc import astc_pack
+
+    f = BasisFile(data)
+    blocks = np.frombuffer(f.slice_data(0), dtype=np.uint8).reshape(-1, 16)
+    ours = astc_pack.uastc_blocks_to_astc(blocks)
+    np.testing.assert_array_equal(ours, ref_blocks)
+
+
+def test_etc1s_astc_target(kodim23_basis):
+    tr = BasisTranscoder(kodim23_basis)
+    astc = tr.transcode_image_level(0, 0, TF.ASTC_4x4_RGBA)
+    assert astc.shape == (128, 192, 16)
