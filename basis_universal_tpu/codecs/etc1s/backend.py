@@ -244,12 +244,14 @@ def encode_selector_palette(selectors) -> bytes:
     return w.to_bytes()
 
 
-def _compute_pred_symbols(e_idx, num_endpoints, is_iframe=True):
+def _compute_pred_symbols(e_idx, num_endpoints, s_idx=None,
+                          prev_frame=None, is_video=False):
     """Vectorized per-block predictor selection + delta symbols.
 
     Decoder contract (transcode_slice): pred 0=left (prev raster block,
-    bx>0), 1=upper, 2=upper-left (bx>0 and by>0), 3=explicit delta vs prev
-    raster block, modulo wraparound.
+    bx>0), 1=upper, 2=upper-left (bx>0 and by>0) — or, for video P-frames,
+    2=conditional replenishment (copy BOTH indices from the previous frame,
+    no selector symbol read) — 3=explicit delta vs prev raster block.
     Returns (pred (BY,BX) int8, delta_sym (BY,BX) int32 valid where pred==3).
     """
     by, bx = e_idx.shape
@@ -258,18 +260,28 @@ def _compute_pred_symbols(e_idx, num_endpoints, is_iframe=True):
     left[:, 1:] = e[:, :-1]
     up = np.zeros_like(e)
     up[1:, :] = e[:-1, :]
-    ul = np.zeros_like(e)
-    ul[1:, 1:] = e[:-1, :-1]
     can_left = np.zeros(e.shape, dtype=bool)
     can_left[:, 1:] = True
     can_up = np.zeros(e.shape, dtype=bool)
     can_up[1:, :] = True
-    can_ul = can_left & can_up
 
     pred = np.full(e.shape, 3, dtype=np.int8)
-    pred = np.where(can_ul & (e == ul), 2, pred)
-    pred = np.where(can_up & (e == up), 1, pred)
-    pred = np.where(can_left & (e == left), 0, pred)
+    cr_locked = np.zeros(e.shape, dtype=bool)
+    if prev_frame is not None:
+        # video P-frame: pred 2 replaces upper-left with CR; CR wins because
+        # it encodes BOTH indices and skips the selector symbol entirely
+        pe, ps = prev_frame
+        cr = (e == pe.astype(np.int64)) & (np.asarray(s_idx) == ps)
+        pred = np.where(cr, 2, pred)
+        cr_locked = cr
+    elif not is_video:
+        # upper-left pred only exists outside video files (in video files
+        # the decoder always interprets pred 2 as CR, even on I-frames)
+        ul = np.zeros_like(e)
+        ul[1:, 1:] = e[:-1, :-1]
+        pred = np.where(can_left & can_up & (e == ul), 2, pred)
+    pred = np.where(can_up & (e == up) & ~cr_locked, 1, pred)
+    pred = np.where(can_left & (e == left) & ~cr_locked, 0, pred)
 
     flat = e.ravel()
     prev = np.concatenate([[0], flat[:-1]])
@@ -319,15 +331,18 @@ class _MtfEncoder:
                 self.values[index], self.values[half])
 
 
-def _collect_slice_symbols(e_idx, s_idx, num_endpoints, num_selectors):
+def _collect_slice_symbols(e_idx, s_idx, num_endpoints, num_selectors,
+                           prev_frame=None, is_video=False):
     """Serial symbol-collection pass for one slice.
 
     Returns an ordered op list [(kind, value)] where kind ∈
     {"pred", "pred_rle_vlc", "delta", "sel", "sel_rle", "sel_rle_vlc"}
-    plus the frequency tables for the four models.
+    plus the frequency tables for the four models. prev_frame: optional
+    (prev_e, prev_s) grids for video P-frames (CR prediction).
     """
     by, bx = e_idx.shape
-    pred, delta = _compute_pred_symbols(e_idx, num_endpoints)
+    pred, delta = _compute_pred_symbols(e_idx, num_endpoints, s_idx,
+                                        prev_frame, is_video)
     groups = _pack_group_syms(pred)
 
     SEL_RLE_SYM = num_selectors + MAX_SELECTOR_HISTORY_BUF_SIZE
@@ -354,23 +369,21 @@ def _collect_slice_symbols(e_idx, s_idx, num_endpoints, num_selectors):
 
     gx = groups.shape[1]
 
-    # selector RLE pending run (selector == hist[0] repeats)
-    pending_sel_run = 0
-    run_start_block = 0
+    # selector RLE pending run (selector == hist[0] repeats); blocks may be
+    # non-contiguous in video (CR blocks read no selector symbol)
+    pending_blocks = []
 
     def flush_sel_run():
-        nonlocal pending_sel_run
-        n = pending_sel_run
-        pending_sel_run = 0
+        n = len(pending_blocks)
         if n == 0:
             return
         if n < SELECTOR_HISTORY_BUF_RLE_COUNT_THRESH:
             # short run: each block reads its own hist-index-0 symbol
-            for k in range(n):
-                block_ops[run_start_block + k].append(("sel", num_selectors))
+            for b in pending_blocks:
+                block_ops[b].append(("sel", num_selectors))
                 sel_freq[num_selectors] += 1
         else:
-            tgt = block_ops[run_start_block]
+            tgt = block_ops[pending_blocks[0]]
             tgt.append(("sel", SEL_RLE_SYM))
             sel_freq[SEL_RLE_SYM] += 1
             if n >= (SELECTOR_HISTORY_BUF_RLE_COUNT_TOTAL - 1
@@ -383,6 +396,7 @@ def _collect_slice_symbols(e_idx, s_idx, num_endpoints, num_selectors):
                 run_sym = n - SELECTOR_HISTORY_BUF_RLE_COUNT_THRESH
                 tgt.append(("sel_rle", run_sym))
                 rle_freq[run_sym] += 1
+        pending_blocks.clear()
 
     for y in range(by):
         for x in range(bx):
@@ -415,12 +429,15 @@ def _collect_slice_symbols(e_idx, s_idx, num_endpoints, num_selectors):
                 ops.append(("delta", d))
                 delta_freq[d] += 1
 
+            if prev_frame is not None and pred[y, x] == 2:
+                # CR block: the decoder reads no selector symbol and leaves
+                # the MTF history and any active RLE run untouched
+                continue
+
             s = int(s_idx[y, x])
             hidx = hist.find(s)
             if hidx == 0:
-                if pending_sel_run == 0:
-                    run_start_block = bi
-                pending_sel_run += 1
+                pending_blocks.append(bi)
                 continue
             flush_sel_run()
             if hidx > 0:
@@ -474,23 +491,37 @@ def _collect_slice_symbols_native(e_idx, s_idx, num_endpoints, num_selectors):
             pred_freq, delta_freq, sel_freq, rle_freq)
 
 
-def encode_slices(e_idx_list, s_idx_list, num_endpoints, num_selectors):
+def encode_slices(e_idx_list, s_idx_list, num_endpoints, num_selectors,
+                  video_prev=None):
     """Encode all slices; models are shared across slices (decode_tables is
-    read once per file). Returns (tables_bytes, [slice_bytes...])."""
+    read once per file). Returns (tables_bytes, [slice_bytes...]).
+
+    video_prev: optional list mapping each slice to the index of its
+    previous-frame slice (None = I-frame / not video)."""
     from ... import native
 
     use_native = native.available()
-    collect = (_collect_slice_symbols_native if use_native
-               else _collect_slice_symbols)
 
     all_ops = []
     pred_freq = np.zeros(ENDPOINT_PRED_TOTAL_SYMBOLS, dtype=np.int64)
     delta_freq = np.zeros(num_endpoints, dtype=np.int64)
     sel_freq = np.zeros(num_selectors + MAX_SELECTOR_HISTORY_BUF_SIZE + 1, dtype=np.int64)
     rle_freq = np.zeros(SELECTOR_HISTORY_BUF_RLE_COUNT_TOTAL, dtype=np.int64)
-    for e_idx, s_idx in zip(e_idx_list, s_idx_list):
-        kinds, vals, pf, df, sf, rf = collect(
-            e_idx, s_idx, num_endpoints, num_selectors)
+    is_video = video_prev is not None
+    for i, (e_idx, s_idx) in enumerate(zip(e_idx_list, s_idx_list)):
+        prev = video_prev[i] if video_prev else None
+        if is_video:
+            pf_data = ((e_idx_list[prev], s_idx_list[prev])
+                       if prev is not None else None)
+            kinds, vals, pf, df, sf, rf = _collect_slice_symbols(
+                e_idx, s_idx, num_endpoints, num_selectors,
+                prev_frame=pf_data, is_video=True)
+        elif use_native:
+            kinds, vals, pf, df, sf, rf = _collect_slice_symbols_native(
+                e_idx, s_idx, num_endpoints, num_selectors)
+        else:
+            kinds, vals, pf, df, sf, rf = _collect_slice_symbols(
+                e_idx, s_idx, num_endpoints, num_selectors)
         all_ops.append((kinds, vals))
         pred_freq += pf
         delta_freq += df

@@ -72,6 +72,7 @@ class CompressorParams:
     mip_gen: bool = False
     mip_smallest_dimension: int = 1
     tex_type: BasisTextureType = BasisTextureType.TEX_2D
+    us_per_frame: int = 66666   # ~15 fps default for video textures
     userdata0: int = 0
     userdata1: int = 0
     max_endpoint_clusters: Optional[int] = None   # override quality mapping
@@ -317,17 +318,33 @@ def _assemble(slices, fe, params: CompressorParams) -> CompressorOutput:
 
     endpoint_palette = etc1s_backend.encode_endpoint_palette(e_color5, e_inten)
     selector_palette = etc1s_backend.encode_selector_palette(sel_cb)
+
+    # video frames: P-frames use conditional replenishment vs the previous
+    # frame's slice of the same (level, alpha) kind
+    is_video = params.tex_type == BasisTextureType.VIDEO_FRAMES
+    video_prev = None
+    if is_video:
+        video_prev = []
+        last_by_kind = {}
+        for i, s in enumerate(slices):
+            kind = (s["level_index"], s["alpha"])
+            video_prev.append(last_by_kind.get(kind))
+            last_by_kind[kind] = i
+
     tables, slice_streams = etc1s_backend.encode_slices(
-        e_grids, s_grids, e_color5.shape[0], sel_cb.shape[0])
+        e_grids, s_grids, e_color5.shape[0], sel_cb.shape[0],
+        video_prev=video_prev)
 
     descs = []
     any_alpha = False
-    for s, e_grid, s_grid in zip(slices, e_grids, s_grids):
+    for i, (s, e_grid, s_grid) in enumerate(zip(slices, e_grids, s_grids)):
         physical = pack_etc1_blocks(e_grid, s_grid, e_color5, e_inten, sel_cb)
         sflags = 0
         if s["alpha"]:
             sflags |= SliceDescFlags.HAS_ALPHA
             any_alpha = True
+        if is_video and (video_prev[i] is None):
+            sflags |= SliceDescFlags.FRAME_IS_IFRAME
         descs.append(basis_file.SliceDesc(
             image_index=s["image_index"],
             level_index=s["level_index"],
@@ -354,7 +371,7 @@ def _assemble(slices, fe, params: CompressorParams) -> CompressorOutput:
         num_selectors=sel_cb.shape[0],
         tex_type=params.tex_type,
         flags=int(flags),
-        us_per_frame=0,
+        us_per_frame=params.us_per_frame if is_video else 0,
         userdata0=params.userdata0,
         userdata1=params.userdata1,
     )
@@ -362,12 +379,23 @@ def _assemble(slices, fe, params: CompressorParams) -> CompressorOutput:
     base = slices[0]
     level_count = max(s["level_index"] for s in slices) + 1
     layer_count = max(s["image_index"] for s in slices) + 1
+    face_count = 1
+    if params.tex_type == BasisTextureType.CUBEMAP_ARRAY:
+        assert layer_count % 6 == 0, "cubemaps need a multiple of 6 images"
+        face_count = 6
+        layer_count //= 6
     ktx2_data = ktx2.write_ktx2_etc1s(
         base_width=base["orig_width"], base_height=base["orig_height"],
-        level_count=level_count, layer_count=layer_count, face_count=1,
+        level_count=level_count, layer_count=layer_count,
+        face_count=face_count,
         slice_streams=slice_streams,
-        slice_info=[dict(level=s["level_index"], layer=s["image_index"],
-                         face=0, alpha=s["alpha"], iframe=True) for s in slices],
+        slice_info=[dict(level=s["level_index"],
+                         layer=(s["image_index"] // face_count),
+                         face=(s["image_index"] % face_count),
+                         alpha=s["alpha"],
+                         iframe=(not is_video) or video_prev[i] is None)
+                    for i, s in enumerate(slices)],
+        is_video=is_video,
         endpoint_palette=endpoint_palette,
         selector_palette=selector_palette,
         tables=tables,

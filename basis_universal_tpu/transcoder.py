@@ -247,8 +247,22 @@ class BasisTranscoder:
     def _get_decoded(self, slice_index: int) -> _Etc1sDecodedSlice:
         if slice_index not in self._decoded:
             sd = self.file.slices[slice_index]
+            is_video = (self.file.header.tex_type
+                        == BasisTextureType.VIDEO_FRAMES)
+            prev = None
+            if is_video and not sd.is_iframe:
+                # previous frame = nearest earlier slice of same (level, alpha)
+                for j in range(slice_index - 1, -1, -1):
+                    pj = self.file.slices[j]
+                    if (pj.level_index == sd.level_index
+                            and pj.has_alpha == sd.has_alpha):
+                        pd = self._get_decoded(j)
+                        prev = (pd.endpoint_idx, pd.selector_idx)
+                        break
             e, s = self._engine.decode_slice(
-                self.file.slice_data(slice_index), sd.num_blocks_x, sd.num_blocks_y)
+                self.file.slice_data(slice_index), sd.num_blocks_x,
+                sd.num_blocks_y, is_video=is_video and prev is not None,
+                prev=prev)
             self._decoded[slice_index] = _Etc1sDecodedSlice(e, s)
         return self._decoded[slice_index]
 
