@@ -54,3 +54,18 @@ def test_write_ktx1(tmp_path):
     raw = p.read_bytes()
     assert raw[:7] == bytes([0xAB, 0x4B, 0x54, 0x58, 0x20, 0x31, 0x31])
     assert data in raw
+
+
+def test_telemetry():
+    from basis_universal_tpu.utils import telemetry as tm
+
+    t = tm.StageTimers()
+    with t.stage("x"):
+        pass
+    assert "x" in t.report()
+    assert tm.CONVARS.set("etc1s_endpoint_rdo_thresh", 2.0)
+    assert tm.CONVARS.get("etc1s_endpoint_rdo_thresh") == 2.0
+    assert not tm.CONVARS.set("nope", 1)
+    assert any(c.name == "uastc_ls_iters" for c in tm.CONVARS.list())
+    tm.CONVARS.set("etc1s_endpoint_rdo_thresh", 99.0)
+    assert tm.CONVARS.get("etc1s_endpoint_rdo_thresh") == 4.0  # clamped
