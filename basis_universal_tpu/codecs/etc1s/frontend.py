@@ -121,7 +121,16 @@ def _frontend_impl(px, seed, left_idx, up_idx, e_thresh, s_thresh, *,
         assign, sel_assign = ops.rdo_neighbor_copy(
             px, assign, sel_assign, cb_pal, patterns,
             left_idx, up_idx, e_thresh, s_thresh)
-    return assign, color5, inten, patterns, sel_assign
+    # pack everything into ONE int32 array: a single device->host transfer
+    # (each fetch pays a full tunnel round trip)
+    packed = jnp.concatenate([
+        assign.astype(jnp.int32),
+        sel_assign.astype(jnp.int32),
+        color5.astype(jnp.int32).ravel(),
+        inten.astype(jnp.int32),
+        patterns.astype(jnp.int32).ravel(),
+    ])
+    return packed
 
 
 @functools.lru_cache(maxsize=64)
@@ -149,6 +158,16 @@ def _knobs_and_neighbors(pixels_shape_b: int, params: FrontendParams,
     return knobs, jnp.asarray(left), jnp.asarray(up)
 
 
+def _unpack_result(packed: np.ndarray, nblocks: int, num_e: int, num_s: int):
+    p = 0
+    assign = packed[p:p + nblocks]; p += nblocks
+    sel = packed[p:p + nblocks]; p += nblocks
+    color5 = packed[p:p + num_e * 3].reshape(num_e, 3); p += num_e * 3
+    inten = packed[p:p + num_e]; p += num_e
+    patterns = packed[p:p + num_s * 16].reshape(num_s, 16); p += num_s * 16
+    return assign, color5, inten, patterns, sel
+
+
 def compress(pixels: np.ndarray, params: FrontendParams, seed: int = 0,
              neighbors=None) -> FrontendOutput:
     """pixels: (B, 16, 3) float32 RGB in [0,255] (one entry per 4x4 block).
@@ -159,7 +178,8 @@ def compress(pixels: np.ndarray, params: FrontendParams, seed: int = 0,
         jnp.asarray(pixels, dtype=jnp.float32), seed, left, up,
         float(params.endpoint_rdo_thresh), float(params.selector_rdo_thresh))
     # single host sync for the whole pipeline
-    got = jax.device_get(out)
+    got = _unpack_result(jax.device_get(out), pixels.shape[0],
+                         knobs["num_e"], knobs["num_s"])
     return _host_finalize(*got, knobs["num_e"], knobs["num_s"])
 
 
@@ -179,14 +199,16 @@ def compress_batch(pixels: np.ndarray, params: FrontendParams,
     return list(compress_batch_iter(pixels, params, seed, neighbors))
 
 
-def compress_batch_iter(pixels: np.ndarray, params: FrontendParams,
+def compress_batch_iter(pixels, params: FrontendParams,
                         seed: int = 0, neighbors=None):
     """Generator form of compress_batch: yields FrontendOutput per image as
     each device program completes, so the caller's host-side entropy coding
-    overlaps with device compute of later images. neighbors: optional list
-    of per-image (left_idx, up_idx) arrays (or one shared pair)."""
-    assert pixels.ndim == 4 and pixels.shape[2:] == (16, 3)
-    n, nblocks = pixels.shape[:2]
+    overlaps with device compute of later images. pixels: (N, B, 16, 3)
+    array OR a list of N (B, 16, 3) arrays (avoids a host-side stack copy).
+    neighbors: optional list of per-image (left_idx, up_idx) arrays (or one
+    shared pair)."""
+    n = len(pixels)
+    nblocks = pixels[0].shape[0]
     if neighbors is not None and isinstance(neighbors, tuple):
         neighbors = [neighbors] * n
     knobs, left0, up0 = _knobs_and_neighbors(
@@ -204,7 +226,8 @@ def compress_batch_iter(pixels: np.ndarray, params: FrontendParams,
             float(params.endpoint_rdo_thresh),
             float(params.selector_rdo_thresh)))
     for i in range(n):
-        got = jax.device_get(futures[i])
+        got = _unpack_result(jax.device_get(futures[i]), nblocks,
+                             knobs["num_e"], knobs["num_s"])
         yield _host_finalize(*got, knobs["num_e"], knobs["num_s"])
 
 

@@ -199,8 +199,11 @@ def compress_batch(images, params: CompressorParams = CompressorParams()):
         return [compress(img, params) for img in images]
     total_blocks = sum(s["blocks"].shape[0] for s in per_image[0])
     fp = _frontend_params(params, total_blocks)
-    batch = np.stack([
-        np.concatenate([s["blocks"] for s in sl], axis=0) for sl in per_image])
+    # list of per-image block arrays (no N-way host stack copy)
+    batch = [
+        (sl[0]["blocks"] if len(sl) == 1
+         else np.concatenate([s["blocks"] for s in sl], axis=0))
+        for sl in per_image]
     # stream: host entropy/assembly for image i overlaps device compute of
     # images i+1.. (device programs are all dispatched asynchronously)
     nbrs = [_slice_neighbors(sl) for sl in per_image]
