@@ -141,8 +141,197 @@ def _mode_trial(px, wb: int, ep_range: int, comps: int, ls_iters: int):
     return err, ep.astype(jnp.int32), w
 
 
-@functools.partial(jax.jit, static_argnames=("modes", "ls_iters"))
-def _search_device(px, modes: tuple, ls_iters: int):
+def _fit_line_masked(v, mask, levels, ls_iters):
+    """Line fit + weight quantization over a masked pixel subset.
+
+    v: (B,16,C); mask: (B,16) float 0/1; levels: (L,) factors.
+    Returns (lo (B,C), hi (B,C), w (B,16) level idx, err (B,) masked SSE).
+    """
+    cnt = jnp.maximum(mask.sum(1, keepdims=True), 1.0)
+    mean = (v * mask[..., None]).sum(1, keepdims=True) / cnt[..., None]
+    c = (v - mean) * mask[..., None]
+    cov = jnp.einsum("bif,big->bfg", c, c)
+    d = jnp.ones((v.shape[0], v.shape[2]), dtype=jnp.float32)
+    for _ in range(4):
+        d = jnp.einsum("bfg,bg->bf", cov, d)
+        d = d / (jnp.linalg.norm(d, axis=-1, keepdims=True) + 1e-6)
+    proj = jnp.einsum("bif,bf->bi", c, d)
+    big = 1e9
+    pmin = jnp.min(jnp.where(mask > 0, proj, big), axis=1, keepdims=True)
+    pmax = jnp.max(jnp.where(mask > 0, proj, -big), axis=1, keepdims=True)
+    lo = jnp.clip(mean[:, 0] + d * pmin, 0, 255)
+    hi = jnp.clip(mean[:, 0] + d * pmax, 0, 255)
+
+    def weights_for(lo, hi):
+        rec = (lo[:, None, :] * (64.0 - levels)[None, :, None]
+               + hi[:, None, :] * levels[None, :, None] + 32.0) * (1.0 / 64.0)
+        e = jnp.sum((v[:, :, None, :] - rec[:, None, :, :]) ** 2, -1)
+        k = jnp.argmin(e, axis=-1)
+        err = (jnp.min(e, axis=-1) * mask).sum(-1)
+        return k.astype(jnp.int32), err
+
+    w, err = weights_for(lo, hi)
+    for _ in range(ls_iters):
+        a_k = (64.0 - levels[w]) * (1.0 / 64.0) * mask
+        b_k = levels[w] * (1.0 / 64.0) * mask
+        A = jnp.sum(a_k * a_k, 1)
+        Bm = jnp.sum(a_k * b_k, 1)
+        C = jnp.sum(b_k * b_k, 1)
+        P = jnp.einsum("bi,bic->bc", a_k, v)
+        Q = jnp.einsum("bi,bic->bc", b_k, v)
+        det = A * C - Bm * Bm
+        ok = jnp.abs(det) > 1e-6
+        dd = jnp.where(ok, det, 1.0)
+        lo2 = jnp.clip(jnp.where(ok[:, None],
+                                 (C[:, None] * P - Bm[:, None] * Q) / dd[:, None], lo), 0, 255)
+        hi2 = jnp.clip(jnp.where(ok[:, None],
+                                 (A[:, None] * Q - Bm[:, None] * P) / dd[:, None], hi), 0, 255)
+        w2, err2 = weights_for(lo2, hi2)
+        better = err2 < err
+        lo = jnp.where(better[:, None], lo2, lo)
+        hi = jnp.where(better[:, None], hi2, hi)
+        w = jnp.where(better[:, None], w2, w)
+        err = jnp.minimum(err, err2)
+    return lo, hi, w, err
+
+
+def _mode_trial_2subset(px, wb: int, ep_range: int, comps: int, ls_iters: int):
+    """2-subset mode trial: pick the best of the 30 BC7-common partitions by
+    agreement with an ideal 2-cluster split, then fit the top candidates.
+
+    Returns (err (B,), eps (B, comps*4) codes, weights (B,16), pattern (B,)).
+    """
+    from . import tables as T_
+
+    b = px.shape[0]
+    inv_lut, unq_lut = quant_luts(ep_range)
+    inv = jnp.asarray(inv_lut)
+    unq = jnp.asarray(unq_lut.astype(np.float32))
+    wlev = jnp.asarray(_weight_levels(wb))
+    v = px[..., :comps] if comps == 3 else px
+
+    pats = np.array([T_.partition_pattern(seed, 2)
+                     for (_bc7, seed, _inv) in T_.ASTC_BC7_COMMON_PARTITIONS2],
+                    dtype=np.int32)                        # (30,16)
+    pats_j = jnp.asarray(pats)
+
+    # ideal split: k-means-1d on luma (2 clusters, few iterations)
+    luma = jnp.mean(v[..., :3], axis=-1)                   # (B,16)
+    c0 = jnp.min(luma, 1, keepdims=True)
+    c1 = jnp.max(luma, 1, keepdims=True)
+    for _ in range(3):
+        side = (jnp.abs(luma - c1) < jnp.abs(luma - c0)).astype(jnp.float32)
+        n1 = jnp.maximum(side.sum(1, keepdims=True), 1.0)
+        n0 = jnp.maximum((1 - side).sum(1, keepdims=True), 1.0)
+        c1 = (luma * side).sum(1, keepdims=True) / n1
+        c0 = (luma * (1 - side)).sum(1, keepdims=True) / n0
+    ideal = (jnp.abs(luma - c1) < jnp.abs(luma - c0)).astype(jnp.int32)  # (B,16)
+
+    # agreement with each pattern (count matches, either polarity)
+    agree = jnp.einsum("bi,pi->bp", ideal.astype(jnp.float32),
+                       pats_j.astype(jnp.float32)) \
+        + jnp.einsum("bi,pi->bp", (1 - ideal).astype(jnp.float32),
+                     (1 - pats_j).astype(jnp.float32))
+    score = jnp.maximum(agree, 16.0 - agree)               # polarity-free
+    TOPK = 4
+    _, cand = jax.lax.top_k(score, TOPK)                   # (B,K)
+
+    best_err = jnp.full(b, jnp.inf)
+    best_eps = jnp.zeros((b, comps * 4), jnp.int32)
+    best_w = jnp.zeros((b, 16), jnp.int32)
+    best_p = jnp.zeros(b, jnp.int32)
+    for k in range(TOPK):
+        pidx = cand[:, k]
+        pat = pats_j[pidx].astype(jnp.float32)             # (B,16) 0/1
+        lo0, hi0, w0, e0 = _fit_line_masked(v, 1.0 - pat, wlev, ls_iters)
+        lo1, hi1, w1, e1 = _fit_line_masked(v, pat, wlev, ls_iters)
+        # quantize endpoints
+        def q(x):
+            xi = jnp.clip(jnp.round(x), 0, 255).astype(jnp.int32)
+            return inv[xi]
+        eps = jnp.stack([q(lo0), q(hi0), q(lo1), q(hi1)], 1)   # (B,4,C)
+        # exact error + re-chosen weights through the QUANTIZED endpoints
+        lo_px = jnp.where(pat[..., None] == 1,
+                          unq[eps[:, 2]][:, None, :], unq[eps[:, 0]][:, None, :])
+        hi_px = jnp.where(pat[..., None] == 1,
+                          unq[eps[:, 3]][:, None, :], unq[eps[:, 1]][:, None, :])
+        rec = (lo_px[:, :, None, :] * (64.0 - wlev)[None, None, :, None]
+               + hi_px[:, :, None, :] * wlev[None, None, :, None]
+               + 32.0) * (1.0 / 64.0)                       # (B,16,L,C)
+        e_all = jnp.sum((v[:, :, None, :] - rec) ** 2, -1)
+        w = jnp.argmin(e_all, axis=-1).astype(jnp.int32)
+        err = jnp.sum(jnp.min(e_all, axis=-1), axis=-1)
+        better = err < best_err
+        best_err = jnp.where(better, err, best_err)
+        # endpoint layout: subset0 comps pairs then subset1
+        e_s0 = jnp.stack([eps[:, 0], eps[:, 1]], -1).reshape(b, comps * 2)
+        e_s1 = jnp.stack([eps[:, 2], eps[:, 3]], -1).reshape(b, comps * 2)
+        e_all = jnp.concatenate([e_s0, e_s1], -1)
+        best_eps = jnp.where(better[:, None], e_all, best_eps)
+        best_w = jnp.where(better[:, None], w, best_w)
+        best_p = jnp.where(better, pidx, best_p)
+    if comps == 3:
+        aerr = jnp.sum((px[..., 3] - 255.0) ** 2, axis=-1)
+        best_err = best_err + aerr
+    return best_err, best_eps, best_w, best_p
+
+
+def _mode_trial_dualplane(px, wb: int, ep_range: int, ls_iters: int):
+    """Dual-plane RGB mode (6): per-ccs trial — plane 1 carries the selected
+    channel, plane 0 the other two. Returns (err, eps codes (B,6),
+    weights interleaved (B,32), ccs (B,))."""
+    b = px.shape[0]
+    inv_lut, unq_lut = quant_luts(ep_range)
+    inv = jnp.asarray(inv_lut)
+    wlev = jnp.asarray(_weight_levels(wb))
+    ones = jnp.ones((b, 16), jnp.float32)
+
+    best_err = jnp.full(b, jnp.inf)
+    best_eps = jnp.zeros((b, 6), jnp.int32)
+    best_w = jnp.zeros((b, 32), jnp.int32)
+    best_ccs = jnp.zeros(b, jnp.int32)
+    unq = jnp.asarray(unq_lut.astype(np.float32))
+    for ccs in range(3):
+        others = [c for c in range(3) if c != ccs]
+        v0 = px[..., others]                               # (B,16,2)
+        v1 = px[..., ccs:ccs + 1]                          # (B,16,1)
+        lo0, hi0, w0, e0 = _fit_line_masked(v0, ones, wlev, ls_iters)
+        lo1, hi1, w1, e1 = _fit_line_masked(v1, ones, wlev, ls_iters)
+        lo = jnp.zeros((b, 3), jnp.float32)
+        hi = jnp.zeros((b, 3), jnp.float32)
+        lo = lo.at[:, others[0]].set(lo0[:, 0]).at[:, others[1]].set(lo0[:, 1])
+        hi = hi.at[:, others[0]].set(hi0[:, 0]).at[:, others[1]].set(hi0[:, 1])
+        lo = lo.at[:, ccs].set(lo1[:, 0])
+        hi = hi.at[:, ccs].set(hi1[:, 0])
+        codes_lo = inv[jnp.clip(jnp.round(lo), 0, 255).astype(jnp.int32)]
+        codes_hi = inv[jnp.clip(jnp.round(hi), 0, 255).astype(jnp.int32)]
+        eps = jnp.stack([codes_lo, codes_hi], -1).reshape(b, 6)
+        # exact error + weights through the QUANTIZED endpoints
+        lo_u = unq[codes_lo]                               # (B,3)
+        hi_u = unq[codes_hi]
+        rec = (lo_u[:, None, None, :] * (64.0 - wlev)[None, None, :, None]
+               + hi_u[:, None, None, :] * wlev[None, None, :, None]
+               + 32.0) * (1.0 / 64.0)                       # (B,1,L,3)
+        diff = px[..., :3][:, :, None, :] - rec
+        e_p0 = diff[..., others[0]] ** 2 + diff[..., others[1]] ** 2
+        e_p1 = diff[..., ccs] ** 2                          # (B,16,L)
+        w0 = jnp.argmin(e_p0, axis=-1).astype(jnp.int32)
+        w1 = jnp.argmin(e_p1, axis=-1).astype(jnp.int32)
+        err = (jnp.sum(jnp.min(e_p0, axis=-1), -1)
+               + jnp.sum(jnp.min(e_p1, axis=-1), -1))
+        w = jnp.zeros((b, 32), jnp.int32)
+        w = w.at[:, 0::2].set(w0).at[:, 1::2].set(w1)
+        better = err < best_err
+        best_err = jnp.where(better, err, best_err)
+        best_eps = jnp.where(better[:, None], eps, best_eps)
+        best_w = jnp.where(better[:, None], w, best_w)
+        best_ccs = jnp.where(better, ccs, best_ccs)
+    aerr = jnp.sum((px[..., 3] - 255.0) ** 2, axis=-1)
+    return best_err + aerr, best_eps, best_w, best_ccs
+
+
+@functools.partial(jax.jit, static_argnames=("modes", "ls_iters", "extra"))
+def _search_device(px, modes: tuple, ls_iters: int, extra: tuple = ()):
     errs, eps, ws = [], [], []
     for (mode, wb, ep_range, comps) in modes:
         e, ep, w = _mode_trial(px, wb, ep_range, comps, ls_iters)
@@ -154,11 +343,27 @@ def _search_device(px, modes: tuple, ls_iters: int):
     mean = jnp.clip(jnp.round(jnp.mean(px, axis=1)), 0, 255)
     solid_err = jnp.sum((px - mean[:, None, :]) ** 2, axis=(1, 2))
     errs.append(solid_err)
-    err_mat = jnp.stack(errs, axis=1)                       # (B, M+1)
+
+    extra_results = {}
+    for name in extra:
+        if name == "mode2":
+            e2, ep2, w2, p2 = _mode_trial_2subset(px, 3, 8, 3, ls_iters)
+            extra_results["mode2"] = (e2, ep2, w2, p2)
+            errs.append(e2)
+        elif name == "mode4":
+            e4, ep4, w4, p4 = _mode_trial_2subset(px, 2, 12, 3, ls_iters)
+            extra_results["mode4"] = (e4, ep4, w4, p4)
+            errs.append(e4)
+        elif name == "mode6":
+            e6, ep6, w6, c6 = _mode_trial_dualplane(px, 2, 18, ls_iters)
+            extra_results["mode6"] = (e6, ep6, w6, c6)
+            errs.append(e6)
+
+    err_mat = jnp.stack(errs, axis=1)                       # (B, M+1+X)
     best = jnp.argmin(err_mat, axis=1).astype(jnp.int32)
     eps_all = jnp.stack(eps, axis=1)                        # (B, M, 8)
     ws_all = jnp.stack(ws, axis=1)                          # (B, M, 16)
-    return best, eps_all, ws_all, mean.astype(jnp.int32)
+    return best, eps_all, ws_all, mean.astype(jnp.int32), extra_results
 
 
 # --- ETC1 hint computation (cheap): one ETC1S fit per block -----------------
@@ -205,9 +410,14 @@ def encode_blocks(px_rgba: np.ndarray, effort: int = 2,
         modes = [m for m in modes if m[0] in (0, 10, 15)]
     ls_iters = 1 if effort <= 3 else 2
     modes_t = tuple(modes)
+    extra = ()
+    if effort >= 2:
+        extra = ("mode2", "mode4", "mode6")
+    if effort >= 4:
+        pass  # reserved: mode 3 (3-subset), modes 9/16 (alpha 2-subset)
 
-    best, eps, ws, mean = jax.device_get(_search_device(
-        jnp.asarray(px_rgba, dtype=jnp.float32), modes_t, ls_iters))
+    best, eps, ws, mean, extra_res = jax.device_get(_search_device(
+        jnp.asarray(px_rgba, dtype=jnp.float32), modes_t, ls_iters, extra))
 
     # etc1 hints from a quick per-block ETC1S-style fit of the RGB mean/range
     # (affects only ETC1/ETC2 transcode quality, not UASTC correctness)
@@ -218,7 +428,8 @@ def encode_blocks(px_rgba: np.ndarray, effort: int = 2,
     etc1_inten = etc1["inten"].astype(np.int32)
 
     out = np.zeros((b, 16), dtype=np.uint8)
-    solid_idx = np.flatnonzero(best == len(modes))
+    solid_slot = len(modes)
+    solid_idx = np.flatnonzero(best == solid_slot)
     if solid_idx.size:
         out[solid_idx] = _pack_solid(mean[solid_idx],
                                      px_rgba[solid_idx, 0, 3].astype(np.int32))
@@ -229,6 +440,21 @@ def encode_blocks(px_rgba: np.ndarray, effort: int = 2,
         out[idx] = _pack_mode(
             mode, wb, ep_range, comps,
             eps[idx, mi, :comps * 2], ws[idx, mi], etc1_inten[idx])
+    for xi, name in enumerate(extra):
+        slot = solid_slot + 1 + xi
+        idx = np.flatnonzero(best == slot)
+        if not idx.size:
+            continue
+        e_, ep_, w_, aux_ = extra_res[name]
+        if name == "mode2":
+            out[idx] = _pack_mode_2subset(2, 3, 8, 3, ep_[idx], w_[idx],
+                                          aux_[idx], etc1_inten[idx])
+        elif name == "mode4":
+            out[idx] = _pack_mode_2subset(4, 2, 12, 3, ep_[idx], w_[idx],
+                                          aux_[idx], etc1_inten[idx])
+        elif name == "mode6":
+            out[idx] = _pack_mode_dualplane(6, 2, 18, ep_[idx], w_[idx],
+                                            aux_[idx], etc1_inten[idx])
     return out
 
 
@@ -300,13 +526,25 @@ def _pack_mode(mode, wb, ep_range, comps, eps, ws, etc1_inten):
         eps[:, c * 2] = np.where(flip == 1, hi, lo)
         eps[:, c * 2 + 1] = np.where(flip == 1, lo, hi)
 
-    # endpoints: trit/quint bundles first, then raw bits
-    total_values = comps * 2
+    ofs = _emit_endpoints(lanes, ofs, eps, ep_range, comps * 2)
+
+    # weights (single plane, anchor texel 0 gets wb-1 bits)
+    for i in range(16):
+        nb = wb - (1 if i == 0 else 0)
+        ofs = _wr(lanes, ofs, ws[:, i], nb)
+    assert ofs <= 128, (mode, ofs)
+    return _lanes_to_bytes(lanes)
+
+
+def _emit_endpoints(lanes, ofs, eps, ep_range, total_values):
+    """UASTC endpoint emission: trit/quint bundles first (last truncated),
+    then the raw bits of every value (pack_uastc layout)."""
+    n = eps.shape[0]
     ep_bits, ep_trits, ep_quints = T.BISE_RANGE_TABLE[ep_range]
     if ep_trits or ep_quints:
         mul = 3 if ep_trits else 5
         bundle = 5 if ep_trits else 3
-        tq = eps >> ep_bits                          # (N, total_values)
+        tq = eps >> ep_bits
         i = 0
         while i < total_values:
             cnt = min(bundle, total_values - i)
@@ -325,10 +563,116 @@ def _pack_mode(mode, wb, ep_range, comps, eps, ws, etc1_inten):
             i += cnt
     for i in range(total_values):
         ofs = _wr(lanes, ofs, eps[:, i] & ((1 << ep_bits) - 1), ep_bits)
+    return ofs
 
-    # weights (single plane, anchor texel 0 gets wb-1 bits)
-    for i in range(16):
-        nb = wb - (1 if i == 0 else 0)
+
+def _common_hints(lanes, ofs, mode, n, etc1_inten):
+    if T.MODE_HAS_BC1_HINT0[mode]:
+        ofs = _wr(lanes, ofs, np.zeros(n), 1)
+    if T.MODE_HAS_BC1_HINT1[mode]:
+        ofs = _wr(lanes, ofs, np.zeros(n), 1)
+    ofs = _wr(lanes, ofs, np.zeros(n), 1)            # flip
+    ofs = _wr(lanes, ofs, np.ones(n), 1)             # diff
+    ofs = _wr(lanes, ofs, etc1_inten, 3)             # inten0
+    ofs = _wr(lanes, ofs, etc1_inten, 3)             # inten1
+    if T.MODE_HAS_ETC1_BIAS[mode]:
+        ofs = _wr(lanes, ofs, np.zeros(n), 5)
+    if T.MODE_HAS_ALPHA[mode]:
+        ofs = _wr(lanes, ofs, np.full(n, 0x10), 8)   # EAC mult=1 table=0
+    return ofs
+
+
+def _pack_mode_2subset(mode, wb, ep_range, comps, eps, ws, patterns,
+                       etc1_inten):
+    """Pack a 2-subset mode group (modes 2/4/9/16): 5-bit common pattern,
+    per-subset anchors with the MSB-invert trick."""
+    n = eps.shape[0]
+    eps = eps.copy()
+    ws = ws.copy()
+    lanes = np.zeros((n, 2), dtype=np.uint64)
+    code, size = T.MODE_HUFF_CODES[mode]
+    ofs = _wr(lanes, 0, np.full(n, code), size)
+    ofs = _common_hints(lanes, ofs, mode, n, etc1_inten)
+    ofs = _wr(lanes, ofs, patterns, 5)
+
+    wmax = (1 << wb) - 1
+    # per-block anchors from the pattern; invert subsets whose anchor MSB set
+    pat_rows = np.array([T.partition_pattern(seed, 2)
+                         for (_b, seed, _i) in T.ASTC_BC7_COMMON_PARTITIONS2],
+                        dtype=np.int64)
+    anchor_rows = np.array([T.pattern_anchors(seed, 2)
+                            for (_b, seed, _i) in T.ASTC_BC7_COMMON_PARTITIONS2],
+                           dtype=np.int64)
+    pat = pat_rows[patterns]                          # (N,16)
+    anchors = anchor_rows[patterns]                   # (N,2)
+    for s in range(2):
+        a_idx = anchors[:, s]
+        a_w = ws[np.arange(n), a_idx]
+        flip = (a_w >> (wb - 1)) & 1
+        in_subset = pat == s
+        ws = np.where((flip[:, None] == 1) & in_subset, wmax - ws, ws)
+        base = s * comps * 2
+        for c in range(comps):
+            lo = eps[:, base + c * 2].copy()
+            hi = eps[:, base + c * 2 + 1].copy()
+            eps[:, base + c * 2] = np.where(flip == 1, hi, lo)
+            eps[:, base + c * 2 + 1] = np.where(flip == 1, lo, hi)
+
+    ofs = _emit_endpoints(lanes, ofs, eps, ep_range, comps * 2 * 2)
+    # weights with per-subset anchors
+    is_anchor = np.zeros((n, 16), dtype=bool)
+    is_anchor[np.arange(n), anchors[:, 0]] = True
+    is_anchor[np.arange(n), anchors[:, 1]] = True
+    # anchors vary per block → emit per (block-group by pattern) for static
+    # widths; simplest correct path: per distinct pattern value
+    out = np.zeros((n, 16), dtype=np.uint8)
+    done = np.zeros(n, dtype=bool)
+    for pv in np.unique(patterns):
+        gi = np.flatnonzero(patterns == pv)
+        glanes = lanes[gi].copy()
+        gofs = ofs
+        a0, a1 = anchor_rows[pv]
+        for i in range(16):
+            nb = wb - (1 if i in (a0, a1) else 0)
+            gofs = _wr(glanes, gofs, ws[gi, i], nb)
+        assert gofs <= 128
+        out[gi] = _lanes_to_bytes(glanes)
+        done[gi] = True
+    assert done.all()
+    return out
+
+
+def _pack_mode_dualplane(mode, wb, ep_range, eps, ws, ccs, etc1_inten):
+    """Pack dual-plane RGB mode 6: 2-bit CCS, interleaved plane weights,
+    per-plane anchor MSB-invert with per-channel endpoint swaps."""
+    n = eps.shape[0]
+    eps = eps.copy()
+    ws = ws.copy()
+    lanes = np.zeros((n, 2), dtype=np.uint64)
+    code, size = T.MODE_HUFF_CODES[mode]
+    ofs = _wr(lanes, 0, np.full(n, code), size)
+    ofs = _common_hints(lanes, ofs, mode, n, etc1_inten)
+    ofs = _wr(lanes, ofs, ccs, 2)
+
+    wmax = (1 << wb) - 1
+    comps = 3
+    for plane in range(2):
+        a_w = ws[:, plane]                           # anchor texel 0
+        flip = (a_w >> (wb - 1)) & 1
+        ws[:, plane::2] = np.where(flip[:, None] == 1,
+                                   wmax - ws[:, plane::2], ws[:, plane::2])
+        for c in range(comps):
+            comp_plane = (np.asarray(ccs) == c).astype(np.int64)
+            do = (flip == 1) & (comp_plane == plane)
+            lo = eps[:, c * 2].copy()
+            hi = eps[:, c * 2 + 1].copy()
+            eps[:, c * 2] = np.where(do, hi, lo)
+            eps[:, c * 2 + 1] = np.where(do, lo, hi)
+
+    ofs = _emit_endpoints(lanes, ofs, eps, ep_range, comps * 2)
+    # weights: 32 interleaved; texel 0's two weights are anchors (wb-1 bits)
+    for i in range(32):
+        nb = wb - (1 if i < 2 else 0)
         ofs = _wr(lanes, ofs, ws[:, i], nb)
-    assert ofs <= 128, (mode, ofs)
+    assert ofs <= 128, ofs
     return _lanes_to_bytes(lanes)
