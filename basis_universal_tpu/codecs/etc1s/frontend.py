@@ -168,6 +168,41 @@ def _unpack_result(packed: np.ndarray, nblocks: int, num_e: int, num_s: int):
     return assign, color5, inten, patterns, sel
 
 
+@functools.partial(jax.jit, static_argnames=("topk", "num_s"))
+def _assign_global(px, cb_color5, cb_inten, patterns, topk: int, num_s: int):
+    """Global-codebooks mode: no training — one nearest-neighbor assignment
+    pass against fixed codebooks (SURVEY.md §A.4: 'pure matmul+argmin';
+    init_global_codebooks, basisu_frontend.cpp:318-553)."""
+    enc = ops.encode_blocks(px, radius=0)
+    vec6 = jnp.concatenate([enc["low"], enc["high"]], -1) * (1.0 / 255.0)
+    cb_pal = _palette_jnp(cb_color5, cb_inten)
+    cb_vec6 = jnp.concatenate([cb_pal[:, 0, :], cb_pal[:, 3, :]], -1) * (1.0 / 255.0)
+    assign, _ = ops.refine_endpoint_assignment(
+        px, vec6, cb_vec6, cb_color5, cb_inten, topk=topk)
+    dists = ops.block_selector_distances(px, cb_pal[assign])
+    sel_assign, _ = ops.find_best_selector_patterns(dists, patterns, num_s)
+    return assign, sel_assign
+
+
+def compress_with_global_codebooks(pixels: np.ndarray, color5, inten5,
+                                   selectors, effort: int = 1) -> FrontendOutput:
+    """Assign blocks to externally provided (shared) codebooks."""
+    topk = 8 if effort <= 5 else 16
+    assign, sel = jax.device_get(_assign_global(
+        jnp.asarray(pixels, dtype=jnp.float32),
+        jnp.asarray(np.asarray(color5, dtype=np.int32)),
+        jnp.asarray(np.asarray(inten5, dtype=np.int32)),
+        jnp.asarray(np.asarray(selectors, dtype=np.int32)),
+        topk, int(np.asarray(selectors).shape[0])))
+    return FrontendOutput(
+        endpoint_color5=np.asarray(color5, dtype=np.uint8),
+        endpoint_inten5=np.asarray(inten5, dtype=np.uint8),
+        selectors=np.asarray(selectors, dtype=np.uint8),
+        block_endpoints=assign.astype(np.int32),
+        block_selectors=sel.astype(np.int32),
+    )
+
+
 def compress(pixels: np.ndarray, params: FrontendParams, seed: int = 0,
              neighbors=None) -> FrontendOutput:
     """pixels: (B, 16, 3) float32 RGB in [0,255] (one entry per 4x4 block).

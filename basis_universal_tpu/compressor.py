@@ -80,6 +80,10 @@ class CompressorParams:
     # ETC1S backend RDO (reference defaults, basisu_comp.h param defaults)
     endpoint_rdo_thresh: float = 1.5
     selector_rdo_thresh: float = 1.25
+    # shared/global codebooks: (color5 (E,3), inten5 (E,), selectors (S,16))
+    # — skips codebook training entirely (m_pGlobal_codebooks analog,
+    # basisu_comp.h:797; cBASISHeaderFlagUsesGlobalCodebook)
+    global_codebooks: Optional[tuple] = None
     seed: int = 0
 
 
@@ -177,6 +181,11 @@ def compress(images, params: CompressorParams = CompressorParams()) -> Compresso
     slices = _prepare_slices(images, params)
     total_blocks = sum(s["blocks"].shape[0] for s in slices)
     all_blocks = np.concatenate([s["blocks"] for s in slices], axis=0)
+    if params.global_codebooks is not None:
+        c5, i5, sel = params.global_codebooks
+        fe = etc1s_frontend.compress_with_global_codebooks(
+            all_blocks, c5, i5, sel, effort=params.effort)
+        return _assemble(slices, fe, params, use_global=True)
     fp = _frontend_params(params, total_blocks)
     fe = etc1s_frontend.compress(all_blocks, fp, seed=params.seed,
                                  neighbors=_slice_neighbors(slices))
@@ -303,12 +312,19 @@ def _rdo_thresholds(params: CompressorParams):
     return max(1.0, 1.0 + (e_t - 1.0) * scale), max(1.0, 1.0 + (s_t - 1.0) * scale)
 
 
-def _assemble(slices, fe, params: CompressorParams) -> CompressorOutput:
-    # sort palettes for cheap delta coding; remap indices
-    e_color5, e_inten, block_e = etc1s_backend.sort_endpoint_palette(
-        fe.endpoint_color5, fe.endpoint_inten5, fe.block_endpoints)
-    sel_cb, block_s = etc1s_backend.sort_selector_palette(
-        fe.selectors, fe.block_selectors)
+def _assemble(slices, fe, params: CompressorParams,
+              use_global: bool = False) -> CompressorOutput:
+    if use_global:
+        # shared codebooks: indices must reference them verbatim (no reorder)
+        e_color5, e_inten, block_e = (fe.endpoint_color5, fe.endpoint_inten5,
+                                      fe.block_endpoints)
+        sel_cb, block_s = fe.selectors, fe.block_selectors
+    else:
+        # sort palettes for cheap delta coding; remap indices
+        e_color5, e_inten, block_e = etc1s_backend.sort_endpoint_palette(
+            fe.endpoint_color5, fe.endpoint_inten5, fe.block_endpoints)
+        sel_cb, block_s = etc1s_backend.sort_selector_palette(
+            fe.selectors, fe.block_selectors)
 
     e_grids, s_grids = [], []
     ofs = 0
@@ -319,6 +335,8 @@ def _assemble(slices, fe, params: CompressorParams) -> CompressorOutput:
         s_grids.append(block_s[ofs:ofs + n].reshape(shape))
         ofs += n
 
+    # (global-codebook .basis files omit the palette sections; KTX2 has no
+    # shared-codebook concept so its BasisLZ global data embeds them always)
     endpoint_palette = etc1s_backend.encode_endpoint_palette(e_color5, e_inten)
     selector_palette = etc1s_backend.encode_selector_palette(sel_cb)
 
@@ -364,11 +382,13 @@ def _assemble(slices, fe, params: CompressorParams) -> CompressorOutput:
         flags |= HeaderFlags.SRGB
     if any_alpha:
         flags |= HeaderFlags.HAS_ALPHA_SLICES
+    if use_global:
+        flags |= HeaderFlags.USES_GLOBAL_CODEBOOK
 
     data = basis_file.write_basis_file(
         BasisTexFormat.ETC1S, descs, slice_streams,
-        endpoint_palette=endpoint_palette,
-        selector_palette=selector_palette,
+        endpoint_palette=b"" if use_global else endpoint_palette,
+        selector_palette=b"" if use_global else selector_palette,
         tables=tables,
         num_endpoints=e_color5.shape[0],
         num_selectors=sel_cb.shape[0],

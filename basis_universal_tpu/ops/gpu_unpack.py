@@ -148,6 +148,27 @@ def unpack_bc7_mode5(blocks):
     return out
 
 
+def unpack_eac_r11(blocks):
+    """EAC R11 blocks → (N,4,4) 8-bit values (11-bit decode scaled down)."""
+    b = np.asarray(blocks, dtype=np.int64)
+    n = b.shape[0]
+    base = b[:, 0]
+    mult = b[:, 1] >> 4
+    table = b[:, 1] & 15
+    bits = np.zeros(n, dtype=np.uint64)
+    for i in range(6):
+        bits |= b[:, 2 + i].astype(np.uint64) << np.uint64(8 * (5 - i))
+    out = np.zeros((n, 4, 4), dtype=np.uint8)
+    scale = np.where(mult > 0, mult * 8, 1)
+    for x in range(4):
+        for y in range(4):
+            shift = np.uint64(45 - 3 * (x * 4 + y))
+            s = ((bits >> shift) & np.uint64(7)).astype(np.int64)
+            v11 = np.clip(base * 8 + 4 + EAC_MODIFIERS[table, s] * scale, 0, 2047)
+            out[:, y, x] = (v11 * 255 + 1023) // 2047
+    return out
+
+
 def unpack_eac_a8(blocks):
     b = np.asarray(blocks, dtype=np.int64)
     n = b.shape[0]

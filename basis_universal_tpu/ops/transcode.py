@@ -290,6 +290,49 @@ def values_to_eac_a8(vals, chunk: int = 8192):
     return out
 
 
+def values_to_eac_r11(vals8, chunk: int = 8192):
+    """(N,16) 8-bit values → EAC R11 blocks (N,8). Same bit layout as A8
+    but 11-bit decode arithmetic: v11 = base*8+4 + mod*mult*8."""
+    vals8 = np.asarray(vals8, dtype=np.int64)
+    v11 = (vals8 * 2047 + 127) // 255
+    n = vals8.shape[0]
+    out = np.zeros((n, 8), dtype=np.uint8)
+    mults = np.arange(1, 16, dtype=np.int64)
+    for c0 in range(0, n, chunk):
+        v = v11[c0:c0 + chunk]
+        cn = v.shape[0]
+        base = np.clip((v.mean(axis=1) - 4) / 8.0, 0, 255).round().astype(np.int64)
+        best_err = np.full(cn, np.inf)
+        best_tm = np.zeros((cn, 2), dtype=np.int64)
+        best_sel = np.zeros((cn, 16), dtype=np.int64)
+        for t in range(16):
+            cand = EAC_MODIFIERS[t][None, :] * mults[:, None] * 8   # (15,8)
+            recon = np.clip((base * 8 + 4)[:, None, None] + cand[None], 0, 2047).astype(np.float32)
+            d = recon[:, :, :, None] - v[:, None, None, :].astype(np.float32)
+            d2 = d * d
+            sel_t = np.argmin(d2, axis=2)
+            err_t = np.min(d2, axis=2).sum(axis=-1)
+            bm = np.argmin(err_t, axis=1)
+            rows = np.arange(cn)
+            e = err_t[rows, bm]
+            better = e < best_err
+            best_err = np.where(better, e, best_err)
+            best_tm[better, 0] = t
+            best_tm[better, 1] = bm[better]
+            best_sel[better] = sel_t[rows, bm][better]
+        o = out[c0:c0 + chunk]
+        o[:, 0] = base
+        o[:, 1] = ((best_tm[:, 1] + 1) << 4) | best_tm[:, 0]
+        bits = np.zeros(cn, dtype=np.uint64)
+        for x in range(4):
+            for y in range(4):
+                s = best_sel[:, y * 4 + x].astype(np.uint64)
+                bits |= s << np.uint64(45 - 3 * (x * 4 + y))
+        for b in range(6):
+            o[:, 2 + b] = ((bits >> np.uint64(8 * (5 - b))) & np.uint64(0xFF)).astype(np.uint8)
+    return out
+
+
 # --- generic RGBA block re-encoders (real-time class, like the reference's
 # bc15 SPMD encoders, basisu_bc15_spmd.cpp) ----------------------------------
 

@@ -17,6 +17,7 @@ from .formats import basis_file, ktx2
 from .formats.constants import (
     BasisTexFormat,
     BasisTextureType,
+    HeaderFlags,
     TranscoderTextureFormat as TF,
 )
 from .ops import etc1 as etc1_ops
@@ -48,6 +49,15 @@ class Etc1sTranscodeEngine:
         self.codebooks = etc1s_stream.decode_palettes(
             num_endpoints, endpoints_data, num_selectors, selectors_data)
         self.tables = etc1s_stream.decode_tables(tables_data)
+
+    @classmethod
+    def from_codebooks(cls, codebooks, tables_data):
+        self = cls.__new__(cls)
+        self.codebooks = codebooks
+        self.num_endpoints = codebooks.color5.shape[0]
+        self.num_selectors = codebooks.selectors.shape[0]
+        self.tables = etc1s_stream.decode_tables(tables_data)
+        return self
 
     def decode_slice(self, data, nbx, nby, is_video=False, prev=None):
         return etc1s_stream.decode_slice(
@@ -109,6 +119,18 @@ class Etc1sTranscodeEngine:
             from .codecs.uastc import astc_pack
 
             return astc_pack.etc1s_to_astc(e, s, c5, i5, sels)
+        if fmt == TF.ETC2_EAC_R11:
+            by, bx = e.shape
+            vals = tc_ops.etc1s_block_values(e, s, c5, i5, sels, channel=0)
+            return tc_ops.values_to_eac_r11(vals).reshape(by, bx, 8)
+        if fmt == TF.ETC2_EAC_RG11:
+            by, bx = e.shape
+            r = tc_ops.values_to_eac_r11(
+                tc_ops.etc1s_block_values(e, s, c5, i5, sels, channel=0))
+            g = tc_ops.values_to_eac_r11(
+                tc_ops.etc1s_block_values(e, s, c5, i5, sels, channel=1))
+            return np.concatenate([r.reshape(by, bx, 8),
+                                   g.reshape(by, bx, 8)], axis=-1)
         if fmt == TF.ETC2_RGBA:
             by, bx = e.shape
             color = etc1_ops.pack_etc1_blocks(e, s, c5, i5, sels)
@@ -168,6 +190,14 @@ class UastcTranscodeEngine:
             from .codecs.uastc import astc_pack
 
             return astc_pack.uastc_blocks_to_astc(blocks).reshape(nby, nbx, 16)
+        if fmt == TF.ETC2_EAC_R11:
+            return tc_ops.values_to_eac_r11(
+                px[..., 0].astype(np.int64)).reshape(nby, nbx, 8)
+        if fmt == TF.ETC2_EAC_RG11:
+            r = tc_ops.values_to_eac_r11(px[..., 0].astype(np.int64))
+            g = tc_ops.values_to_eac_r11(px[..., 1].astype(np.int64))
+            return np.concatenate([r.reshape(nby, nbx, 8),
+                                   g.reshape(nby, nbx, 8)], axis=-1)
         raise NotImplementedError(f"UASTC transcode target {fmt!r} not implemented yet")
 
     @staticmethod
@@ -196,6 +226,7 @@ class BasisTranscoder:
     def __init__(self, data: bytes):
         self.file = basis_file.BasisFile(data)
         self._engine: Optional[Etc1sTranscodeEngine] = None
+        self._global_codebooks = None
         # group slices by (image, level)
         self._slice_map: Dict[Tuple[int, int], Dict[str, int]] = {}
         etc1s = self.file.tex_format == BasisTexFormat.ETC1S
@@ -229,14 +260,32 @@ class BasisTranscoder:
                               sd.num_blocks_x, sd.num_blocks_y,
                               "alpha" in entry)
 
+    def set_global_codebooks(self, source):
+        """Attach shared codebooks (set_global_codebooks analog,
+        basisu_transcoder.h). source: another started BasisTranscoder or an
+        Etc1sCodebooks."""
+        if isinstance(source, BasisTranscoder):
+            source.start_transcoding()
+            self._global_codebooks = source._engine.codebooks
+        else:
+            self._global_codebooks = source
+
     def start_transcoding(self):
         if self._engine is None:
             h = self.file.header
             if self.tex_format == BasisTexFormat.ETC1S:
-                self._engine = Etc1sTranscodeEngine(
-                    h.total_endpoints, self.file.endpoint_cb_data,
-                    h.total_selectors, self.file.selector_cb_data,
-                    self.file.tables_data)
+                if h.flags & HeaderFlags.USES_GLOBAL_CODEBOOK:
+                    if self._global_codebooks is None:
+                        raise ValueError(
+                            "file uses global codebooks: call "
+                            "set_global_codebooks() first")
+                    self._engine = Etc1sTranscodeEngine.from_codebooks(
+                        self._global_codebooks, self.file.tables_data)
+                else:
+                    self._engine = Etc1sTranscodeEngine(
+                        h.total_endpoints, self.file.endpoint_cb_data,
+                        h.total_selectors, self.file.selector_cb_data,
+                        self.file.tables_data)
             elif self.tex_format == BasisTexFormat.UASTC_LDR_4x4:
                 self._engine = UastcTranscodeEngine()
             else:

@@ -133,3 +133,52 @@ def test_our_ktx2_mipmapped_roundtrip(test_files):
     assert tr.get_levels() > 1
     lvl1 = tr.transcode_image_level(1, 0, 0, TF.RGBA32)
     assert lvl1.shape[:2] == (32, 48)
+
+
+def test_eac_r11_rg11(ktx2_tr, rgba_ref):
+    r11 = ktx2_tr.transcode_image_level(0, 0, 0, TF.ETC2_EAC_R11)
+    by, bx = r11.shape[:2]
+    dec = gpu_unpack.unpack_eac_r11(r11.reshape(-1, 8)).reshape(by, bx, 4, 4)
+    img = blocks_to_image(dec[..., None], 768, 512)[..., 0]
+    assert _psnr(img, rgba_ref[..., 0]) > 40.0
+
+    rg11 = ktx2_tr.transcode_image_level(0, 0, 0, TF.ETC2_EAC_RG11)
+    decg = gpu_unpack.unpack_eac_r11(rg11.reshape(-1, 16)[:, 8:]).reshape(by, bx, 4, 4)
+    img_g = blocks_to_image(decg[..., None], 768, 512)[..., 0]
+    assert _psnr(img_g, rgba_ref[..., 1]) > 40.0
+
+
+def test_global_codebooks_mode(test_files, oracle, tmp_path):
+    """Encode file B reusing file A's codebooks; decode via
+    set_global_codebooks (SURVEY A.4)."""
+    import numpy as np
+    from PIL import Image
+
+    from basis_universal_tpu import compressor
+    from basis_universal_tpu.codecs.etc1s.stream import decode_palettes
+    from basis_universal_tpu.formats.basis_file import BasisFile
+    from basis_universal_tpu.formats.constants import HeaderFlags
+    from basis_universal_tpu.transcoder import BasisTranscoder
+
+    img_a = np.asarray(Image.open(test_files / "kodim23.png").convert("RGB"))[:96, :96]
+    img_b = np.asarray(Image.open(test_files / "kodim03.png").convert("RGB"))[:96, :96]
+    out_a = compressor.compress(img_a, compressor.CompressorParams(
+        quality_level=192, effort=1))
+    fa = BasisFile(out_a.basis_data)
+    cb = decode_palettes(fa.header.total_endpoints, fa.endpoint_cb_data,
+                         fa.header.total_selectors, fa.selector_cb_data)
+    out_b = compressor.compress(img_b, compressor.CompressorParams(
+        quality_level=192, effort=1,
+        global_codebooks=(cb.color5, cb.inten5, cb.selectors)))
+    fb = BasisFile(out_b.basis_data)
+    assert fb.header.flags & HeaderFlags.USES_GLOBAL_CODEBOOK
+    assert fb.header.endpoint_cb_file_size == 0
+    assert len(out_b.basis_data) < len(out_a.basis_data)  # no palettes inside
+
+    tr_a = BasisTranscoder(out_a.basis_data)
+    tr_b = BasisTranscoder(out_b.basis_data)
+    with pytest.raises(ValueError):
+        tr_b.start_transcoding()
+    tr_b.set_global_codebooks(tr_a)
+    rgba = tr_b.transcode_image_level(0, 0, TF.RGBA32)
+    assert _psnr(rgba[..., :3], img_b) > 24.0
