@@ -148,6 +148,44 @@ def unpack_bc7_mode5(blocks):
     return out
 
 
+def unpack_atc(blocks):
+    """ATC RGB blocks → (N,4,4,4) RGBA (unpack_atc semantics,
+    basisu_gpu_texture.cpp:326)."""
+    b = np.asarray(blocks, dtype=np.int64)
+    n = b.shape[0]
+    color0 = b[:, 0] | (b[:, 1] << 8)
+    color1 = b[:, 2] | (b[:, 3] << 8)
+    mode = (color0 & 0x8000) != 0
+    r0 = (color0 >> 10) & 31
+    g0 = (color0 >> 5) & 31
+    b0 = color0 & 31
+    c0 = np.stack([(r0 << 3) | (r0 >> 2), (g0 << 3) | (g0 >> 2),
+                   (b0 << 3) | (b0 >> 2)], -1)
+    r3 = (color1 >> 11) & 31
+    g3 = (color1 >> 5) & 63
+    b3 = color1 & 31
+    c3 = np.stack([(r3 << 3) | (r3 >> 2), (g3 << 2) | (g3 >> 4),
+                   (b3 << 3) | (b3 >> 2)], -1)
+    # normal mode interpolants
+    c1n = (c0 * 5 + c3 * 3) >> 3
+    c2n = (c0 * 3 + c3 * 5) >> 3
+    # alt mode
+    c1a = np.maximum(0, c0 - (c3 >> 2))
+    pal = np.zeros((n, 4, 3), dtype=np.int64)
+    m = mode[:, None]
+    pal[:, 0] = np.where(m, 0, c0)
+    pal[:, 1] = np.where(m, c1a, c1n)
+    pal[:, 2] = np.where(m, c0, c2n)
+    pal[:, 3] = c3
+    sels = (b[:, 4] | (b[:, 5] << 8) | (b[:, 6] << 16) | (b[:, 7] << 24)).astype(np.uint64)
+    out = np.zeros((n, 4, 4, 4), dtype=np.uint8)
+    out[..., 3] = 255
+    for i in range(16):
+        s = ((sels >> np.uint64(2 * i)) & np.uint64(3)).astype(np.int64)
+        out[:, i // 4, i % 4, :3] = pal[np.arange(n), s]
+    return out
+
+
 def unpack_eac_r11(blocks):
     """EAC R11 blocks → (N,4,4) 8-bit values (11-bit decode scaled down)."""
     b = np.asarray(blocks, dtype=np.int64)

@@ -186,6 +186,35 @@ def etc1s_to_bc7_m5(endpoint_idx, selector_idx, color5, inten5, selectors,
     return out.reshape(*shape, 16)
 
 
+def etc1s_to_atc(endpoint_idx, selector_idx, color5, inten5, selectors):
+    """ETC1S → ATC RGB blocks (BY,BX,8): c0=low palette color (555),
+    c1=high (565); ATC's interpolants sit at exactly ETC1S's {0,3/8,5/8,1}
+    line positions, so selectors map identity (convert_etc1s_to_atc analog)."""
+    e = np.asarray(endpoint_idx)
+    shape = e.shape
+    pal = etc1s_palette(color5, inten5)[e.ravel()].astype(np.int64)
+    sel = selectors[np.asarray(selector_idx).ravel()].astype(np.uint32)
+    n = pal.shape[0]
+    lo, hi = pal[:, 0, :], pal[:, 3, :]
+    c0 = (((lo[:, 0] * 31 + 127) // 255) << 10) \
+        | (((lo[:, 1] * 31 + 127) // 255) << 5) \
+        | ((lo[:, 2] * 31 + 127) // 255)          # 555, mode bit 0
+    c1 = (((hi[:, 0] * 31 + 127) // 255) << 11) \
+        | (((hi[:, 1] * 63 + 127) // 255) << 5) \
+        | ((hi[:, 2] * 31 + 127) // 255)          # 565
+    bits = np.zeros(n, dtype=np.uint32)
+    for i in range(16):
+        bits |= sel[:, i] << (2 * i)
+    out = np.empty((n, 8), dtype=np.uint8)
+    out[:, 0] = c0 & 0xFF
+    out[:, 1] = c0 >> 8
+    out[:, 2] = c1 & 0xFF
+    out[:, 3] = c1 >> 8
+    for b in range(4):
+        out[:, 4 + b] = (bits >> (8 * b)) & 0xFF
+    return out.reshape(*shape, 8)
+
+
 def values_to_bc4(vals):
     """(N, 16) int values [0,255] → BC4/BC3-alpha 8-byte blocks (N, 8).
 

@@ -119,6 +119,17 @@ class Etc1sTranscodeEngine:
             from .codecs.uastc import astc_pack
 
             return astc_pack.etc1s_to_astc(e, s, c5, i5, sels)
+        if fmt == TF.ATC_RGB:
+            return tc_ops.etc1s_to_atc(e, s, c5, i5, sels)
+        if fmt == TF.ATC_RGBA:
+            by, bx = e.shape
+            color = tc_ops.etc1s_to_atc(e, s, c5, i5, sels)
+            if alpha is not None:
+                avals = tc_ops.etc1s_block_values(ae, asel, c5, i5, sels)
+            else:
+                avals = np.full((by * bx, 16), 255, dtype=np.int64)
+            a = tc_ops.values_to_bc4(avals).reshape(by, bx, 8)
+            return np.concatenate([a, color], axis=-1)
         if fmt == TF.ETC2_EAC_R11:
             by, bx = e.shape
             vals = tc_ops.etc1s_block_values(e, s, c5, i5, sels, channel=0)

@@ -182,3 +182,13 @@ def test_global_codebooks_mode(test_files, oracle, tmp_path):
     tr_b.set_global_codebooks(tr_a)
     rgba = tr_b.transcode_image_level(0, 0, TF.RGBA32)
     assert _psnr(rgba[..., :3], img_b) > 24.0
+
+
+def test_atc(ktx2_tr, rgba_ref):
+    atc = ktx2_tr.transcode_image_level(0, 0, 0, TF.ATC_RGB)
+    by, bx = atc.shape[:2]
+    dec = gpu_unpack.unpack_atc(atc.reshape(-1, 8)).reshape(by, bx, 4, 4, 4)
+    img = blocks_to_image(dec, 768, 512)
+    assert _psnr(img[..., :3], rgba_ref[..., :3]) > 31.0
+    atc_a = ktx2_tr.transcode_image_level(0, 0, 0, TF.ATC_RGBA)
+    assert atc_a.shape == (by, bx, 16)
