@@ -149,12 +149,46 @@ def assign_canonical_codes(lengths):
     return codes
 
 
+def _native_lib():
+    try:
+        from .. import native
+
+        return native.get_lib()
+    except Exception:
+        return None
+
+
 class HuffmanEncoder:
-    """Encode-side canonical Huffman table + vectorized symbol emission."""
+    """Encode-side canonical Huffman table + vectorized symbol emission.
+
+    Uses the native C++ builder (native/slice_codec.cpp huffman_build) when
+    available; the Python implementation below is the bit-identical fallback
+    and the differential-test reference."""
 
     def __init__(self, freqs, max_len=MAX_CODE_SIZE):
-        freqs = np.asarray(freqs, dtype=np.int64)
+        freqs = np.ascontiguousarray(freqs, dtype=np.int64)
         self.num_syms = freqs.size
+        self._table_bits = None  # (bytes, nbits) when built natively
+        lib = _native_lib()
+        if lib is not None:
+            import ctypes
+
+            lengths = np.zeros(self.num_syms, dtype=np.uint8)
+            codes = np.zeros(self.num_syms, dtype=np.uint32)
+            cap = 4 * self.num_syms + 64
+            table = np.zeros(cap, dtype=np.uint8)
+            nbits = lib.huffman_build(
+                freqs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                self.num_syms, max_len,
+                lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                codes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+                table.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                cap)
+            if nbits >= 0:
+                self.lengths = lengths
+                self.codes = codes
+                self._table_bits = (table[: (nbits + 7) // 8].copy(), int(nbits))
+                return
         self.lengths = compute_code_lengths(freqs, max_len)
         self.codes = assign_canonical_codes(self.lengths)
 
@@ -170,6 +204,15 @@ class HuffmanEncoder:
 
     def write_table(self, writer: BitWriter):
         """Serialize in the format read by read_huffman_table."""
+        if self._table_bits is not None:
+            data, nbits = self._table_bits
+            full, rem = divmod(nbits, 8)
+            if full:
+                writer.put_bits_array(data[:full].astype(np.uint64),
+                                      np.full(full, 8, dtype=np.uint8))
+            if rem:
+                writer.put_bits(int(data[full]) & ((1 << rem) - 1), rem)
+            return
         lengths = self.lengths
         total_used = int(np.flatnonzero(lengths).max() + 1) if lengths.any() else 0
         writer.put_bits(total_used, MAX_SYMS_LOG2)

@@ -72,6 +72,11 @@ def get_lib():
             u32p, u8p, u32p, u8p, u32p, u8p, u32p, u8p,
             u8p, ctypes.c_int64]
 
+        lib.huffman_build.restype = ctypes.c_int64
+        lib.huffman_build.argtypes = [
+            i64p, ctypes.c_int32, ctypes.c_int32,
+            u8p, u32p, u8p, ctypes.c_int64]
+
         lib.greedy_chain_order.restype = None
         lib.greedy_chain_order.argtypes = [u8p, ctypes.c_int32, i32p]
 

@@ -11,6 +11,7 @@
 //
 // Build: g++ -O2 -shared -fPIC (driven by basis_universal_tpu/native.py).
 
+#include <algorithm>
 #include <cstdint>
 #include <cstring>
 #include <vector>
@@ -469,6 +470,171 @@ int32_t etc1s_decode_slice(
   }
   return 0;
 }
+
+// ---------------------------------------------------------------------------
+// Canonical Huffman build + table serialization (see entropy/huffman.py for
+// the commented reference implementation and format citations).
+
+namespace {
+
+// Moffat in-place code length computation over ascending-sorted freqs.
+void moffat_depths(std::vector<int64_t>& a) {
+  int n = (int)a.size();
+  int leaf = 0, root = 0;
+  for (int nxt = 0; nxt < n - 1; nxt++) {
+    for (int child = 0; child < 2; child++) {
+      int64_t val;
+      if (leaf >= n || (root < nxt && a[root] < a[leaf])) {
+        val = a[root];
+        a[root] = nxt;
+        root++;
+      } else {
+        val = a[leaf];
+        leaf++;
+      }
+      if (child == 0) a[nxt] = val; else a[nxt] += val;
+    }
+  }
+  a[n - 2] = 0;
+  for (int nxt = n - 3; nxt >= 0; nxt--) a[nxt] = a[(int)a[nxt]] + 1;
+  int avail = 1, used = 0, depth = 0;
+  int nxt = n - 1, root2 = n - 2;
+  while (avail > 0) {
+    while (root2 >= 0 && a[root2] == depth) { used++; root2--; }
+    while (avail > used) { a[nxt] = depth; nxt--; avail--; }
+    avail = 2 * used;
+    depth++;
+    used = 0;
+  }
+}
+
+// code lengths for an arbitrary frequency array (0 = unused), depth-limited.
+void compute_code_lengths(const int64_t* freqs, int n, int max_len,
+                          uint8_t* lengths) {
+  memset(lengths, 0, n);
+  std::vector<int> used;
+  for (int i = 0; i < n; i++)
+    if (freqs[i] > 0) used.push_back(i);
+  if (used.empty()) return;
+  if (used.size() == 1) { lengths[used[0]] = 1; return; }
+  std::vector<int> order(used.size());
+  for (size_t i = 0; i < used.size(); i++) order[i] = (int)i;
+  std::stable_sort(order.begin(), order.end(), [&](int x, int y) {
+    return freqs[used[x]] < freqs[used[y]];
+  });
+  int shift = 0;
+  std::vector<int64_t> depths;
+  for (;;) {
+    depths.assign(used.size(), 0);
+    for (size_t i = 0; i < used.size(); i++) {
+      int64_t f = freqs[used[order[i]]] >> shift;
+      depths[i] = f < 1 ? 1 : f;
+    }
+    moffat_depths(depths);
+    if (depths[0] <= max_len) break;
+    shift += 2;
+  }
+  for (size_t i = 0; i < used.size(); i++)
+    lengths[used[order[i]]] = (uint8_t)depths[i];
+}
+
+void assign_canonical_codes(const uint8_t* lengths, int n, uint32_t* codes) {
+  int max_l = 0;
+  for (int i = 0; i < n; i++) max_l = std::max(max_l, (int)lengths[i]);
+  std::vector<uint32_t> counts(max_l + 2, 0), next_code(max_l + 2, 0);
+  for (int i = 0; i < n; i++) counts[lengths[i]]++;
+  uint32_t total = 0;
+  for (int i = 1; i <= max_l; i++) {
+    total = (total + counts[i]) << 1;
+    next_code[i + 1] = total;
+  }
+  std::vector<uint32_t> nc(next_code);
+  for (int sym = 0; sym < n; sym++) {
+    int l = lengths[sym];
+    codes[sym] = 0;
+    if (!l) continue;
+    uint32_t c = nc[l]++;
+    uint32_t rc = 0;
+    for (int k = 0; k < l; k++) { rc = (rc << 1) | (c & 1); c >>= 1; }
+    codes[sym] = rc;
+  }
+}
+
+constexpr int kSortedCLC[21] = {17, 18, 19, 20, 0, 8, 7, 9, 6, 10,
+                                5, 11, 4, 12, 3, 13, 2, 14, 1, 15, 16};
+
+}  // namespace
+
+extern "C" {
+
+// Build code lengths + canonical codes + the serialized table bitstream.
+// Returns the number of BITS written into out_table (capacity in bytes), or
+// -1 on overflow. Out lengths/codes sized n.
+int64_t huffman_build(const int64_t* freqs, int32_t n, int32_t max_len,
+                      uint8_t* out_lengths, uint32_t* out_codes,
+                      uint8_t* out_table, int64_t out_capacity_bytes) {
+  compute_code_lengths(freqs, n, max_len, out_lengths);
+  assign_canonical_codes(out_lengths, n, out_codes);
+
+  std::vector<uint8_t> buf;
+  BitWriter w;
+  w.buf = &buf;
+  int64_t bits_written = 0;
+  auto put = [&](uint32_t v, uint32_t nb) { w.put(v, nb); bits_written += nb; };
+
+  int total_used = 0;
+  for (int i = 0; i < n; i++)
+    if (out_lengths[i]) total_used = i + 1;
+  put(total_used, 14);
+  if (total_used) {
+    // RLE the code sizes
+    struct Op { int code, extra, extra_bits; };
+    std::vector<Op> rle;
+    int i = 0;
+    while (i < total_used) {
+      int v = out_lengths[i];
+      int run = 1;
+      while (i + run < total_used && out_lengths[i + run] == v) run++;
+      if (v == 0) {
+        int r = run;
+        while (r >= 3) {
+          if (r >= 11) { int take = std::min(r, 138); rle.push_back({18, take - 11, 7}); r -= take; }
+          else { int take = std::min(r, 10); rle.push_back({17, take - 3, 3}); r -= take; }
+        }
+        for (int k = 0; k < r; k++) rle.push_back({0, 0, 0});
+      } else {
+        rle.push_back({v, 0, 0});
+        int r = run - 1;
+        while (r >= 3) {
+          if (r >= 7) { int take = std::min(r, 134); rle.push_back({20, take - 7, 7}); r -= take; }
+          else { int take = std::min(r, 6); rle.push_back({19, take - 3, 2}); r -= take; }
+        }
+        for (int k = 0; k < r; k++) rle.push_back({v, 0, 0});
+      }
+      i += run;
+    }
+    int64_t clc_freq[21] = {0};
+    for (auto& op : rle) clc_freq[op.code]++;
+    uint8_t clc_len[21];
+    uint32_t clc_code[21];
+    compute_code_lengths(clc_freq, 21, 7, clc_len);
+    assign_canonical_codes(clc_len, 21, clc_code);
+    int num_clc = 21;
+    while (num_clc > 1 && clc_len[kSortedCLC[num_clc - 1]] == 0) num_clc--;
+    put(num_clc, 5);
+    for (int k = 0; k < num_clc; k++) put(clc_len[kSortedCLC[k]], 3);
+    for (auto& op : rle) {
+      put(clc_code[op.code], clc_len[op.code]);
+      if (op.extra_bits) put(op.extra, op.extra_bits);
+    }
+  }
+  w.flush();
+  if ((int64_t)buf.size() > out_capacity_bytes) return -1;
+  memcpy(out_table, buf.data(), buf.size());
+  return bits_written;
+}
+
+}  // extern "C"
 
 // Greedy nearest-neighbor chain over a dense (n x n) uint8 distance matrix.
 // Writes the visit order into out (starting from node 0).

@@ -66,3 +66,25 @@ def test_native_decodes_reference_golden(kodim23_basis, test_files):
         f.header.total_endpoints, f.header.total_selectors)
     np.testing.assert_array_equal(e_n, e_p)
     np.testing.assert_array_equal(s_n, s_p)
+
+
+def test_huffman_build_matches_python():
+    from basis_universal_tpu.entropy import huffman as H
+    from basis_universal_tpu.entropy.bitio import BitReader, BitWriter
+
+    rng = np.random.default_rng(11)
+    for nsyms in (2, 17, 300, 4000):
+        freqs = rng.integers(0, 1000, nsyms)
+        freqs[0] = 1
+        enc = H.HuffmanEncoder(freqs)          # native path
+        py_len = H.compute_code_lengths(np.asarray(freqs, np.int64))
+        py_codes = H.assign_canonical_codes(py_len)
+        np.testing.assert_array_equal(enc.lengths, py_len)
+        np.testing.assert_array_equal(enc.codes, py_codes)
+        # serialized table decodes identically
+        w = BitWriter()
+        enc.write_table(w)
+        r = BitReader(w.to_bytes())
+        dec = H.read_huffman_table(r)
+        np.testing.assert_array_equal(
+            dec.lengths, py_len[: np.flatnonzero(py_len).max() + 1])
