@@ -7,13 +7,10 @@ Quality is the unified 1-100 scale, effort the unified 0-10 scale
 0-255 level exactly like the reference (basisu_comp.cpp:174).
 """
 
-import dataclasses
-from typing import Optional, Union
-
 import numpy as np
 
 from . import compressor as _comp
-from .formats.constants import BasisTexFormat, BasisTextureType, TranscoderTextureFormat
+from .formats.constants import BasisTexFormat, TranscoderTextureFormat
 from .transcoder import BasisTranscoder, Ktx2Transcoder
 
 
@@ -66,7 +63,7 @@ class Encoder:
         if format == -1:
             format = BasisTexFormat.ETC1S
         fmt = BasisTexFormat(format)
-        if fmt != BasisTexFormat.ETC1S:
+        if fmt not in (BasisTexFormat.ETC1S, BasisTexFormat.UASTC_LDR_4x4):
             raise NotImplementedError(f"{fmt.name} encoding not implemented yet")
         q100 = min(max(int(quality), 1), 100)
         etc1s_q = int(round((q100 / 100.0) * 255.0))

@@ -53,7 +53,6 @@ def _mode_trial(px, wb: int, ep_range: int, comps: int, ls_iters: int):
     inv = jnp.asarray(inv_lut)
     unq = jnp.asarray(unq_lut.astype(np.float32))
     wlev = jnp.asarray(_weight_levels(wb))          # (L,)
-    nlev = wlev.shape[0]
 
     if comps == 2:  # LA: channels = (luma, alpha)
         luma = (px[..., 0] + px[..., 1] + px[..., 2]) * (1.0 / 3.0)

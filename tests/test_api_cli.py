@@ -56,3 +56,14 @@ def test_cli_compress_unpack_compare(img, tmp_path, capsys):
 def test_cli_version(capsys):
     assert cli_main(["-version"]) == 0
     assert "basis_universal_tpu" in capsys.readouterr().out
+
+
+def test_encoder_uastc_format(img):
+    enc = Encoder()
+    ktx2 = enc.compress(img, format=BasisTexFormat.UASTC_LDR_4x4,
+                        effort=1)
+    tr = Transcoder()
+    h = tr.open(ktx2)
+    assert tr.get_basis_tex_format(h) == BasisTexFormat.UASTC_LDR_4x4
+    rgba = tr.decode_rgba(h)
+    assert rgba.shape == (64, 96, 4)
