@@ -231,6 +231,40 @@ class UastcTranscodeEngine:
             got["selectors"].astype(np.uint8)).reshape(n, 8)
 
 
+class AstcHdrTranscodeEngine:
+    """UASTC HDR 4x4 (standard constrained ASTC HDR blocks)."""
+
+    def convert(self, fmt: TF, blocks: np.ndarray, nbx: int, nby: int,
+                orig_width: int, orig_height: int) -> np.ndarray:
+        from .codecs.astc import helpers as astc_helpers
+
+        if fmt in (TF.ASTC_HDR_4x4_RGBA, TF.ASTC_4x4_RGBA):
+            return np.asarray(blocks, dtype=np.uint8).reshape(nby, nbx, 16)
+        half = astc_helpers.decode_blocks_rgba16f(blocks)     # (N,4,4,4) u16
+        grid = half.reshape(nby, nbx, 4, 4, 4)
+        img = etc1_ops.blocks_to_image(grid, orig_width, orig_height)
+        if fmt == TF.RGBA_HALF:
+            return img
+        if fmt == TF.RGB_HALF:
+            return img[..., :3]
+        if fmt == TF.RGB_9E5:
+            return _half_to_rgb9e5(img[..., :3])
+        raise NotImplementedError(
+            f"UASTC HDR transcode target {fmt!r} not implemented yet")
+
+
+def _half_to_rgb9e5(half_bits: np.ndarray) -> np.ndarray:
+    """(H,W,3) half bits → packed shared-exponent RGB9E5 uint32."""
+    f = half_bits.view(np.float16).astype(np.float32)
+    f = np.clip(f, 0.0, 65408.0)
+    maxc = np.maximum(f[..., 0], np.maximum(f[..., 1], f[..., 2]))
+    exp = np.clip(np.floor(np.log2(np.maximum(maxc, 1e-30))) + 1, -15, 16)
+    scale = np.exp2(9 - exp)
+    m = np.clip(np.round(f * scale[..., None]), 0, 511).astype(np.uint32)
+    e = (exp + 15).astype(np.uint32)
+    return m[..., 0] | (m[..., 1] << 9) | (m[..., 2] << 18) | (e << 27)
+
+
 class BasisTranscoder:
     """.basis reader + transcoder (basisu_transcoder analog)."""
 
@@ -299,6 +333,8 @@ class BasisTranscoder:
                         self.file.tables_data)
             elif self.tex_format == BasisTexFormat.UASTC_LDR_4x4:
                 self._engine = UastcTranscodeEngine()
+            elif self.tex_format == BasisTexFormat.UASTC_HDR_4x4:
+                self._engine = AstcHdrTranscodeEngine()
             else:
                 raise NotImplementedError(
                     f"{self.tex_format.name} .basis decode not implemented yet")
@@ -331,7 +367,7 @@ class BasisTranscoder:
         self.start_transcoding()
         entry = self._slice_map[(image_index, level_index)]
         sd = self.file.slices[entry["rgb"]]
-        if isinstance(self._engine, UastcTranscodeEngine):
+        if isinstance(self._engine, (UastcTranscodeEngine, AstcHdrTranscodeEngine)):
             blocks = np.frombuffer(
                 self.file.slice_data(entry["rgb"]), dtype=np.uint8).reshape(-1, 16)
             return self._engine.convert(fmt, blocks, sd.num_blocks_x,

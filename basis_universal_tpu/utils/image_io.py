@@ -106,15 +106,7 @@ def load_exr(path) -> np.ndarray:
         if comp in (2, 3):
             buf = zlib.decompress(raw)
             if len(buf) == expect:
-                # EXR zip predictor: delta-decode then de-interleave halves
-                b = np.frombuffer(buf, np.uint8).astype(np.int16)
-                b[1:] = (b[1:] + b[:-1] - 128)
-                b = b.astype(np.uint8)
-                half = (len(b) + 1) // 2
-                out_b = np.zeros(len(b), dtype=np.uint8)
-                out_b[0::2] = b[:half]
-                out_b[1::2] = b[half:]
-                raw = out_b.tobytes()
+                raw = _exr_reconstruct(buf)
         elif comp == 1 and len(raw) != expect:
             raw = _exr_rle_decompress(raw, expect)
         pos = 0
@@ -134,6 +126,19 @@ def load_exr(path) -> np.ndarray:
     return np.ascontiguousarray(rgb)
 
 
+def _exr_reconstruct(buf: bytes) -> bytes:
+    """OpenEXR zip/rle post-processing: sequential delta reconstruction
+    (a running prefix sum, vectorized as cumsum) then half de-interleave."""
+    b = np.frombuffer(buf, np.uint8).astype(np.int64)
+    b = (np.cumsum(b - 128) + 128) % 256
+    b = b.astype(np.uint8)
+    half = (len(b) + 1) // 2
+    o = np.empty(len(b), dtype=np.uint8)
+    o[0::2] = b[:half]
+    o[1::2] = b[half:]
+    return o.tobytes()
+
+
 def _exr_rle_decompress(raw, expect):
     out = bytearray()
     i = 0
@@ -146,15 +151,7 @@ def _exr_rle_decompress(raw, expect):
         else:
             out += raw[i:i + 1] * (n + 1)
             i += 1
-    # delta + deinterleave (same post-processing as zip)
-    b = np.frombuffer(bytes(out), np.uint8).astype(np.int16)
-    b[1:] = (b[1:] + b[:-1] - 128)
-    b = b.astype(np.uint8)
-    half = (len(b) + 1) // 2
-    o = np.zeros(len(b), dtype=np.uint8)
-    o[0::2] = b[:half]
-    o[1::2] = b[half:]
-    return o.tobytes()
+    return _exr_reconstruct(bytes(out))
 
 
 def load_radiance_hdr(path) -> np.ndarray:

@@ -1,0 +1,93 @@
+"""General ASTC decoder (LDR + HDR) and UASTC HDR 4x4 decode conformance."""
+
+import subprocess
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from basis_universal_tpu.codecs.astc import helpers as ah
+from basis_universal_tpu.formats.basis_file import BasisFile
+from basis_universal_tpu.formats.constants import (
+    BasisTexFormat,
+    TranscoderTextureFormat as TF,
+)
+from basis_universal_tpu.ops.etc1 import blocks_to_image
+from basis_universal_tpu.transcoder import BasisTranscoder
+from basis_universal_tpu.utils.image_io import load_exr
+
+
+def test_general_astc_ldr_decode_matches_uastc(oracle_uastc_file):
+    """The general ASTC decoder on our (byte-exact) ASTC repack must match
+    the oracle-exact UASTC decoder pixel-for-pixel."""
+    from basis_universal_tpu.codecs.uastc import astc_pack, decode as ud
+
+    f = BasisFile(oracle_uastc_file)
+    blocks = np.frombuffer(f.slice_data(0), dtype=np.uint8).reshape(-1, 16)[:512]
+    astc = astc_pack.uastc_blocks_to_astc(blocks)
+    ref = ud.decode_rgba(blocks)
+    got = ah.decode_blocks_rgba8(astc, srgb=False)
+    np.testing.assert_array_equal(ref, got)
+
+
+@pytest.fixture(scope="module")
+def oracle_uastc_file(golden_dir, oracle, test_files):
+    src = golden_dir / "k23_crop.png"
+    if not src.exists():
+        img = np.asarray(Image.open(test_files / "kodim23.png").convert("RGB"))
+        Image.fromarray(img[:128, :160]).save(src)
+    out = golden_dir / "k23_crop_uastc.basis"
+    if not out.exists():
+        subprocess.run([str(oracle), "-uastc", str(src), "-basis",
+                        "-output_file", str(out)],
+                       cwd=golden_dir, check=True, capture_output=True)
+    return out.read_bytes()
+
+
+@pytest.fixture(scope="module")
+def oracle_hdr(golden_dir, oracle, test_files):
+    out = golden_dir / "mem_hdr.basis"
+    if not out.exists():
+        subprocess.run(
+            [str(oracle), "-hdr_4x4", str(test_files / "memorial.exr"),
+             "-basis", "-output_file", str(out)],
+            cwd=golden_dir, check=True, capture_output=True)
+        subprocess.run([str(oracle), "-unpack", str(out)],
+                       cwd=golden_dir, check=True, capture_output=True)
+    ref = load_exr(golden_dir / "mem_hdr_hdr_unpacked_rgb_RGB_HALF_0_0000.exr")
+    return out.read_bytes(), ref
+
+
+def test_uastc_hdr_decode_bit_exact(oracle_hdr):
+    data, ref = oracle_hdr
+    tr = BasisTranscoder(data)
+    assert tr.tex_format == BasisTexFormat.UASTC_HDR_4x4
+    half = tr.transcode_image_level(0, 0, TF.RGB_HALF)
+    ours = half.view(np.float16).astype(np.float32)
+    np.testing.assert_array_equal(ours, ref)
+
+
+def test_uastc_hdr_targets(oracle_hdr):
+    data, ref = oracle_hdr
+    tr = BasisTranscoder(data)
+    rgba_half = tr.transcode_image_level(0, 0, TF.RGBA_HALF)
+    assert rgba_half.shape[-1] == 4
+    assert (rgba_half[..., 3] == 0x3C00).all()  # alpha = 1.0
+    astc = tr.transcode_image_level(0, 0, TF.ASTC_HDR_4x4_RGBA)
+    assert astc.shape[-1] == 16
+    e5 = tr.transcode_image_level(0, 0, TF.RGB_9E5)
+    assert e5.dtype == np.uint32
+    # 9E5 decode sanity: reconstruct and compare magnitudes
+    m0 = (e5 & 511).astype(np.float32)
+    ex = ((e5 >> 27) & 31).astype(np.float32) - 15 - 9
+    r = m0 * np.exp2(ex)
+    err = np.abs(r - ref[..., 0])
+    rel = err / np.maximum(np.abs(ref[..., 0]), 1e-3)
+    assert float(np.median(rel)) < 0.01
+
+
+def test_exr_zip_loader(golden_dir):
+    """The ZIP-compressed EXR reader (fixed prefix-sum predictor)."""
+    ref = load_exr(golden_dir / "mem_hdr_hdr_unpacked_rgb_RGB_HALF_0_0000.exr")
+    assert np.isfinite(ref).all()
+    assert 100.0 < float(ref.max()) < 300.0
