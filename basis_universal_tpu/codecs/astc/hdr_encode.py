@@ -1,0 +1,172 @@
+"""UASTC HDR 4x4 encoder: batched CEM-11 direct fit in qlog space.
+
+TPU-first reformulation of the UASTC HDR 4x4 encoder
+(encoder/basisu_uastc_hdr_4x4_enc.cpp): blocks are standard ASTC HDR —
+we emit CEM 11 (HDR RGB direct) single-partition blocks with a 4x4 3-bit
+weight grid and 8-bit (ISE range 20) endpoint values, the one layout whose
+inferred endpoint range is exactly byte-valued so the CEM-11 mode/flag bits
+survive quantization. Endpoints are per-channel qlog min/max (the maj=3
+'direct' submode: R,G qlog8 pairs + B qlog7 pair); weights are a dense
+8-level argmin in qlog16 space. Effort scales the refinement passes.
+"""
+
+import functools
+
+import numpy as np
+
+from . import helpers as ah
+
+
+@functools.lru_cache(maxsize=None)
+def _qlog16_to_half_lut() -> np.ndarray:
+    k = np.arange(65536, dtype=np.int64)
+    e = (k & 0xF800) >> 11
+    m = k & 0x7FF
+    mt = np.where(m < 512, 3 * m, np.where(m >= 1536, 5 * m - 2048, 4 * m - 512))
+    return ((e << 10) + (mt >> 3)).astype(np.uint16)
+
+
+@functools.lru_cache(maxsize=None)
+def _half_to_qlog16_lut() -> np.ndarray:
+    """Inverse LUT: half bits (non-negative, finite) → qlog16.
+    qlog16_to_half is monotonic non-decreasing; invert by first occurrence."""
+    fwd = _qlog16_to_half_lut().astype(np.int64)
+    inv = np.zeros(0x8000, dtype=np.uint16)
+    # first qlog producing each half value (fwd is non-decreasing)
+    firsts = np.searchsorted(fwd, np.arange(0x8000), side="left")
+    inv[:] = np.clip(firsts, 0, 65535)
+    return inv
+
+
+def half_to_qlog16(half_bits: np.ndarray) -> np.ndarray:
+    h = np.asarray(half_bits, dtype=np.uint16)
+    return _half_to_qlog16_lut()[np.clip(h, 0, 0x7FFF).astype(np.int64)]
+
+
+def float_to_half_bits(f: np.ndarray) -> np.ndarray:
+    return np.asarray(np.clip(f, 0, 65504.0), dtype=np.float16).view(np.uint16)
+
+
+def encode_blocks_hdr(px_half: np.ndarray, effort: int = 1) -> np.ndarray:
+    """(B,16,3) uint16 half bits → (B,16) uint8 ASTC HDR (CEM 11) blocks."""
+    b = px_half.shape[0]
+    q16 = half_to_qlog16(px_half).astype(np.int64)          # (B,16,3)
+    q12 = q16 >> 4
+
+    # endpoints: per-channel qlog12 min/max (direct submode precision:
+    # R,G at qlog8 (12-bit value quantized to top 8 bits), B at qlog7)
+    lo12 = q12.min(axis=1)                                  # (B,3)
+    hi12 = q12.max(axis=1)
+    prec = np.array([4, 4, 5])                              # shift per channel
+    lo_q = lo12 >> prec                                     # floor for lo
+    hi_q = -(-hi12 >> prec.astype(np.int64))                # ceil for hi
+    hi_q = np.minimum(hi_q, np.array([255, 255, 127]))
+    lo12r = lo_q << prec
+    hi12r = hi_q << prec
+
+    # weights: choose 3-bit weight per texel minimizing qlog16 error
+    wlev = np.array([ah.dequant_weight(v, 5) for v in range(8)])  # (8,)
+    le = (lo12r << 4)[:, None, :, None]                     # (B,1,3,1)
+    he = (hi12r << 4)[:, None, :, None]
+    rec = (le * (64 - wlev) + he * wlev + 32) >> 6          # (B,1,3,8)
+    # compare in half space (the decode target)
+    lut = _qlog16_to_half_lut().astype(np.int64)
+    rec_h = lut[np.clip(rec, 0, 65535)]
+    d = rec_h - lut[np.clip(q16, 0, 65535)][..., None]      # (B,16,3,8)
+    err = (d * d).sum(axis=2)                               # (B,16,8)
+    w = np.argmin(err, axis=-1).astype(np.int64)            # (B,16)
+
+    if effort >= 2:
+        # one refinement pass: least squares endpoints given weights (in
+        # qlog16 space), re-quantized, weights re-chosen
+        a_k = (64 - wlev[w]) / 64.0
+        b_k = wlev[w] / 64.0
+        A = (a_k * a_k).sum(1)
+        Bm = (a_k * b_k).sum(1)
+        C = (b_k * b_k).sum(1)
+        P = np.einsum("bi,bic->bc", a_k, q16.astype(np.float64))
+        Q = np.einsum("bi,bic->bc", b_k, q16.astype(np.float64))
+        det = A * C - Bm * Bm
+        ok = np.abs(det) > 1e-6
+        dd = np.where(ok, det, 1.0)
+        lo_n = np.clip((C[:, None] * P - Bm[:, None] * Q) / dd[:, None], 0, 65535)
+        hi_n = np.clip((A[:, None] * Q - Bm[:, None] * P) / dd[:, None], 0, 65535)
+        lo_q2 = np.clip(np.round(lo_n / 16.0).astype(np.int64) >> prec, 0, None)
+        hi_q2 = np.minimum(-(-np.round(hi_n / 16.0).astype(np.int64) >> prec),
+                           np.array([255, 255, 127]))
+        lo12r2 = lo_q2 << prec
+        hi12r2 = np.maximum(hi_q2 << prec, lo12r2)
+        le2 = (lo12r2 << 4)[:, None, :, None]
+        he2 = (hi12r2 << 4)[:, None, :, None]
+        rec2 = (le2 * (64 - wlev) + he2 * wlev + 32) >> 6
+        rec2_h = lut[np.clip(rec2, 0, 65535)]
+        d2 = rec2_h - lut[np.clip(q16, 0, 65535)][..., None]
+        err2 = (d2 * d2).sum(axis=2)
+        w2 = np.argmin(err2, axis=-1).astype(np.int64)
+        better = err2.min(-1).sum(-1) < err.min(-1).sum(-1)
+        lo_q = np.where(better[:, None] & ok[:, None], lo_q2, lo_q)
+        hi_q = np.where(better[:, None] & ok[:, None], hi_q2, hi_q)
+        w = np.where(better[:, None] & ok[:, None], w2, w)
+
+    # pack: CEM 11 maj=3 direct submode endpoint byte values
+    # v0,v1 = R lo/hi qlog8; v2,v3 = G lo/hi qlog8; v4,v5 = B lo/hi qlog7|0x80
+    eps = np.zeros((b, 6), dtype=np.int64)
+    eps[:, 0] = lo_q[:, 0]
+    eps[:, 1] = hi_q[:, 0]
+    eps[:, 2] = lo_q[:, 1]
+    eps[:, 3] = hi_q[:, 1]
+    eps[:, 4] = lo_q[:, 2] | 0x80   # maj-component bits (1,1) => direct
+    eps[:, 5] = hi_q[:, 2] | 0x80
+
+    return _pack_cem11_blocks(eps, w)
+
+
+def _pack_cem11_blocks(eps: np.ndarray, weights: np.ndarray) -> np.ndarray:
+    """Pack single-partition CEM-11 blocks: 4x4 grid, 3-bit weights
+    (range 5), byte endpoints (inferred ISE range 20)."""
+    n = eps.shape[0]
+    lanes = np.zeros((n, 2), dtype=np.uint64)
+
+    def wr(ofs, vals, nb):
+        v = vals.astype(np.uint64) & np.uint64((1 << nb) - 1)
+        if ofs < 64:
+            lanes[:, 0] |= v << np.uint64(ofs)
+            if ofs + nb > 64:
+                lanes[:, 1] |= v >> np.uint64(64 - ofs)
+        else:
+            lanes[:, 1] |= v << np.uint64(ofs - 64)
+        return ofs + nb
+
+    # block mode: grid 4x4, weight range 5 (3-bit plain), single plane.
+    # Using decode row 0 (W = 4+w2, H = 2+h2): W=4 -> w2=0, H=4 -> h2=2;
+    # range 5 => p=(5-... p-2 => p = (range)+2 when P=0: range 5 <= 5 means
+    # P=1? weight_ise_range = (p - 2) + (P ? 6 : 0); range 5 needs P=0,p=7.
+    p = 7  # p0..p2 bits
+    # row0 layout: p0 at bit4, p1 at bit0, p2 at bit1; W bits 7-8, H bits 5-6
+    bm = 0
+    bm |= (p & 1) << 4        # p0
+    bm |= ((p >> 1) & 1) << 0  # p1
+    bm |= ((p >> 2) & 1) << 1  # p2
+    # ensure bits[1:0] != 0 to select row family 0..4: p1/p2 at bits 0,1
+    bm |= 0 << 9              # P flag
+    bm |= 0 << 10             # Dp
+    bm |= 0 << 7              # W - 4 = 0
+    bm |= 2 << 5              # H - 2 = 2
+    ofs = wr(0, np.full(n, bm), 11)
+    ofs = wr(ofs, np.zeros(n), 2)             # partitions - 1 = 0
+    ofs = wr(ofs, np.full(n, 11), 4)          # CEM 11
+    for i in range(6):
+        ofs = wr(ofs, eps[:, i], 8)
+    # weights: 3-bit plain ISE, reversed bitstream from bit 127 down
+    wstream = np.zeros(n, dtype=np.uint64)
+    for i in range(16):
+        wstream |= (weights[:, i].astype(np.uint64) & np.uint64(7)) << np.uint64(3 * i)
+    # reverse the 48-bit stream
+    rev = np.zeros(n, dtype=np.uint64)
+    tmp = wstream.copy()
+    for _ in range(48):
+        rev = (rev << np.uint64(1)) | (tmp & np.uint64(1))
+        tmp >>= np.uint64(1)
+    lanes[:, 1] |= rev << np.uint64(128 - 48 - 64)
+    out = lanes.view(np.uint8).reshape(n, 16)
+    return out

@@ -175,6 +175,8 @@ def compress(images, params: CompressorParams = CompressorParams()) -> Compresso
         images = [images]
     if params.tex_format == BasisTexFormat.UASTC_LDR_4x4:
         return _compress_uastc(images, params)
+    if params.tex_format == BasisTexFormat.UASTC_HDR_4x4:
+        return _compress_uastc_hdr(images, params)
     assert params.tex_format == BasisTexFormat.ETC1S, \
         f"{params.tex_format!r} encoding not implemented yet"
 
@@ -310,6 +312,50 @@ def _rdo_thresholds(params: CompressorParams):
     else:
         scale = 1.0
     return max(1.0, 1.0 + (e_t - 1.0) * scale), max(1.0, 1.0 + (s_t - 1.0) * scale)
+
+
+def _compress_uastc_hdr(images, params: CompressorParams) -> CompressorOutput:
+    """UASTC HDR 4x4: float32 RGB (linear) inputs → standard constrained
+    ASTC HDR blocks (CEM 11), .basis + Zstd KTX2 (model 167)."""
+    from .codecs.astc import hdr_encode
+
+    slices = []
+    for image_index, img in enumerate(images):
+        img = np.asarray(img, dtype=np.float32)
+        if img.ndim == 2:
+            img = img[..., None].repeat(3, axis=-1)
+        half = hdr_encode.float_to_half_bits(img[..., :3])
+        h, w = img.shape[:2]
+        blocks = image_to_blocks(half.view(np.uint16)).astype(np.uint16)
+        by, bx = blocks.shape[:2]
+        ub = hdr_encode.encode_blocks_hdr(
+            blocks.reshape(by * bx, 16, 3), effort=params.effort)
+        slices.append(dict(
+            image_index=image_index, level_index=0,
+            orig_width=w, orig_height=h, num_blocks_x=bx, num_blocks_y=by,
+            alpha=False, data=ub.tobytes()))
+
+    descs = [basis_file.SliceDesc(
+        image_index=s["image_index"], level_index=s["level_index"], flags=0,
+        orig_width=s["orig_width"], orig_height=s["orig_height"],
+        num_blocks_x=s["num_blocks_x"], num_blocks_y=s["num_blocks_y"],
+        slice_data_crc16=crc16(s["data"])) for s in slices]
+    data = basis_file.write_basis_file(
+        BasisTexFormat.UASTC_HDR_4x4, descs, [s["data"] for s in slices],
+        tex_type=params.tex_type, flags=0,
+        userdata0=params.userdata0, userdata1=params.userdata1)
+
+    base = slices[0]
+    ktx2_data = ktx2.write_ktx2_uastc_hdr(
+        base_width=base["orig_width"], base_height=base["orig_height"],
+        level_count=1, layer_count=len(images), face_count=1,
+        slice_blocks=[s["data"] for s in slices],
+        slice_info=[dict(level=0, layer=s["image_index"], face=0)
+                    for s in slices])
+    return CompressorOutput(
+        basis_data=data, ktx2_data=ktx2_data,
+        num_endpoints=0, num_selectors=0,
+        slice_endpoints=[], slice_selectors=[])
 
 
 def _assemble(slices, fe, params: CompressorParams,

@@ -105,6 +105,35 @@ def uastc_ldr_4x4_dfd(srgb: bool, alpha: bool) -> bytes:
         channels=channels)
 
 
+def uastc_hdr_4x4_dfd() -> bytes:
+    """Matches g_ktx2_uastc_hdr_4x4_nonalpha_dfd byte-for-byte: model 167,
+    linear transfer, one 128-bit sample with the FLOAT qualifier (0x80),
+    sampleLower 0.0 / sampleHigher 1.0f bits (basisu_comp.cpp:4537)."""
+    channels = [(0, 127, 0x80, 0, 0x3F800000)]
+    return make_dfd(
+        KDF_MODEL_UASTC_HDR_4X4, bytes_per_block=16, srgb=False,
+        channels=channels)
+
+
+def write_ktx2_uastc_hdr(
+    *, base_width: int, base_height: int, level_count: int,
+    layer_count: int, face_count: int,
+    slice_blocks: List[bytes], slice_info: List[dict],
+    zstd_level: int = 6, supercompression: bool = True,
+    key_values: Optional[Dict[str, bytes]] = None,
+) -> bytes:
+    """UASTC HDR 4x4 KTX2: vk_format ASTC_4x4_SFLOAT (1000066000),
+    optional Zstandard supercompression."""
+    return _write_ktx2_blocks(
+        base_width=base_width, base_height=base_height,
+        level_count=level_count, layer_count=layer_count,
+        face_count=face_count, slice_blocks=slice_blocks,
+        slice_info=slice_info, dfd=uastc_hdr_4x4_dfd(),
+        vk_format=1000066000,  # KTX2_FORMAT_ASTC_4x4_SFLOAT_BLOCK
+        zstd_level=zstd_level, supercompression=supercompression,
+        key_values=key_values)
+
+
 def write_ktx2_uastc(
     *, base_width: int, base_height: int, level_count: int,
     layer_count: int, face_count: int,
@@ -116,6 +145,23 @@ def write_ktx2_uastc(
 ) -> bytes:
     """Assemble a UASTC LDR 4x4 .KTX2 (optional Zstandard supercompression,
     basisu_comp.cpp create_ktx2_file UASTC path)."""
+    return _write_ktx2_blocks(
+        base_width=base_width, base_height=base_height,
+        level_count=level_count, layer_count=layer_count,
+        face_count=face_count, slice_blocks=slice_blocks,
+        slice_info=slice_info, dfd=uastc_ldr_4x4_dfd(srgb, has_alpha),
+        vk_format=KTX2_VK_FORMAT_UNDEFINED,
+        zstd_level=zstd_level, supercompression=supercompression,
+        key_values=key_values)
+
+
+def _write_ktx2_blocks(
+    *, base_width: int, base_height: int, level_count: int,
+    layer_count: int, face_count: int,
+    slice_blocks: List[bytes], slice_info: List[dict], dfd: bytes,
+    vk_format: int, zstd_level: int, supercompression: bool,
+    key_values: Optional[Dict[str, bytes]],
+) -> bytes:
     total_levels = max(1, level_count)
     total_layers = max(1, layer_count)
     total_faces = max(1, face_count)
@@ -135,7 +181,6 @@ def write_ktx2_uastc(
         except ImportError:
             pass
 
-    dfd = uastc_ldr_4x4_dfd(srgb, has_alpha)
     kvs = dict(key_values or {})
     kvs.setdefault("KTXwriter", b"basis_universal_tpu 0.1.0\0")
     kvd = pack_key_values(kvs)
@@ -163,7 +208,7 @@ def write_ktx2_uastc(
         struct.pack_into("<3Q", out, li_ofs + 24 * i, bo, bl, ul)
     struct.pack_into(
         _HDR_FMT, out, hdr_ofs,
-        KTX2_VK_FORMAT_UNDEFINED, 1, base_width, base_height,
+        vk_format, 1, base_width, base_height,
         0, layer_count if layer_count > 1 else 0, total_faces, total_levels,
         scheme, dfd_ofs, len(dfd), kvd_ofs, len(kvd), 0, 0)
     return bytes(out)

@@ -91,3 +91,34 @@ def test_exr_zip_loader(golden_dir):
     ref = load_exr(golden_dir / "mem_hdr_hdr_unpacked_rgb_RGB_HALF_0_0000.exr")
     assert np.isfinite(ref).all()
     assert 100.0 < float(ref.max()) < 300.0
+
+
+def test_hdr_encoder_roundtrip_and_oracle(test_files, oracle, tmp_path):
+    """Our UASTC HDR encoder: round trip quality + oracle conformance
+    (the reference unpacks our .basis/.ktx2 and matches our decode exactly)."""
+    from basis_universal_tpu import compressor
+
+    src = load_exr(test_files / "memorial.exr")[:128, :128]
+    out = compressor.compress([src], compressor.CompressorParams(
+        tex_format=BasisTexFormat.UASTC_HDR_4x4, effort=2))
+    tr = BasisTranscoder(out.basis_data)
+    ours = tr.transcode_image_level(0, 0, TF.RGB_HALF).view(np.float16).astype(np.float32)
+    mse = ((ours - src) ** 2).mean()
+    rel_psnr = 10 * np.log10(float(src.max()) ** 2 / mse)
+    assert rel_psnr > 45.0, rel_psnr
+
+    p = tmp_path / "hdr.basis"
+    p.write_bytes(out.basis_data)
+    r = subprocess.run([str(oracle), "-unpack", str(p)],
+                       cwd=tmp_path, capture_output=True, text=True)
+    assert r.returncode == 0, r.stdout + r.stderr
+    unp = list(tmp_path.glob("*unpacked_rgb_RGB_HALF*.exr"))
+    assert unp
+    ref = load_exr(unp[0])
+    np.testing.assert_array_equal(ours, ref)
+
+    p2 = tmp_path / "hdr.ktx2"
+    p2.write_bytes(out.ktx2_data)
+    r2 = subprocess.run([str(oracle), "-unpack", str(p2)],
+                        cwd=tmp_path, capture_output=True, text=True)
+    assert r2.returncode == 0, r2.stdout + r2.stderr
