@@ -121,6 +121,113 @@ def encode_blocks_hdr(px_half: np.ndarray, effort: int = 1) -> np.ndarray:
     return _pack_cem11_blocks(eps, w)
 
 
+# --- BC6H (unsigned half) mode-11 real-time encode ---------------------------
+
+BC6H_WEIGHT4 = np.array([0, 4, 9, 13, 17, 21, 26, 30, 34, 38, 43, 47, 51, 55,
+                         60, 64], dtype=np.int64)
+
+
+def _half_to_bc6h_unq(h: np.ndarray) -> np.ndarray:
+    """Inverse of BC6H's unsigned finish: half = (x * 31) >> 6 →
+    x ≈ ceil(half * 64 / 31), clamped to the 16-bit unquantized domain."""
+    h = np.asarray(h, dtype=np.int64)
+    return np.clip((h * 64 + 30) // 31, 0, 0xFFFF)
+
+
+def _bc6h_unq_to_half(x: np.ndarray) -> np.ndarray:
+    return ((np.asarray(x, dtype=np.int64) * 31) >> 6).astype(np.uint16)
+
+
+def _bc6h_dequant10(q: np.ndarray) -> np.ndarray:
+    """bc6h_dequantize(val, 10, unsigned)."""
+    q = np.asarray(q, dtype=np.int64)
+    return np.where(q == 0, 0,
+                    np.where(q == 1023, 0xFFFF, ((q << 16) + 0x8000) >> 10))
+
+
+def halfs_to_bc6h(px_half: np.ndarray) -> np.ndarray:
+    """(B,16,3) uint16 half bits → (B,16) BC6H mode-11 blocks (one region,
+    10-bit endpoints, 4-bit indices). Real-time class encoder."""
+    b = px_half.shape[0]
+    unq = _half_to_bc6h_unq(px_half)                      # (B,16,3) 0..FFFF
+    lo = unq.min(axis=1)                                  # (B,3)
+    hi = unq.max(axis=1)
+    lo_q = lo >> 6                                        # 10-bit
+    hi_q = -(-hi >> 6)
+    hi_q = np.minimum(hi_q, 1023)
+    lo_d = _bc6h_dequant10(lo_q)                          # decode-side values
+    hi_d = _bc6h_dequant10(hi_q)
+    # reconstruction for all 16 weights: (B,1,3,16)
+    rec = (lo_d[:, None, :, None] * (64 - BC6H_WEIGHT4)
+           + hi_d[:, None, :, None] * BC6H_WEIGHT4 + 32) >> 6
+    rec_h = _bc6h_unq_to_half(rec).astype(np.int64)
+    d = rec_h - px_half[..., None].astype(np.int64)
+    err = (d * d).sum(axis=2)                             # (B,16,16w)
+    idx = np.argmin(err, axis=-1).astype(np.int64)        # (B,16)
+    # anchor texel 0 must have index < 8 (MSB implicit): swap ends + invert
+    flip = idx[:, 0] >= 8
+    idx = np.where(flip[:, None], 15 - idx, idx)
+    l2 = np.where(flip[:, None], hi_q, lo_q)
+    h2 = np.where(flip[:, None], lo_q, hi_q)
+
+    lanes = np.zeros((b, 2), dtype=np.uint64)
+
+    def wr(ofs, vals, nb):
+        v = vals.astype(np.uint64) & np.uint64((1 << nb) - 1)
+        if ofs < 64:
+            lanes[:, 0] |= v << np.uint64(ofs)
+            if ofs + nb > 64:
+                lanes[:, 1] |= v >> np.uint64(64 - ofs)
+        else:
+            lanes[:, 1] |= v << np.uint64(ofs - 64)
+        return ofs + nb
+
+    ofs = wr(0, np.full(b, 0b00011), 5)                   # mode 11
+    for c in range(3):
+        ofs = wr(ofs, l2[:, c], 10)
+    for c in range(3):
+        ofs = wr(ofs, h2[:, c], 10)
+    ofs = wr(ofs, idx[:, 0], 3)                           # anchor: 3 bits
+    for i in range(1, 16):
+        ofs = wr(ofs, idx[:, i], 4)
+    assert ofs == 128
+    return lanes.view(np.uint8).reshape(b, 16)
+
+
+def unpack_bc6h_mode11(blocks) -> np.ndarray:
+    """Validation decoder for our mode-11 BC6H blocks → (N,4,4,3) half bits."""
+    blk = np.asarray(blocks, dtype=np.uint8).reshape(-1, 16)
+    lanes = blk.view(np.uint64).reshape(-1, 2)
+    n = blk.shape[0]
+
+    def rd(ofs, nb):
+        if ofs + nb <= 64:
+            return (lanes[:, 0] >> np.uint64(ofs)) & np.uint64((1 << nb) - 1)
+        if ofs >= 64:
+            return (lanes[:, 1] >> np.uint64(ofs - 64)) & np.uint64((1 << nb) - 1)
+        return ((lanes[:, 0] >> np.uint64(ofs))
+                | (lanes[:, 1] << np.uint64(64 - ofs))) & np.uint64((1 << nb) - 1)
+
+    assert (rd(0, 5) == 0b00011).all(), "not mode-11 blocks"
+    ofs = 5
+    lo = np.zeros((n, 3), dtype=np.int64)
+    hi = np.zeros((n, 3), dtype=np.int64)
+    for c in range(3):
+        lo[:, c] = rd(ofs, 10).astype(np.int64); ofs += 10
+    for c in range(3):
+        hi[:, c] = rd(ofs, 10).astype(np.int64); ofs += 10
+    idx = np.zeros((n, 16), dtype=np.int64)
+    idx[:, 0] = rd(ofs, 3).astype(np.int64); ofs += 3
+    for i in range(1, 16):
+        idx[:, i] = rd(ofs, 4).astype(np.int64); ofs += 4
+    lo_d = _bc6h_dequant10(lo)
+    hi_d = _bc6h_dequant10(hi)
+    w = BC6H_WEIGHT4[idx]                                 # (N,16)
+    rec = (lo_d[:, None, :] * (64 - w)[..., None]
+           + hi_d[:, None, :] * w[..., None] + 32) >> 6
+    return _bc6h_unq_to_half(rec).reshape(n, 4, 4, 3)
+
+
 def _pack_cem11_blocks(eps: np.ndarray, weights: np.ndarray) -> np.ndarray:
     """Pack single-partition CEM-11 blocks: 4x4 grid, 3-bit weights
     (range 5), byte endpoints (inferred ISE range 20)."""

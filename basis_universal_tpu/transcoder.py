@@ -249,6 +249,11 @@ class AstcHdrTranscodeEngine:
             return img[..., :3]
         if fmt == TF.RGB_9E5:
             return _half_to_rgb9e5(img[..., :3])
+        if fmt == TF.BC6H:
+            from .codecs.astc import hdr_encode
+
+            return hdr_encode.halfs_to_bc6h(
+                half[..., :3].reshape(-1, 16, 3)).reshape(nby, nbx, 16)
         raise NotImplementedError(
             f"UASTC HDR transcode target {fmt!r} not implemented yet")
 

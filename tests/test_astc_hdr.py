@@ -122,3 +122,21 @@ def test_hdr_encoder_roundtrip_and_oracle(test_files, oracle, tmp_path):
     r2 = subprocess.run([str(oracle), "-unpack", str(p2)],
                         cwd=tmp_path, capture_output=True, text=True)
     assert r2.returncode == 0, r2.stdout + r2.stderr
+
+
+def test_bc6h_target(oracle_hdr):
+    """UASTC HDR -> BC6H: decode our mode-11 blocks and compare with the
+    ASTC decode ('typically a fraction of a dB' class conversion)."""
+    from basis_universal_tpu.codecs.astc import hdr_encode
+
+    data, ref = oracle_hdr
+    tr = BasisTranscoder(data)
+    bc6h = tr.transcode_image_level(0, 0, TF.BC6H)
+    by, bx = bc6h.shape[:2]
+    dec = hdr_encode.unpack_bc6h_mode11(bc6h.reshape(-1, 16))
+    img = blocks_to_image(dec.reshape(by, bx, 4, 4, 3),
+                          ref.shape[1], ref.shape[0])
+    ours = img.view(np.float16).astype(np.float32)
+    mse = ((ours - ref) ** 2).mean()
+    rel_psnr = 10 * np.log10(float(ref.max()) ** 2 / mse)
+    assert rel_psnr > 50.0, rel_psnr
