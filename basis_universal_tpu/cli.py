@@ -25,10 +25,14 @@ def _save_png(path, arr):
 
 
 def cmd_compress(args):
+    import pathlib as _p
+
     from . import compressor
     from .formats.constants import BasisTexFormat
 
     for src in args.inputs:
+        if args.hdr or _p.Path(src).suffix.lower() in (".exr", ".hdr"):
+            return cmd_compress_hdr(args)
         img = _load_image(src)
         params = compressor.CompressorParams(
             tex_format=(BasisTexFormat.UASTC_LDR_4x4 if args.uastc
@@ -51,6 +55,32 @@ def cmd_compress(args):
         data = out.basis_data if args.basis else out.ktx2_data
         print(f"Wrote {p} ({len(data)} bytes, {len(data)*8.0/pix:.3f} bits/texel, "
               f"{out.num_endpoints} endpoints, {out.num_selectors} selectors)")
+    return 0
+
+
+def cmd_compress_hdr(args):
+    from . import compressor
+    from .formats.constants import BasisTexFormat
+    from .utils.image_io import load_image_hdr
+
+    for src in args.inputs:
+        img = load_image_hdr(src)
+        params = compressor.CompressorParams(
+            tex_format=BasisTexFormat.UASTC_HDR_4x4, effort=args.effort)
+        out = compressor.compress([img], params)
+        stem = pathlib.Path(args.output_file).stem if args.output_file \
+            else pathlib.Path(src).stem
+        outdir = pathlib.Path(args.output_path or ".")
+        if args.basis:
+            p = outdir / f"{stem}.basis"
+            p.write_bytes(out.basis_data)
+        else:
+            p = outdir / f"{stem}.ktx2"
+            p.write_bytes(out.ktx2_data)
+        pix = img.shape[0] * img.shape[1]
+        data = out.basis_data if args.basis else out.ktx2_data
+        print(f"Wrote {p} (UASTC HDR 4x4, {len(data)} bytes, "
+              f"{len(data)*8.0/pix:.3f} bits/texel)")
     return 0
 
 
@@ -116,6 +146,8 @@ def main(argv=None):
     ap.add_argument("-test_codecs_gen", action="store_true")
     ap.add_argument("-basis", action="store_true", help="write .basis instead of .ktx2")
     ap.add_argument("-uastc", action="store_true", help="UASTC LDR 4x4 mode")
+    ap.add_argument("-hdr", "-hdr_4x4", action="store_true", dest="hdr",
+                    help="UASTC HDR 4x4 mode (default for .exr/.hdr inputs)")
     ap.add_argument("-q", type=int, default=128, help="ETC1S quality 1-255")
     ap.add_argument("-effort", "-comp_level", type=int, default=1, dest="effort")
     ap.add_argument("-mipmap", action="store_true")
