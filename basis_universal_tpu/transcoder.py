@@ -142,6 +142,16 @@ class Etc1sTranscodeEngine:
                 tc_ops.etc1s_block_values(e, s, c5, i5, sels, channel=1))
             return np.concatenate([r.reshape(by, bx, 8),
                                    g.reshape(by, bx, 8)], axis=-1)
+        if fmt == TF.PVRTC1_4_RGB:
+            from .ops import pvrtc1
+
+            return pvrtc1.etc1s_to_pvrtc1_4_rgb(e, s, c5, i5, sels)
+        if fmt == TF.PVRTC1_4_RGBA:
+            from .ops import pvrtc1
+
+            if alpha is None:
+                raise ValueError("PVRTC1_4_RGBA requires an alpha slice")
+            return pvrtc1.etc1s_to_pvrtc1_4_rgba(e, s, ae, asel, c5, i5, sels)
         if fmt == TF.ETC2_RGBA:
             by, bx = e.shape
             color = etc1_ops.pack_etc1_blocks(e, s, c5, i5, sels)
@@ -209,6 +219,11 @@ class UastcTranscodeEngine:
             g = tc_ops.values_to_eac_r11(px[..., 1].astype(np.int64))
             return np.concatenate([r.reshape(nby, nbx, 8),
                                    g.reshape(nby, nbx, 8)], axis=-1)
+        if fmt in (TF.PVRTC1_4_RGB, TF.PVRTC1_4_RGBA):
+            from .ops import pvrtc1
+
+            return pvrtc1.rgba_blocks_to_pvrtc1(
+                grid, has_alpha=(fmt == TF.PVRTC1_4_RGBA))
         raise NotImplementedError(f"UASTC transcode target {fmt!r} not implemented yet")
 
     @staticmethod
