@@ -226,3 +226,50 @@ def unpack_eac_a8(blocks):
             # modifiers are divided by 8 — our encoder never emits mult=0
             out[:, y, x] = v
     return out
+
+
+def unpack_fxt1(blocks, width, height):
+    """FXT1 CC_MIXED blocks (nby, nfx, 16) → (H, W, 4) RGBA (validation
+    mirror of encoder/basisu_gpu_texture.cpp unpack_fxt1:716)."""
+    blocks = np.asarray(blocks, dtype=np.uint8)
+    nby, nfx = blocks.shape[:2]
+    words = blocks.view("<u8").reshape(nby, nfx, 2).astype(np.uint64)
+    lo, hi = words[..., 0], words[..., 1]
+    assert ((hi >> np.uint64(63)) == 1).all(), "FXT1: only CC_MIXED supported"
+    assert (((hi >> np.uint64(60)) & np.uint64(1)) == 0).all()
+
+    sel_bytes = blocks[..., :8].astype(np.int64)           # (nby,nfx,8)
+    glsb = ((hi >> np.uint64(61)) & np.uint64(3)).astype(np.int64)
+
+    def color(slot, g_lsb):
+        s = slot * 15
+        b = ((hi >> np.uint64(s)) & np.uint64(31)).astype(np.int64)
+        g5 = ((hi >> np.uint64(s + 5)) & np.uint64(31)).astype(np.int64)
+        r = ((hi >> np.uint64(s + 10)) & np.uint64(31)).astype(np.int64)
+        g = (g5 << 1) | g_lsb
+        # expand 565
+        r8 = (r << 3) | (r >> 2)
+        g8 = (g << 2) | (g >> 4)
+        b8 = (b << 3) | (b >> 2)
+        return np.stack([r8, g8, b8], axis=-1)
+
+    out = np.zeros((nby * 4, nfx * 8, 4), dtype=np.uint8)
+    out[..., 3] = 255
+    for half in range(2):
+        anchor = (sel_bytes[..., half * 4] >> 1) & 1
+        gl = (glsb >> half) & 1
+        c0 = color(half * 2, anchor ^ gl)
+        c1 = color(half * 2 + 1, gl)
+        ramp = np.stack([
+            c0,
+            (c0 * 2 + c1 + 1) // 3,
+            (c1 * 2 + c0 + 1) // 3,
+            c1], axis=2)                                    # (nby,nfx,4,3)
+        for y in range(4):
+            row = sel_bytes[..., half * 4 + y]
+            for x in range(4):
+                sel = (row >> (x * 2)) & 3
+                px = np.take_along_axis(
+                    ramp, sel[..., None, None], axis=2)[..., 0, :]
+                out[y::4, (half * 4 + x)::8, :3] = px
+    return out[:height, :width]

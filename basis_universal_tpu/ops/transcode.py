@@ -518,3 +518,99 @@ def rgba_to_rgba4444(img):
     q = (img * 15 + 127) // 255
     return ((q[..., 0] << 12) | (q[..., 1] << 8)
             | (q[..., 2] << 4) | q[..., 3]).astype(np.uint16)
+
+
+# ---------------------------------------------------------------------------
+# FXT1 (CC_MIXED mode): pairs of DXT1-style 4x4 halves in one 8x4 block.
+# Parity: transcoder/basisu_transcoder.cpp convert_etc1s_to_fxt1:2573 —
+# transcode to DXT1 first, then repack.  FXT1's CC_MIXED stores 555 colors
+# per half plus shared green-LSB bits; the anchor selector's MSB XOR
+# recovers color0's green LSB, so the repack is near-lossless.
+# ---------------------------------------------------------------------------
+
+# per-2-bit-selector map DXT1{c0,c1,2/3c0,2/3c1} → FXT1{c0,lerp1,lerp2,c1}
+_FXT1_SEL_MAP = np.array([0, 3, 1, 2], dtype=np.uint8)
+_FXT1_SEL_BYTE = np.zeros(256, dtype=np.uint8)
+for _b in range(256):
+    _FXT1_SEL_BYTE[_b] = (
+        _FXT1_SEL_MAP[_b & 3]
+        | (_FXT1_SEL_MAP[(_b >> 2) & 3] << 2)
+        | (_FXT1_SEL_MAP[(_b >> 4) & 3] << 4)
+        | (_FXT1_SEL_MAP[(_b >> 6) & 3] << 6))
+# right-half duplication of the x=3 selector (s_border_dup:2636)
+_FXT1_BORDER_DUP = np.array([0, 85, 170, 255], dtype=np.uint8)
+
+
+def bc1_to_fxt1(bc1_blocks):
+    """(nby, nbx, 8) packed BC1 blocks → (nby, ceil(nbx/2), 16) FXT1
+    CC_MIXED blocks (mode=1, alpha=0).  Each FXT1 block holds two 4x4
+    halves; an odd trailing BC1 column fills only the left half with the
+    right half duplicating its border column."""
+    bc1_blocks = np.asarray(bc1_blocks, dtype=np.uint8)
+    nby, nbx = bc1_blocks.shape[:2]
+    u16 = bc1_blocks.view("<u2").reshape(nby, nbx, 4).astype(np.int64)
+    low, high = u16[..., 0], u16[..., 1]
+    sels = _FXT1_SEL_BYTE[bc1_blocks[..., 4:8]]            # (nby,nbx,4)
+
+    r0, g0, b0 = (low >> 11) & 31, (low >> 5) & 63, low & 31
+    r1, g1, b1 = (high >> 11) & 31, (high >> 5) & 63, high & 31
+    g0_lsb, g1_lsb = g0 & 1, g1 & 1
+    g0, g1 = g0 >> 1, g1 >> 1
+
+    # anchor fixup: the (0,0) selector's MSB must equal g0_lsb ^ g1_lsb
+    swap = ((sels[..., 0].astype(np.int64) >> 1) & 1) != (g0_lsb ^ g1_lsb)
+    sels = np.where(swap[..., None], sels ^ 0xFF, sels)
+    r0, r1 = np.where(swap, r1, r0), np.where(swap, r0, r1)
+    g0, g1 = np.where(swap, g1, g0), np.where(swap, g0, g1)
+    b0, b1 = np.where(swap, b1, b0), np.where(swap, b0, b1)
+    g1_lsb = np.where(swap, g0_lsb, g1_lsb)
+
+    nfx = (nbx + 1) // 2
+    out = np.zeros((nby, nfx, 2), dtype=np.uint64)
+
+    def hi_word(ra, ga, ba, rb, gb, bb, shift):
+        w = (ba.astype(np.uint64) << np.uint64(shift)
+             | ga.astype(np.uint64) << np.uint64(shift + 5)
+             | ra.astype(np.uint64) << np.uint64(shift + 10)
+             | bb.astype(np.uint64) << np.uint64(shift + 15)
+             | gb.astype(np.uint64) << np.uint64(shift + 20)
+             | rb.astype(np.uint64) << np.uint64(shift + 25))
+        return w
+
+    # left halves (even BC1 columns): colors 0/1 + defaults for 2/3
+    le = slice(0, nbx, 2)
+    out[..., 1] = (hi_word(r0[:, le], g0[:, le], b0[:, le],
+                           r1[:, le], g1[:, le], b1[:, le], 0)
+                   | hi_word(r0[:, le], g0[:, le], b0[:, le],
+                             r1[:, le], g1[:, le], b1[:, le], 30)
+                   | (g1_lsb[:, le].astype(np.uint64) * np.uint64(3)) << np.uint64(61)
+                   | np.uint64(1) << np.uint64(63))        # mode=1, alpha=0
+    lo_left = sels[:, le].astype(np.uint64)
+    dup = _FXT1_BORDER_DUP[sels[:, le] >> 6].astype(np.uint64)
+    lo = (lo_left[..., 0] | lo_left[..., 1] << np.uint64(8)
+          | lo_left[..., 2] << np.uint64(16) | lo_left[..., 3] << np.uint64(24)
+          | dup[..., 0] << np.uint64(32) | dup[..., 1] << np.uint64(40)
+          | dup[..., 2] << np.uint64(48) | dup[..., 3] << np.uint64(56))
+    out[..., 0] = lo
+
+    # right halves (odd BC1 columns) overwrite color slots 2/3 + selectors
+    if nbx > 1:
+        ro = slice(1, nbx, 2)
+        n_r = r0[:, ro].shape[1]
+        hi = out[:, :n_r, 1]
+        hi = hi & ~((np.uint64(0x3FFFFFFF) << np.uint64(30))
+                    | (np.uint64(1) << np.uint64(62)))
+        hi = hi | hi_word(r0[:, ro], g0[:, ro], b0[:, ro],
+                          r1[:, ro], g1[:, ro], b1[:, ro], 30)
+        hi = hi | (g1_lsb[:, ro].astype(np.uint64) << np.uint64(62))
+        out[:, :n_r, 1] = hi
+        lo_right = sels[:, ro].astype(np.uint64)
+        lo2 = (lo_right[..., 0] << np.uint64(32)
+               | lo_right[..., 1] << np.uint64(40)
+               | lo_right[..., 2] << np.uint64(48)
+               | lo_right[..., 3] << np.uint64(56))
+        out[:, :n_r, 0] = (out[:, :n_r, 0]
+                           & np.uint64(0x00000000FFFFFFFF)) | lo2
+    if out.dtype.byteorder not in ("<", "="):  # pragma: no cover
+        out = out.astype("<u8")
+    return out.view(np.uint8).reshape(nby, nfx, 16)

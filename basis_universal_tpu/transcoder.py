@@ -142,6 +142,8 @@ class Etc1sTranscodeEngine:
                 tc_ops.etc1s_block_values(e, s, c5, i5, sels, channel=1))
             return np.concatenate([r.reshape(by, bx, 8),
                                    g.reshape(by, bx, 8)], axis=-1)
+        if fmt == TF.FXT1_RGB:
+            return tc_ops.bc1_to_fxt1(tc_ops.etc1s_to_bc1(e, s, c5, i5, sels))
         if fmt == TF.PVRTC1_4_RGB:
             from .ops import pvrtc1
 
@@ -224,6 +226,9 @@ class UastcTranscodeEngine:
 
             return pvrtc1.rgba_blocks_to_pvrtc1(
                 grid, has_alpha=(fmt == TF.PVRTC1_4_RGBA))
+        if fmt == TF.FXT1_RGB:
+            return tc_ops.bc1_to_fxt1(
+                tc_ops.rgba_blocks_to_bc1(px).reshape(nby, nbx, 8))
         raise NotImplementedError(f"UASTC transcode target {fmt!r} not implemented yet")
 
     @staticmethod

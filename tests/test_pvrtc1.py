@@ -122,3 +122,45 @@ def test_pvrtc1_swizzle_square_and_rect():
     assert sw[0, 0] == 0 and sw[1, 1] == 3
     sw = pvrtc1.swizzle_indices(64, 32)  # non-square: linear tail on x
     assert sorted(sw.ravel().tolist()) == list(range(64 * 32))
+
+
+# ---------------------------------------------------------------------------
+# FXT1 (shares the pow2 golden fixtures)
+# ---------------------------------------------------------------------------
+
+
+def test_fxt1_decoder_pixel_exact(pvrtc_golden):
+    from basis_universal_tpu.ops import gpu_unpack
+
+    d, jobs = pvrtc_golden
+    data = _ktx1_payload(d / "p2_etc1s_transcoded_FXT1_RGB_0000.ktx")
+    blocks = np.frombuffer(data, np.uint8).reshape(32, 32, 16)
+    ref = np.asarray(Image.open(
+        d / "p2_etc1s_unpacked_rgb_FXT1_RGB_0000.png").convert("RGB"))
+    dec = gpu_unpack.unpack_fxt1(blocks, 256, 128)
+    np.testing.assert_array_equal(dec[..., :3], ref)
+
+
+@pytest.mark.parametrize("src", ["etc1s_rgb", "uastc_rgb"])
+def test_fxt1_transcode_near_lossless_vs_bc1(pvrtc_golden, src):
+    """FXT1 CC_MIXED repacks our DXT1 output; only the lerp rounding
+    differs (+1/3 rounding), so decoded pixels stay within ±1 of BC1."""
+    from basis_universal_tpu.ops import gpu_unpack
+    from basis_universal_tpu.ops.etc1 import blocks_to_image
+
+    d, jobs = pvrtc_golden
+    stem = jobs[src][1]
+    tr = BasisTranscoder((d / f"{stem}.basis").read_bytes())
+    fxt = np.asarray(tr.transcode_image_level(0, 0, TF.FXT1_RGB))
+    assert fxt.shape == (32, 32, 16)
+    ours = gpu_unpack.unpack_fxt1(fxt, 256, 128)
+    bc1 = np.asarray(tr.transcode_image_level(0, 0, TF.BC1_RGB))
+    bimg = blocks_to_image(
+        gpu_unpack.unpack_bc1(bc1.reshape(-1, 8)).reshape(32, 64, 4, 4, 4),
+        256, 128)
+    delta = np.abs(ours[..., :3].astype(int) - bimg[..., :3].astype(int))
+    assert delta.max() <= 1
+    src_px = np.asarray(
+        Image.open(d / "p2.png").convert("RGB")).astype(np.float64)
+    mse = ((ours[..., :3].astype(np.float64) - src_px) ** 2).mean()
+    assert 10 * np.log10(255.0 ** 2 / mse) > 30.0
