@@ -144,6 +144,14 @@ class Etc1sTranscodeEngine:
                                    g.reshape(by, bx, 8)], axis=-1)
         if fmt == TF.FXT1_RGB:
             return tc_ops.bc1_to_fxt1(tc_ops.etc1s_to_bc1(e, s, c5, i5, sels))
+        if fmt == TF.PVRTC2_4_RGB or (fmt == TF.PVRTC2_4_RGBA and alpha is None):
+            from .ops import pvrtc2
+
+            return pvrtc2.etc1s_to_pvrtc2_4_rgb(e, s, c5, i5, sels)
+        if fmt == TF.PVRTC2_4_RGBA:
+            from .ops import pvrtc2
+
+            return pvrtc2.etc1s_to_pvrtc2_4_rgba(e, s, ae, asel, c5, i5, sels)
         if fmt == TF.PVRTC1_4_RGB:
             from .ops import pvrtc1
 
@@ -229,6 +237,11 @@ class UastcTranscodeEngine:
         if fmt == TF.FXT1_RGB:
             return tc_ops.bc1_to_fxt1(
                 tc_ops.rgba_blocks_to_bc1(px).reshape(nby, nbx, 8))
+        if fmt in (TF.PVRTC2_4_RGB, TF.PVRTC2_4_RGBA):
+            from .ops import pvrtc2
+
+            return pvrtc2.rgba_blocks_to_pvrtc2(
+                grid, has_alpha=(fmt == TF.PVRTC2_4_RGBA))
         raise NotImplementedError(f"UASTC transcode target {fmt!r} not implemented yet")
 
     @staticmethod

@@ -164,3 +164,80 @@ def test_fxt1_transcode_near_lossless_vs_bc1(pvrtc_golden, src):
         Image.open(d / "p2.png").convert("RGB")).astype(np.float64)
     mse = ((ours[..., :3].astype(np.float64) - src_px) ** 2).mean()
     assert 10 * np.log10(255.0 ** 2 / mse) > 30.0
+
+
+# ---------------------------------------------------------------------------
+# PVRTC2 (shares the pow2 golden fixtures; PVRTC2 doesn't need pow2 but
+# the fixture files already cover both codecs and alpha variants)
+# ---------------------------------------------------------------------------
+
+
+def test_pvrtc2_rgb_transcode_bit_exact(pvrtc_golden):
+    d, jobs = pvrtc_golden
+    ref = _ktx1_payload(d / "p2_etc1s_transcoded_PVRTC2_4_RGB_0000.ktx")
+    tr = BasisTranscoder((d / "p2_etc1s.basis").read_bytes())
+    ours = np.asarray(tr.transcode_image_level(0, 0, TF.PVRTC2_4_RGB))
+    assert ours.tobytes() == ref
+
+
+def test_pvrtc2_decoder_pixel_exact(pvrtc_golden):
+    from basis_universal_tpu.ops import pvrtc2
+    from basis_universal_tpu.ops.etc1 import blocks_to_image
+
+    d, jobs = pvrtc_golden
+    data = _ktx1_payload(d / "p2_etc1s_transcoded_PVRTC2_4_RGB_0000.ktx")
+    ref = np.asarray(Image.open(
+        d / "p2_etc1s_unpacked_rgb_PVRTC2_4_RGB_0000.png").convert("RGB"))
+    dec = pvrtc2.unpack_pvrtc2(np.frombuffer(data, np.uint8).reshape(-1, 8))
+    img = blocks_to_image(dec.reshape(32, 64, 4, 4, 4), 256, 128)
+    np.testing.assert_array_equal(img[..., :3], ref)
+    # translucent blocks
+    data = _ktx1_payload(d / "p2a_etc1s_transcoded_PVRTC2_4_RGBA_0000.ktx")
+    ref = np.dstack([
+        np.asarray(Image.open(
+            d / "p2a_etc1s_unpacked_rgb_PVRTC2_4_RGBA_0000.png").convert("RGB")),
+        np.asarray(Image.open(
+            d / "p2a_etc1s_unpacked_a_PVRTC2_4_RGBA_0000.png").convert("L"))])
+    dec = pvrtc2.unpack_pvrtc2(np.frombuffer(data, np.uint8).reshape(-1, 8))
+    img = blocks_to_image(dec.reshape(32, 64, 4, 4, 4), 256, 128)
+    np.testing.assert_array_equal(img, ref)
+
+
+def test_pvrtc2_rgba_quality(pvrtc_golden):
+    """Our translucent construction is not bit-identical to the
+    reference's 4D-PCA path; require PSNR within 0.6 dB of it."""
+    from basis_universal_tpu.ops import pvrtc2
+    from basis_universal_tpu.ops.etc1 import blocks_to_image
+
+    d, jobs = pvrtc_golden
+    src = np.asarray(Image.open(d / "p2a.png").convert("RGBA")).astype(np.float64)
+    tr = BasisTranscoder((d / "p2a_etc1s.basis").read_bytes())
+    ours = np.asarray(tr.transcode_image_level(0, 0, TF.PVRTC2_4_RGBA))
+    img = blocks_to_image(
+        pvrtc2.unpack_pvrtc2(ours.reshape(-1, 8)).reshape(32, 64, 4, 4, 4),
+        256, 128).astype(np.float64)
+    ref = np.dstack([
+        np.asarray(Image.open(
+            d / "p2a_etc1s_unpacked_rgb_PVRTC2_4_RGBA_0000.png").convert("RGB")),
+        np.asarray(Image.open(
+            d / "p2a_etc1s_unpacked_a_PVRTC2_4_RGBA_0000.png").convert("L"))
+    ]).astype(np.float64)
+    psnr = lambda m: 10 * np.log10(255.0 ** 2 / m)  # noqa: E731
+    p_ours = psnr(((img - src) ** 2).mean())
+    p_ref = psnr(((ref - src) ** 2).mean())
+    assert p_ours > p_ref - 0.6, (p_ours, p_ref)
+
+
+def test_pvrtc2_uastc_path(pvrtc_golden):
+    from basis_universal_tpu.ops import pvrtc2
+    from basis_universal_tpu.ops.etc1 import blocks_to_image
+
+    d, jobs = pvrtc_golden
+    src = np.asarray(Image.open(d / "p2.png").convert("RGB")).astype(np.float64)
+    tr = BasisTranscoder((d / "p2_uastc.basis").read_bytes())
+    ours = np.asarray(tr.transcode_image_level(0, 0, TF.PVRTC2_4_RGB))
+    img = blocks_to_image(
+        pvrtc2.unpack_pvrtc2(ours.reshape(-1, 8)).reshape(32, 64, 4, 4, 4),
+        256, 128)[..., :3].astype(np.float64)
+    mse = ((img - src) ** 2).mean()
+    assert 10 * np.log10(255.0 ** 2 / mse) > 38.0
