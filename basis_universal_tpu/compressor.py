@@ -115,7 +115,9 @@ def _prepare_slices(images: Sequence[np.ndarray], params: CompressorParams):
             levels += generate_mipmaps(img, params.mip_smallest_dimension)
         for level_index, lvl in enumerate(levels):
             h, w = lvl.shape[:2]
-            rgb_blocks = image_to_blocks(lvl[..., :3]).astype(np.float32)
+            # keep blocks uint8 + contiguous: the frontend ships them to the
+            # device as-is (4x smaller transfer) and casts to f32 on-chip
+            rgb_blocks = np.ascontiguousarray(image_to_blocks(lvl[..., :3]))
             by, bx = rgb_blocks.shape[:2]
             slices.append(dict(
                 image_index=image_index, level_index=level_index,
@@ -125,7 +127,7 @@ def _prepare_slices(images: Sequence[np.ndarray], params: CompressorParams):
             ))
             if has_alpha:
                 a = lvl[..., 3:4].repeat(3, axis=-1)
-                a_blocks = image_to_blocks(a).astype(np.float32)
+                a_blocks = np.ascontiguousarray(image_to_blocks(a))
                 slices.append(dict(
                     image_index=image_index, level_index=level_index,
                     orig_width=w, orig_height=h,
