@@ -137,16 +137,27 @@ def kmeans(vecs, weights, init_centroids, num_clusters: int, iters: int = 4):
     """
     n = vecs.shape[0]
     w = weights[:, None]
+    wv = vecs * w
+    # the -2ab cross term dominates HBM traffic at (N, C) scale: compute it
+    # as a bf16 MXU matmul with f32 accumulation (assignment only needs to
+    # rank distances, and vecs are normalized to [0,1]).  Small codebooks
+    # stay f32 — there the matmul is cheap and bf16 rounding noise costs
+    # measurable PSNR at low quality levels.
+    dt = jnp.bfloat16 if num_clusters >= 1024 else jnp.float32
+    vecs_h = vecs.astype(dt)
 
     def step(centroids, _):
-        d = (jnp.sum(vecs * vecs, -1, keepdims=True)
-             - 2.0 * vecs @ centroids.T
-             + jnp.sum(centroids * centroids, -1)[None, :])    # (N, C)
+        cross = jax.lax.dot_general(
+            vecs_h, centroids.astype(dt).T,
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)             # (N, C)
+        d = jnp.sum(centroids * centroids, -1)[None, :] - 2.0 * cross
         assign = jnp.argmin(d, axis=-1)
-        one = jax.nn.one_hot(assign, num_clusters, dtype=vecs.dtype)  # (N,C)
-        sums = (vecs * w).T @ one                               # (F,C)
-        cnts = (w[:, 0] @ one)[None, :]                         # (1,C)
-        new = jnp.where(cnts > 0, sums / jnp.maximum(cnts, 1e-9), centroids.T).T
+        # centroid update by segment-sum: no (N, C) one-hot materialization
+        sums = jax.ops.segment_sum(wv, assign, num_segments=num_clusters)
+        cnts = jax.ops.segment_sum(w[:, 0], assign, num_segments=num_clusters)
+        new = jnp.where(cnts[:, None] > 0,
+                        sums / jnp.maximum(cnts[:, None], 1e-9), centroids)
         return new, assign
 
     centroids, assigns = jax.lax.scan(step, init_centroids, None, length=iters)
