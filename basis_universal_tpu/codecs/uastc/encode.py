@@ -357,6 +357,10 @@ def _search_device(px, modes: tuple, ls_iters: int, extra: tuple = ()):
             e6, ep6, w6, c6 = _mode_trial_dualplane(px, 2, 18, ls_iters)
             extra_results["mode6"] = (e6, ep6, w6, c6)
             errs.append(e6)
+        elif name == "mode9":
+            e9, ep9, w9, p9 = _mode_trial_2subset(px, 2, 8, 4, ls_iters)
+            extra_results["mode9"] = (e9, ep9, w9, p9)
+            errs.append(e9)
 
     err_mat = jnp.stack(errs, axis=1)                       # (B, M+1+X)
     best = jnp.argmin(err_mat, axis=1).astype(jnp.int32)
@@ -412,8 +416,10 @@ def encode_blocks(px_rgba: np.ndarray, effort: int = 2,
     extra = ()
     if effort >= 2:
         extra = ("mode2", "mode4", "mode6")
+        if has_alpha:
+            extra += ("mode9",)
     if effort >= 4:
-        pass  # reserved: mode 3 (3-subset), modes 9/16 (alpha 2-subset)
+        pass  # reserved: mode 3 (3-subset), mode 16 (LA 2-subset)
 
     best, eps, ws, mean, extra_res = jax.device_get(_search_device(
         jnp.asarray(px_rgba, dtype=jnp.float32), modes_t, ls_iters, extra))
@@ -454,6 +460,9 @@ def encode_blocks(px_rgba: np.ndarray, effort: int = 2,
         elif name == "mode6":
             out[idx] = _pack_mode_dualplane(6, 2, 18, ep_[idx], w_[idx],
                                             aux_[idx], etc1_inten[idx])
+        elif name == "mode9":
+            out[idx] = _pack_mode_2subset(9, 2, 8, 4, ep_[idx], w_[idx],
+                                          aux_[idx], etc1_inten[idx])
     return out
 
 
