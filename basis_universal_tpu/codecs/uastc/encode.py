@@ -194,9 +194,18 @@ def _fit_line_masked(v, mask, levels, ls_iters):
     return lo, hi, w, err
 
 
-def _mode_trial_2subset(px, wb: int, ep_range: int, comps: int, ls_iters: int):
-    """2-subset mode trial: pick the best of the 30 BC7-common partitions by
-    agreement with an ideal 2-cluster split, then fit the top candidates.
+def _mode7_seeds():
+    from . import tables as T_
+
+    return [seed for (_bc7, seed, _i) in T_.BC7_3_ASTC2_COMMON_PARTITIONS]
+
+
+def _mode_trial_2subset(px, wb: int, ep_range: int, comps: int, ls_iters: int,
+                        pattern_list: int = 2):
+    """2-subset mode trial: pick the best of the mode's common partitions
+    (30 for modes 2/4/9/16, 19 for mode 7 whose ASTC patterns pair with BC7
+    3-subset) by agreement with an ideal 2-cluster split, then fit the top
+    candidates.
 
     Returns (err (B,), eps (B, comps*4) codes, weights (B,16), pattern (B,)).
     """
@@ -209,9 +218,12 @@ def _mode_trial_2subset(px, wb: int, ep_range: int, comps: int, ls_iters: int):
     wlev = jnp.asarray(_weight_levels(wb))
     v = px[..., :comps] if comps == 3 else px
 
-    pats = np.array([T_.partition_pattern(seed, 2)
-                     for (_bc7, seed, _inv) in T_.ASTC_BC7_COMMON_PARTITIONS2],
-                    dtype=np.int32)                        # (30,16)
+    if pattern_list == 7:
+        seeds = _mode7_seeds()
+    else:
+        seeds = [seed for (_bc7, seed, _i) in T_.ASTC_BC7_COMMON_PARTITIONS2]
+    pats = np.array([T_.partition_pattern(seed, 2) for seed in seeds],
+                    dtype=np.int32)                        # (P,16)
     pats_j = jnp.asarray(pats)
 
     # ideal split: k-means-1d on luma (2 clusters, few iterations)
@@ -361,6 +373,11 @@ def _search_device(px, modes: tuple, ls_iters: int, extra: tuple = ()):
             e9, ep9, w9, p9 = _mode_trial_2subset(px, 2, 8, 4, ls_iters)
             extra_results["mode9"] = (e9, ep9, w9, p9)
             errs.append(e9)
+        elif name == "mode7":
+            e7, ep7, w7, p7 = _mode_trial_2subset(px, 2, 12, 3, ls_iters,
+                                                  pattern_list=7)
+            extra_results["mode7"] = (e7, ep7, w7, p7)
+            errs.append(e7)
 
     err_mat = jnp.stack(errs, axis=1)                       # (B, M+1+X)
     best = jnp.argmin(err_mat, axis=1).astype(jnp.int32)
@@ -419,7 +436,8 @@ def encode_blocks(px_rgba: np.ndarray, effort: int = 2,
         if has_alpha:
             extra += ("mode9",)
     if effort >= 4:
-        pass  # reserved: mode 3 (3-subset), mode 16 (LA 2-subset)
+        extra += ("mode7",)
+    # reserved for later: mode 3 (3-subset), mode 16 (LA 2-subset)
 
     best, eps, ws, mean, extra_res = jax.device_get(_search_device(
         jnp.asarray(px_rgba, dtype=jnp.float32), modes_t, ls_iters, extra))
@@ -462,6 +480,9 @@ def encode_blocks(px_rgba: np.ndarray, effort: int = 2,
                                             aux_[idx], etc1_inten[idx])
         elif name == "mode9":
             out[idx] = _pack_mode_2subset(9, 2, 8, 4, ep_[idx], w_[idx],
+                                          aux_[idx], etc1_inten[idx])
+        elif name == "mode7":
+            out[idx] = _pack_mode_2subset(7, 2, 12, 3, ep_[idx], w_[idx],
                                           aux_[idx], etc1_inten[idx])
     return out
 
@@ -605,11 +626,13 @@ def _pack_mode_2subset(mode, wb, ep_range, comps, eps, ws, patterns,
 
     wmax = (1 << wb) - 1
     # per-block anchors from the pattern; invert subsets whose anchor MSB set
-    pat_rows = np.array([T.partition_pattern(seed, 2)
-                         for (_b, seed, _i) in T.ASTC_BC7_COMMON_PARTITIONS2],
+    if mode == 7:
+        seeds = _mode7_seeds()
+    else:
+        seeds = [seed for (_b, seed, _i) in T.ASTC_BC7_COMMON_PARTITIONS2]
+    pat_rows = np.array([T.partition_pattern(seed, 2) for seed in seeds],
                         dtype=np.int64)
-    anchor_rows = np.array([T.pattern_anchors(seed, 2)
-                            for (_b, seed, _i) in T.ASTC_BC7_COMMON_PARTITIONS2],
+    anchor_rows = np.array([T.pattern_anchors(seed, 2) for seed in seeds],
                            dtype=np.int64)
     pat = pat_rows[patterns]                          # (N,16)
     anchors = anchor_rows[patterns]                   # (N,2)
