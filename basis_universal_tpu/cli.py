@@ -34,6 +34,8 @@ def cmd_compress(args):
         if args.hdr or _p.Path(src).suffix.lower() in (".exr", ".hdr"):
             return cmd_compress_hdr(args)
         img = _load_image(src)
+        if args.output_path:
+            pathlib.Path(args.output_path).mkdir(parents=True, exist_ok=True)
         params = compressor.CompressorParams(
             tex_format=(BasisTexFormat.UASTC_LDR_4x4 if args.uastc
                         else BasisTexFormat.ETC1S),
@@ -63,6 +65,8 @@ def cmd_compress_hdr(args):
     from .formats.constants import BasisTexFormat
     from .utils.image_io import load_image_hdr
 
+    if args.output_path:
+        pathlib.Path(args.output_path).mkdir(parents=True, exist_ok=True)
     for src in args.inputs:
         img = load_image_hdr(src)
         params = compressor.CompressorParams(
@@ -88,6 +92,8 @@ def cmd_unpack(args):
     from .api import Transcoder
 
     tr = Transcoder()
+    if args.output_path:
+        pathlib.Path(args.output_path).mkdir(parents=True, exist_ok=True)
     for src in args.inputs:
         data = pathlib.Path(src).read_bytes()
         h = tr.open(data)
