@@ -216,7 +216,13 @@ def _mode_trial_2subset(px, wb: int, ep_range: int, comps: int, ls_iters: int,
     inv = jnp.asarray(inv_lut)
     unq = jnp.asarray(unq_lut.astype(np.float32))
     wlev = jnp.asarray(_weight_levels(wb))
-    v = px[..., :comps] if comps == 3 else px
+    if comps == 2:  # LA: channels = (luma, alpha), like _mode_trial
+        v = jnp.stack([(px[..., 0] + px[..., 1] + px[..., 2]) * (1.0 / 3.0),
+                       px[..., 3]], axis=-1)
+    elif comps == 3:
+        v = px[..., :3]
+    else:
+        v = px
 
     if pattern_list == 7:
         seeds = _mode7_seeds()
@@ -227,7 +233,7 @@ def _mode_trial_2subset(px, wb: int, ep_range: int, comps: int, ls_iters: int,
     pats_j = jnp.asarray(pats)
 
     # ideal split: k-means-1d on luma (2 clusters, few iterations)
-    luma = jnp.mean(v[..., :3], axis=-1)                   # (B,16)
+    luma = v[..., 0] if comps == 2 else jnp.mean(v[..., :3], axis=-1)
     c0 = jnp.min(luma, 1, keepdims=True)
     c1 = jnp.max(luma, 1, keepdims=True)
     for _ in range(3):
@@ -284,6 +290,26 @@ def _mode_trial_2subset(px, wb: int, ep_range: int, comps: int, ls_iters: int,
     if comps == 3:
         aerr = jnp.sum((px[..., 3] - 255.0) ** 2, axis=-1)
         best_err = best_err + aerr
+    elif comps == 2:
+        # re-express the winner's error in full-pixel units (gray recon vs
+        # RGB + alpha), so cross-mode argmin is fair vs the RGB(A) modes
+        pat_b = pats_j[best_p].astype(jnp.float32)         # (B,16)
+        uf = unq
+
+        def ch(lo_i, hi_i):  # per-channel endpoint images (B,16)
+            lo = jnp.where(pat_b == 1, uf[best_eps[:, 4 + lo_i]][:, None],
+                           uf[best_eps[:, lo_i]][:, None])
+            hi = jnp.where(pat_b == 1, uf[best_eps[:, 4 + hi_i]][:, None],
+                           uf[best_eps[:, hi_i]][:, None])
+            return (lo * (64.0 - wlev[best_w]) + hi * wlev[best_w]
+                    + 32.0) * (1.0 / 64.0)
+
+        rec_l = ch(0, 1)
+        rec_a = ch(2, 3)
+        d_rgb = px[..., :3] - rec_l[..., None]
+        d_a = px[..., 3] - rec_a
+        best_err = (jnp.sum(d_rgb * d_rgb, axis=(1, 2))
+                    + jnp.sum(d_a * d_a, axis=1))
     return best_err, best_eps, best_w, best_p
 
 
@@ -378,6 +404,10 @@ def _search_device(px, modes: tuple, ls_iters: int, extra: tuple = ()):
                                                   pattern_list=7)
             extra_results["mode7"] = (e7, ep7, w7, p7)
             errs.append(e7)
+        elif name == "mode16":
+            e16, ep16, w16, p16 = _mode_trial_2subset(px, 2, 20, 2, ls_iters)
+            extra_results["mode16"] = (e16, ep16, w16, p16)
+            errs.append(e16)
 
     err_mat = jnp.stack(errs, axis=1)                       # (B, M+1+X)
     best = jnp.argmin(err_mat, axis=1).astype(jnp.int32)
@@ -437,7 +467,9 @@ def encode_blocks(px_rgba: np.ndarray, effort: int = 2,
             extra += ("mode9",)
     if effort >= 4:
         extra += ("mode7",)
-    # reserved for later: mode 3 (3-subset), mode 16 (LA 2-subset)
+        if has_alpha:
+            extra += ("mode16",)
+    # reserved for later: mode 3 (3-subset)
 
     best, eps, ws, mean, extra_res = jax.device_get(_search_device(
         jnp.asarray(px_rgba, dtype=jnp.float32), modes_t, ls_iters, extra))
@@ -483,6 +515,9 @@ def encode_blocks(px_rgba: np.ndarray, effort: int = 2,
                                           aux_[idx], etc1_inten[idx])
         elif name == "mode7":
             out[idx] = _pack_mode_2subset(7, 2, 12, 3, ep_[idx], w_[idx],
+                                          aux_[idx], etc1_inten[idx])
+        elif name == "mode16":
+            out[idx] = _pack_mode_2subset(16, 2, 20, 2, ep_[idx], w_[idx],
                                           aux_[idx], etc1_inten[idx])
     return out
 
