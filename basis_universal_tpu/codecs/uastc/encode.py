@@ -313,6 +313,86 @@ def _mode_trial_2subset(px, wb: int, ep_range: int, comps: int, ls_iters: int,
     return best_err, best_eps, best_w, best_p
 
 
+def _mode_trial_3subset(px, ls_iters: int):
+    """Mode 3 (RGB, 3 subsets, 2-bit weights, endpoint range 7): pick the
+    best of the 11 common 3-subset partitions by confusion-matrix agreement
+    with a 3-means luma split, then fit the top candidates."""
+    from . import tables as T_
+
+    wb, ep_range, comps = 2, 7, 3
+    b = px.shape[0]
+    inv_lut, unq_lut = quant_luts(ep_range)
+    inv = jnp.asarray(inv_lut)
+    unq = jnp.asarray(unq_lut.astype(np.float32))
+    wlev = jnp.asarray(_weight_levels(wb))
+    v = px[..., :3]
+
+    seeds = [seed for (_bc7, seed, _i) in T_.ASTC_BC7_COMMON_PARTITIONS3]
+    pats = np.array([T_.partition_pattern(seed, 3) for seed in seeds],
+                    dtype=np.int32)                        # (11,16)
+    pats_j = jnp.asarray(pats)
+
+    # 3-means on luma
+    luma = jnp.mean(v, axis=-1)                            # (B,16)
+    c = jnp.stack([jnp.min(luma, 1), jnp.mean(luma, 1), jnp.max(luma, 1)],
+                  axis=-1)                                 # (B,3)
+    for _ in range(3):
+        d = jnp.abs(luma[..., None] - c[:, None, :])       # (B,16,3)
+        lab = jnp.argmin(d, axis=-1)                       # (B,16)
+        one = jax.nn.one_hot(lab, 3, dtype=jnp.float32)
+        cnt = jnp.maximum(one.sum(1), 1.0)
+        c = jnp.einsum("bi,bik->bk", luma, one) / cnt
+    ideal = jax.nn.one_hot(lab, 3, dtype=jnp.float32)      # (B,16,3)
+
+    # confusion-based agreement, max over the 6 label permutations
+    pat_oh = jax.nn.one_hot(pats_j, 3, dtype=jnp.float32)  # (11,16,3)
+    conf = jnp.einsum("bik,pij->bpkj", ideal, pat_oh)      # (B,11,3,3)
+    perms = [(0, 1, 2), (0, 2, 1), (1, 0, 2), (1, 2, 0), (2, 0, 1), (2, 1, 0)]
+    score = jnp.stack([conf[..., 0, p[0]] + conf[..., 1, p[1]]
+                       + conf[..., 2, p[2]] for p in perms], -1).max(-1)
+    TOPK = 2
+    _, cand = jax.lax.top_k(score, TOPK)                   # (B,K)
+
+    best_err = jnp.full(b, jnp.inf)
+    best_eps = jnp.zeros((b, comps * 6), jnp.int32)
+    best_w = jnp.zeros((b, 16), jnp.int32)
+    best_p = jnp.zeros(b, jnp.int32)
+    for k in range(TOPK):
+        pidx = cand[:, k]
+        pat = pats_j[pidx]                                 # (B,16) 0..2
+        eps_s = []
+        for s in range(3):
+            mask = (pat == s).astype(jnp.float32)
+            lo, hi, _w, _e = _fit_line_masked(v, mask, wlev, ls_iters)
+            lo_c = inv[jnp.clip(jnp.round(lo), 0, 255).astype(jnp.int32)]
+            hi_c = inv[jnp.clip(jnp.round(hi), 0, 255).astype(jnp.int32)]
+            eps_s.append((lo_c, hi_c))
+        lo_px = jnp.zeros((b, 16, comps), jnp.float32)
+        hi_px = jnp.zeros((b, 16, comps), jnp.float32)
+        for s in range(3):
+            m = (pat == s)[..., None]
+            lo_px = jnp.where(m, unq[eps_s[s][0]][:, None, :], lo_px)
+            hi_px = jnp.where(m, unq[eps_s[s][1]][:, None, :], hi_px)
+        rec = (lo_px[:, :, None, :] * (64.0 - wlev)[None, None, :, None]
+               + hi_px[:, :, None, :] * wlev[None, None, :, None]
+               + 32.0) * (1.0 / 64.0)
+        e_all = jnp.sum((v[:, :, None, :] - rec) ** 2, -1)
+        w = jnp.argmin(e_all, axis=-1).astype(jnp.int32)
+        err = jnp.sum(jnp.min(e_all, axis=-1), axis=-1)
+        better = err < best_err
+        best_err = jnp.where(better, err, best_err)
+        parts = []
+        for s in range(3):
+            parts.append(jnp.stack([eps_s[s][0], eps_s[s][1]],
+                                   -1).reshape(b, comps * 2))
+        e_cat = jnp.concatenate(parts, -1)                 # (B, 18)
+        best_eps = jnp.where(better[:, None], e_cat, best_eps)
+        best_w = jnp.where(better[:, None], w, best_w)
+        best_p = jnp.where(better, pidx, best_p)
+    aerr = jnp.sum((px[..., 3] - 255.0) ** 2, axis=-1)
+    return best_err + aerr, best_eps, best_w, best_p
+
+
 def _mode_trial_dualplane(px, wb: int, ep_range: int, ls_iters: int):
     """Dual-plane RGB mode (6): per-ccs trial — plane 1 carries the selected
     channel, plane 0 the other two. Returns (err, eps codes (B,6),
@@ -408,6 +488,10 @@ def _search_device(px, modes: tuple, ls_iters: int, extra: tuple = ()):
             e16, ep16, w16, p16 = _mode_trial_2subset(px, 2, 20, 2, ls_iters)
             extra_results["mode16"] = (e16, ep16, w16, p16)
             errs.append(e16)
+        elif name == "mode3":
+            e3, ep3, w3, p3 = _mode_trial_3subset(px, ls_iters)
+            extra_results["mode3"] = (e3, ep3, w3, p3)
+            errs.append(e3)
 
     err_mat = jnp.stack(errs, axis=1)                       # (B, M+1+X)
     best = jnp.argmin(err_mat, axis=1).astype(jnp.int32)
@@ -466,10 +550,9 @@ def encode_blocks(px_rgba: np.ndarray, effort: int = 2,
         if has_alpha:
             extra += ("mode9",)
     if effort >= 4:
-        extra += ("mode7",)
+        extra += ("mode7", "mode3")
         if has_alpha:
             extra += ("mode16",)
-    # reserved for later: mode 3 (3-subset)
 
     best, eps, ws, mean, extra_res = jax.device_get(_search_device(
         jnp.asarray(px_rgba, dtype=jnp.float32), modes_t, ls_iters, extra))
@@ -519,6 +602,9 @@ def encode_blocks(px_rgba: np.ndarray, effort: int = 2,
         elif name == "mode16":
             out[idx] = _pack_mode_2subset(16, 2, 20, 2, ep_[idx], w_[idx],
                                           aux_[idx], etc1_inten[idx])
+        elif name == "mode3":
+            out[idx] = _pack_mode_3subset(ep_[idx], w_[idx], aux_[idx],
+                                          etc1_inten[idx])
     return out
 
 
@@ -702,6 +788,60 @@ def _pack_mode_2subset(mode, wb, ep_range, comps, eps, ws, patterns,
             nb = wb - (1 if i in (a0, a1) else 0)
             gofs = _wr(glanes, gofs, ws[gi, i], nb)
         assert gofs <= 128
+        out[gi] = _lanes_to_bytes(glanes)
+        done[gi] = True
+    assert done.all()
+    return out
+
+
+def _pack_mode_3subset(eps, ws, patterns, etc1_inten):
+    """Pack mode 3 (3 subsets, 4-bit pattern index, range-7 endpoints,
+    2-bit weights with three per-subset anchors)."""
+    from . import tables as T
+
+    mode, wb, ep_range, comps = 3, 2, 7, 3
+    n = eps.shape[0]
+    eps = eps.copy()
+    ws = ws.copy()
+    lanes = np.zeros((n, 2), dtype=np.uint64)
+    code, size = T.MODE_HUFF_CODES[mode]
+    ofs = _wr(lanes, 0, np.full(n, code), size)
+    ofs = _common_hints(lanes, ofs, mode, n, etc1_inten)
+    ofs = _wr(lanes, ofs, patterns, 4)
+
+    wmax = (1 << wb) - 1
+    seeds = [seed for (_b, seed, _i) in T.ASTC_BC7_COMMON_PARTITIONS3]
+    pat_rows = np.array([T.partition_pattern(seed, 3) for seed in seeds],
+                        dtype=np.int64)
+    anchor_rows = np.array([T.pattern_anchors(seed, 3) for seed in seeds],
+                           dtype=np.int64)
+    pat = pat_rows[patterns]                          # (N,16)
+    anchors = anchor_rows[patterns]                   # (N,3)
+    for s in range(3):
+        a_idx = anchors[:, s]
+        a_w = ws[np.arange(n), a_idx]
+        flip = (a_w >> (wb - 1)) & 1
+        in_subset = pat == s
+        ws = np.where((flip[:, None] == 1) & in_subset, wmax - ws, ws)
+        base = s * comps * 2
+        for c in range(comps):
+            lo = eps[:, base + c * 2].copy()
+            hi = eps[:, base + c * 2 + 1].copy()
+            eps[:, base + c * 2] = np.where(flip == 1, hi, lo)
+            eps[:, base + c * 2 + 1] = np.where(flip == 1, lo, hi)
+
+    ofs = _emit_endpoints(lanes, ofs, eps, ep_range, comps * 2 * 3)
+    out = np.zeros((n, 16), dtype=np.uint8)
+    done = np.zeros(n, dtype=bool)
+    for pv in np.unique(patterns):
+        gi = np.flatnonzero(patterns == pv)
+        glanes = lanes[gi].copy()
+        gofs = ofs
+        anch = set(int(a) for a in anchor_rows[pv])
+        for i in range(16):
+            nb = wb - (1 if i in anch else 0)
+            gofs = _wr(glanes, gofs, ws[gi, i], nb)
+        assert gofs <= 128, gofs
         out[gi] = _lanes_to_bytes(glanes)
         done[gi] = True
     assert done.all()

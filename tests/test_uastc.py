@@ -172,3 +172,55 @@ def test_etc1s_astc_target(kodim23_basis):
     tr = BasisTranscoder(kodim23_basis)
     astc = tr.transcode_image_level(0, 0, TF.ASTC_4x4_RGBA)
     assert astc.shape == (128, 192, 16)
+
+
+def test_uastc_multisubset_modes_oracle(oracle, tmp_path):
+    """Modes 3 (3-subset) and 7 (2-subset, BC7-3 common partitions) at
+    effort 4 on synthetic 3-band blocks: both must be selected and the
+    reference must decode our file to exactly our pixels."""
+    import collections
+    import subprocess
+
+    from basis_universal_tpu import compressor
+    from basis_universal_tpu.codecs.uastc import tables as T
+    from basis_universal_tpu.formats.basis_file import BasisFile
+    from basis_universal_tpu.formats.constants import (
+        BasisTexFormat, TranscoderTextureFormat as TF)
+    from basis_universal_tpu.transcoder import BasisTranscoder
+
+    rng = np.random.default_rng(0)
+    h, w = 64, 64
+    img = np.zeros((h, w, 3), np.uint8)
+    cols = np.array([[255, 30, 20], [20, 255, 40], [40, 30, 255]])
+    for by in range(h // 4):
+        for bx in range(w // 4):
+            for row in range(4):
+                band = min(row, 2) if (bx % 2 == 0) else (row % 3)
+                img[by * 4 + row, bx * 4:bx * 4 + 4] = cols[(band + by) % 3]
+    img = np.clip(img.astype(int) + rng.integers(-12, 13, img.shape),
+                  0, 255).astype(np.uint8)
+    out = compressor.compress(img, compressor.CompressorParams(
+        tex_format=BasisTexFormat.UASTC_LDR_4x4, effort=4))
+
+    f = BasisFile(out.basis_data)
+    blocks = np.frombuffer(f.slice_data(0), np.uint8).reshape(-1, 16)
+    lo = blocks.view("<u8").reshape(-1, 2)[:, 0]
+    modes = np.full(len(lo), -1)
+    for m in sorted(range(19), key=lambda m: T.MODE_HUFF_CODES[m][1]):
+        code, size = T.MODE_HUFF_CODES[m]
+        modes = np.where((modes < 0) & ((lo & ((1 << size) - 1)) == code),
+                         m, modes)
+    hist = collections.Counter(modes.tolist())
+    assert hist[3] > 0 and hist[7] > 0, hist
+
+    tr = BasisTranscoder(out.basis_data)
+    dec = tr.transcode_image_level(0, 0, TF.RGBA32)[..., :3]
+    p = tmp_path / "m3.basis"
+    p.write_bytes(out.basis_data)
+    r = subprocess.run([str(oracle), "-unpack", str(p)],
+                       cwd=tmp_path, capture_output=True, text=True)
+    assert r.returncode == 0, r.stdout + r.stderr
+    from PIL import Image as PILImage
+    ref = np.asarray(PILImage.open(
+        sorted(tmp_path.glob("*unpacked_rgb_ASTC_LDR*png"))[0]).convert("RGB"))
+    np.testing.assert_array_equal(dec, ref)
