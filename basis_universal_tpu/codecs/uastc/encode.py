@@ -447,6 +447,59 @@ def _mode_trial_dualplane(px, wb: int, ep_range: int, ls_iters: int):
     return best_err + aerr, best_eps, best_w, best_ccs
 
 
+def _mode_trial_dualplane4(px, wb: int, ep_range: int, ls_iters: int):
+    """Dual-plane RGBA mode 11: ccs selects one of 4 channels for plane 1;
+    plane 0 carries the other three. Returns (err, eps codes (B,8),
+    weights interleaved (B,32), ccs (B,))."""
+    b = px.shape[0]
+    inv_lut, unq_lut = quant_luts(ep_range)
+    inv = jnp.asarray(inv_lut)
+    unq = jnp.asarray(unq_lut.astype(np.float32))
+    wlev = jnp.asarray(_weight_levels(wb))
+    ones = jnp.ones((b, 16), jnp.float32)
+
+    best_err = jnp.full(b, jnp.inf)
+    best_eps = jnp.zeros((b, 8), jnp.int32)
+    best_w = jnp.zeros((b, 32), jnp.int32)
+    best_ccs = jnp.zeros(b, jnp.int32)
+    for ccs in range(4):
+        others = [c for c in range(4) if c != ccs]
+        v0 = px[..., others]                               # (B,16,3)
+        v1 = px[..., ccs:ccs + 1]                          # (B,16,1)
+        lo0, hi0, _w0, _e0 = _fit_line_masked(v0, ones, wlev, ls_iters)
+        lo1, hi1, _w1, _e1 = _fit_line_masked(v1, ones, wlev, ls_iters)
+        lo = jnp.zeros((b, 4), jnp.float32)
+        hi = jnp.zeros((b, 4), jnp.float32)
+        for oi, c in enumerate(others):
+            lo = lo.at[:, c].set(lo0[:, oi])
+            hi = hi.at[:, c].set(hi0[:, oi])
+        lo = lo.at[:, ccs].set(lo1[:, 0])
+        hi = hi.at[:, ccs].set(hi1[:, 0])
+        codes_lo = inv[jnp.clip(jnp.round(lo), 0, 255).astype(jnp.int32)]
+        codes_hi = inv[jnp.clip(jnp.round(hi), 0, 255).astype(jnp.int32)]
+        eps = jnp.stack([codes_lo, codes_hi], -1).reshape(b, 8)
+        lo_u = unq[codes_lo]
+        hi_u = unq[codes_hi]
+        rec = (lo_u[:, None, None, :] * (64.0 - wlev)[None, None, :, None]
+               + hi_u[:, None, None, :] * wlev[None, None, :, None]
+               + 32.0) * (1.0 / 64.0)                       # (B,1,L,4)
+        diff = px[:, :, None, :] - rec
+        e_p0 = sum(diff[..., c] ** 2 for c in others)       # (B,16,L)
+        e_p1 = diff[..., ccs] ** 2
+        w0 = jnp.argmin(e_p0, axis=-1).astype(jnp.int32)
+        w1 = jnp.argmin(e_p1, axis=-1).astype(jnp.int32)
+        err = (jnp.sum(jnp.min(e_p0, axis=-1), -1)
+               + jnp.sum(jnp.min(e_p1, axis=-1), -1))
+        w = jnp.zeros((b, 32), jnp.int32)
+        w = w.at[:, 0::2].set(w0).at[:, 1::2].set(w1)
+        better = err < best_err
+        best_err = jnp.where(better, err, best_err)
+        best_eps = jnp.where(better[:, None], eps, best_eps)
+        best_w = jnp.where(better[:, None], w, best_w)
+        best_ccs = jnp.where(better, ccs, best_ccs)
+    return best_err, best_eps, best_w, best_ccs
+
+
 @functools.partial(jax.jit, static_argnames=("modes", "ls_iters", "extra"))
 def _search_device(px, modes: tuple, ls_iters: int, extra: tuple = ()):
     errs, eps, ws = [], [], []
@@ -492,6 +545,10 @@ def _search_device(px, modes: tuple, ls_iters: int, extra: tuple = ()):
             e3, ep3, w3, p3 = _mode_trial_3subset(px, ls_iters)
             extra_results["mode3"] = (e3, ep3, w3, p3)
             errs.append(e3)
+        elif name == "mode11":
+            e11, ep11, w11, c11 = _mode_trial_dualplane4(px, 2, 13, ls_iters)
+            extra_results["mode11"] = (e11, ep11, w11, c11)
+            errs.append(e11)
 
     err_mat = jnp.stack(errs, axis=1)                       # (B, M+1+X)
     best = jnp.argmin(err_mat, axis=1).astype(jnp.int32)
@@ -552,7 +609,7 @@ def encode_blocks(px_rgba: np.ndarray, effort: int = 2,
     if effort >= 4:
         extra += ("mode7", "mode3")
         if has_alpha:
-            extra += ("mode16",)
+            extra += ("mode16", "mode11")
 
     best, eps, ws, mean, extra_res = jax.device_get(_search_device(
         jnp.asarray(px_rgba, dtype=jnp.float32), modes_t, ls_iters, extra))
@@ -605,6 +662,10 @@ def encode_blocks(px_rgba: np.ndarray, effort: int = 2,
         elif name == "mode3":
             out[idx] = _pack_mode_3subset(ep_[idx], w_[idx], aux_[idx],
                                           etc1_inten[idx])
+        elif name == "mode11":
+            out[idx] = _pack_mode_dualplane(11, 2, 13, ep_[idx], w_[idx],
+                                            aux_[idx], etc1_inten[idx],
+                                            comps=4)
     return out
 
 
@@ -848,9 +909,10 @@ def _pack_mode_3subset(eps, ws, patterns, etc1_inten):
     return out
 
 
-def _pack_mode_dualplane(mode, wb, ep_range, eps, ws, ccs, etc1_inten):
-    """Pack dual-plane RGB mode 6: 2-bit CCS, interleaved plane weights,
-    per-plane anchor MSB-invert with per-channel endpoint swaps."""
+def _pack_mode_dualplane(mode, wb, ep_range, eps, ws, ccs, etc1_inten,
+                         comps=3):
+    """Pack dual-plane modes (6 RGB, 11 RGBA): 2-bit CCS, interleaved plane
+    weights, per-plane anchor MSB-invert with per-channel endpoint swaps."""
     n = eps.shape[0]
     eps = eps.copy()
     ws = ws.copy()
@@ -861,7 +923,6 @@ def _pack_mode_dualplane(mode, wb, ep_range, eps, ws, ccs, etc1_inten):
     ofs = _wr(lanes, ofs, ccs, 2)
 
     wmax = (1 << wb) - 1
-    comps = 3
     for plane in range(2):
         a_w = ws[:, plane]                           # anchor texel 0
         flip = (a_w >> (wb - 1)) & 1
