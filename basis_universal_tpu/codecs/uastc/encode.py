@@ -549,6 +549,10 @@ def _search_device(px, modes: tuple, ls_iters: int, extra: tuple = ()):
             e11, ep11, w11, c11 = _mode_trial_dualplane4(px, 2, 13, ls_iters)
             extra_results["mode11"] = (e11, ep11, w11, c11)
             errs.append(e11)
+        elif name == "mode13":
+            e13, ep13, w13, c13 = _mode_trial_dualplane4(px, 1, 20, ls_iters)
+            extra_results["mode13"] = (e13, ep13, w13, c13)
+            errs.append(e13)
 
     err_mat = jnp.stack(errs, axis=1)                       # (B, M+1+X)
     best = jnp.argmin(err_mat, axis=1).astype(jnp.int32)
@@ -609,7 +613,7 @@ def encode_blocks(px_rgba: np.ndarray, effort: int = 2,
     if effort >= 4:
         extra += ("mode7", "mode3")
         if has_alpha:
-            extra += ("mode16", "mode11")
+            extra += ("mode16", "mode11", "mode13")
 
     best, eps, ws, mean, extra_res = jax.device_get(_search_device(
         jnp.asarray(px_rgba, dtype=jnp.float32), modes_t, ls_iters, extra))
@@ -664,6 +668,10 @@ def encode_blocks(px_rgba: np.ndarray, effort: int = 2,
                                           etc1_inten[idx])
         elif name == "mode11":
             out[idx] = _pack_mode_dualplane(11, 2, 13, ep_[idx], w_[idx],
+                                            aux_[idx], etc1_inten[idx],
+                                            comps=4)
+        elif name == "mode13":
+            out[idx] = _pack_mode_dualplane(13, 1, 20, ep_[idx], w_[idx],
                                             aux_[idx], etc1_inten[idx],
                                             comps=4)
     return out
