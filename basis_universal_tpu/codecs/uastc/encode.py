@@ -500,6 +500,45 @@ def _mode_trial_dualplane4(px, wb: int, ep_range: int, ls_iters: int):
     return best_err, best_eps, best_w, best_ccs
 
 
+def _mode_trial_dualplane_la(px, wb: int, ep_range: int, ls_iters: int):
+    """Dual-plane LA mode 17: plane 0 carries luma (applied to RGB),
+    plane 1 carries alpha; CCS is fixed (not emitted).  Returns
+    (err, eps codes (B,4) = [Llo,Lhi,Alo,Ahi], weights interleaved (B,32))."""
+    b = px.shape[0]
+    inv_lut, unq_lut = quant_luts(ep_range)
+    inv = jnp.asarray(inv_lut)
+    unq = jnp.asarray(unq_lut.astype(np.float32))
+    wlev = jnp.asarray(_weight_levels(wb))
+    ones = jnp.ones((b, 16), jnp.float32)
+
+    luma = jnp.mean(px[..., :3], axis=-1, keepdims=True)    # (B,16,1)
+    alpha = px[..., 3:]
+    lo_l, hi_l, _w, _e = _fit_line_masked(luma, ones, wlev, ls_iters)
+    lo_a, hi_a, _w2, _e2 = _fit_line_masked(alpha, ones, wlev, ls_iters)
+
+    def q(x):
+        return inv[jnp.clip(jnp.round(x[:, 0]), 0, 255).astype(jnp.int32)]
+
+    cl, ch_, al, ah = q(lo_l), q(hi_l), q(lo_a), q(hi_a)
+    rec_l = (unq[cl][:, None, None] * (64.0 - wlev)[None, None, :]
+             + unq[ch_][:, None, None] * wlev[None, None, :]
+             + 32.0) * (1.0 / 64.0)                          # (B,1,L)
+    e_l = jnp.sum((px[..., :3][:, :, None, :]
+                   - rec_l[..., None]) ** 2, -1)             # (B,16,L)
+    rec_a = (unq[al][:, None, None] * (64.0 - wlev)[None, None, :]
+             + unq[ah][:, None, None] * wlev[None, None, :]
+             + 32.0) * (1.0 / 64.0)
+    e_a = (alpha[:, :, None, 0] - rec_a) ** 2
+    w0 = jnp.argmin(e_l, axis=-1).astype(jnp.int32)
+    w1 = jnp.argmin(e_a, axis=-1).astype(jnp.int32)
+    err = (jnp.sum(jnp.min(e_l, axis=-1), -1)
+           + jnp.sum(jnp.min(e_a, axis=-1), -1))
+    w = jnp.zeros((b, 32), jnp.int32)
+    w = w.at[:, 0::2].set(w0).at[:, 1::2].set(w1)
+    eps = jnp.stack([cl, ch_, al, ah], -1)
+    return err, eps.astype(jnp.int32), w
+
+
 @functools.partial(jax.jit, static_argnames=("modes", "ls_iters", "extra"))
 def _search_device(px, modes: tuple, ls_iters: int, extra: tuple = ()):
     errs, eps, ws = [], [], []
@@ -553,6 +592,10 @@ def _search_device(px, modes: tuple, ls_iters: int, extra: tuple = ()):
             e13, ep13, w13, c13 = _mode_trial_dualplane4(px, 1, 20, ls_iters)
             extra_results["mode13"] = (e13, ep13, w13, c13)
             errs.append(e13)
+        elif name == "mode17":
+            e17, ep17, w17 = _mode_trial_dualplane_la(px, 2, 20, ls_iters)
+            extra_results["mode17"] = (e17, ep17, w17, None)
+            errs.append(e17)
 
     err_mat = jnp.stack(errs, axis=1)                       # (B, M+1+X)
     best = jnp.argmin(err_mat, axis=1).astype(jnp.int32)
@@ -613,7 +656,7 @@ def encode_blocks(px_rgba: np.ndarray, effort: int = 2,
     if effort >= 4:
         extra += ("mode7", "mode3")
         if has_alpha:
-            extra += ("mode16", "mode11", "mode13")
+            extra += ("mode16", "mode11", "mode13", "mode17")
 
     best, eps, ws, mean, extra_res = jax.device_get(_search_device(
         jnp.asarray(px_rgba, dtype=jnp.float32), modes_t, ls_iters, extra))
@@ -674,6 +717,11 @@ def encode_blocks(px_rgba: np.ndarray, effort: int = 2,
             out[idx] = _pack_mode_dualplane(13, 1, 20, ep_[idx], w_[idx],
                                             aux_[idx], etc1_inten[idx],
                                             comps=4)
+        elif name == "mode17":
+            out[idx] = _pack_mode_dualplane(
+                17, 2, 20, ep_[idx], w_[idx],
+                np.ones(len(idx), np.int64), etc1_inten[idx],
+                comps=2, emit_ccs=False)
     return out
 
 
@@ -918,9 +966,10 @@ def _pack_mode_3subset(eps, ws, patterns, etc1_inten):
 
 
 def _pack_mode_dualplane(mode, wb, ep_range, eps, ws, ccs, etc1_inten,
-                         comps=3):
-    """Pack dual-plane modes (6 RGB, 11 RGBA): 2-bit CCS, interleaved plane
-    weights, per-plane anchor MSB-invert with per-channel endpoint swaps."""
+                         comps=3, emit_ccs=True):
+    """Pack dual-plane modes (6 RGB, 11/13 RGBA, 17 LA): 2-bit CCS (fixed
+    and not emitted for mode 17), interleaved plane weights, per-plane
+    anchor MSB-invert with per-channel endpoint swaps."""
     n = eps.shape[0]
     eps = eps.copy()
     ws = ws.copy()
@@ -928,7 +977,8 @@ def _pack_mode_dualplane(mode, wb, ep_range, eps, ws, ccs, etc1_inten,
     code, size = T.MODE_HUFF_CODES[mode]
     ofs = _wr(lanes, 0, np.full(n, code), size)
     ofs = _common_hints(lanes, ofs, mode, n, etc1_inten)
-    ofs = _wr(lanes, ofs, ccs, 2)
+    if emit_ccs:
+        ofs = _wr(lanes, ofs, ccs, 2)
 
     wmax = (1 << wb) - 1
     for plane in range(2):
