@@ -224,3 +224,61 @@ def test_uastc_multisubset_modes_oracle(oracle, tmp_path):
     ref = np.asarray(PILImage.open(
         sorted(tmp_path.glob("*unpacked_rgb_ASTC_LDR*png"))[0]).convert("RGB"))
     np.testing.assert_array_equal(dec, ref)
+
+
+def test_uastc_dualplane_alpha_modes_oracle(oracle, tmp_path):
+    """Dual-plane alpha modes 11/13/17 at effort 4: each must win on its
+    bait image and the reference must decode our files exactly."""
+    import collections
+    import subprocess
+
+    from PIL import Image as PILImage
+
+    from basis_universal_tpu import compressor
+    from basis_universal_tpu.codecs.uastc import tables as T
+    from basis_universal_tpu.formats.basis_file import BasisFile
+    from basis_universal_tpu.formats.constants import (
+        BasisTexFormat, TranscoderTextureFormat as TF)
+    from basis_universal_tpu.transcoder import BasisTranscoder
+
+    rng = np.random.default_rng(1)
+    yy, xx = np.indices((64, 64))
+    grad = ((xx * 255) // 63).astype(np.uint8)
+    g = (yy * 3 + 40).astype(np.uint8)
+    two_tone = np.where((rng.random((64, 64)) > 0.5)[..., None],
+                        [210, 60, 35], [40, 120, 200]).astype(np.uint8)
+    baits = {
+        13: np.dstack([two_tone,
+                       np.where(rng.random((64, 64)) > 0.5, 230, 25)
+                       .astype(np.uint8)]),
+        17: np.dstack([g, g, g, grad]),
+    }
+    for want_mode, img in baits.items():
+        out = compressor.compress(img, compressor.CompressorParams(
+            tex_format=BasisTexFormat.UASTC_LDR_4x4, effort=4))
+        f = BasisFile(out.basis_data)
+        blocks = np.frombuffer(f.slice_data(0), np.uint8).reshape(-1, 16)
+        lo = blocks.view("<u8").reshape(-1, 2)[:, 0]
+        modes = np.full(len(lo), -1)
+        for m in sorted(range(19), key=lambda m: T.MODE_HUFF_CODES[m][1]):
+            code, size = T.MODE_HUFF_CODES[m]
+            modes = np.where(
+                (modes < 0) & ((lo & ((1 << size) - 1)) == code), m, modes)
+        hist = collections.Counter(modes.tolist())
+        assert hist[want_mode] > 0, (want_mode, hist)
+
+        tr = BasisTranscoder(out.basis_data)
+        dec = tr.transcode_image_level(0, 0, TF.RGBA32)
+        p = tmp_path / f"dp{want_mode}.basis"
+        p.write_bytes(out.basis_data)
+        r = subprocess.run([str(oracle), "-unpack", str(p)],
+                           cwd=tmp_path, capture_output=True, text=True)
+        assert r.returncode == 0, r.stdout + r.stderr
+        ref_rgb = np.asarray(PILImage.open(sorted(
+            tmp_path.glob(f"dp{want_mode}*unpacked_rgb_ASTC_LDR*png"))[0])
+            .convert("RGB"))
+        ref_a = np.asarray(PILImage.open(sorted(
+            tmp_path.glob(f"dp{want_mode}*unpacked_a_ASTC_LDR*png"))[0])
+            .convert("L"))
+        np.testing.assert_array_equal(dec[..., :3], ref_rgb)
+        np.testing.assert_array_equal(dec[..., 3], ref_a)
