@@ -1001,3 +1001,58 @@ def _pack_mode_dualplane(mode, wb, ep_range, eps, ws, ccs, etc1_inten,
         ofs = _wr(lanes, ofs, ws[:, i], nb)
     assert ofs <= 128, ofs
     return _lanes_to_bytes(lanes)
+
+
+# --- UASTC RDO: LZ-aware full-block replacement -----------------------------
+
+
+def rdo_replace(blocks: np.ndarray, px_rgba: np.ndarray, quality: float,
+                window: int = 4096, smooth_std: float = 12.0,
+                smooth_scale: float = 0.25) -> np.ndarray:
+    """Rate-distortion pass (encoder/uastc_rdo analog): replace a block's
+    16 bytes with an EARLIER block's bytes when the pixel-space SSE
+    increase fits the lambda budget, so the Zstd/LZ stage finds 16-byte
+    matches.  The reference searches partial bit-range matches through a
+    dictionary; this dense version considers whole-block reuse, which is
+    the dominant match class, and computes all candidate errors as one
+    |a|^2-2ab+|b|^2 distance matrix.
+
+    quality: 0 disables; 1.0 is the default strength (reference
+    m_rdo_uastc_ldr_4x4_quality_scalar).  Smooth blocks (low pixel std)
+    get a reduced budget (m_rdo_uastc_ldr_4x4_max_smooth_block_error_scale
+    analog, inverted to a multiplier).
+    """
+    if quality <= 0.0:
+        return blocks
+    from .decode import decode_rgba
+
+    n = blocks.shape[0]
+    if n < 2:
+        return blocks
+    dec = decode_rgba(blocks).reshape(n, 64).astype(np.float32)
+    px = px_rgba.reshape(n, 64).astype(np.float32)
+    base_err = np.sum((dec - px) ** 2, axis=1)
+
+    std = px.reshape(n, 16, 4)[..., :3].std(axis=(1, 2))
+    budget = np.where(std < smooth_std, smooth_scale, 1.0) \
+        * (quality * 48.0) ** 2 * 0.25
+
+    out = blocks.copy()
+    CH = 1024
+    for s0 in range(0, n, CH):
+        s1 = min(s0 + CH, n)
+        lo = max(0, s0 - window)
+        cand = dec[lo:s1]                                  # (C,64)
+        d = (np.sum(px[s0:s1] ** 2, axis=1)[:, None]
+             - 2.0 * px[s0:s1] @ cand.T
+             + np.sum(cand ** 2, axis=1)[None, :])         # (B,C)
+        # only earlier blocks are valid LZ matches
+        ii = np.arange(s0, s1)[:, None]
+        jj = np.arange(lo, s1)[None, :]
+        d = np.where(jj < ii, d, np.inf)
+        j_best = np.argmin(d, axis=1)
+        e_best = d[np.arange(s1 - s0), j_best]
+        take = e_best <= base_err[s0:s1] + budget[s0:s1]
+        src = lo + j_best
+        out[np.arange(s0, s1)[take]] = out[src[take]]
+    return out

@@ -84,6 +84,10 @@ class CompressorParams:
     # — skips codebook training entirely (m_pGlobal_codebooks analog,
     # basisu_comp.h:797; cBASISHeaderFlagUsesGlobalCodebook)
     global_codebooks: Optional[tuple] = None
+    # UASTC RDO (m_rdo_uastc_ldr_4x4_quality_scalar / _dict_size analogs,
+    # basisu_comp.h:314-315): 0 disables; 1.0 = default strength
+    rdo_uastc_quality: float = 0.0
+    rdo_uastc_dict_size: int = 4096
     seed: int = 0
 
 
@@ -258,6 +262,11 @@ def _compress_uastc(images, params: CompressorParams) -> CompressorOutput:
             ub = uastc_encode.encode_blocks(
                 blocks.reshape(by * bx, 16, 4), effort=params.effort,
                 has_alpha=has_alpha)
+            if params.rdo_uastc_quality > 0.0:
+                ub = uastc_encode.rdo_replace(
+                    ub, blocks.reshape(by * bx, 16, 4),
+                    params.rdo_uastc_quality,
+                    window=params.rdo_uastc_dict_size)
             slices.append(dict(
                 image_index=image_index, level_index=level_index,
                 orig_width=w, orig_height=h, num_blocks_x=bx,

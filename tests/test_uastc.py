@@ -282,3 +282,43 @@ def test_uastc_dualplane_alpha_modes_oracle(oracle, tmp_path):
             .convert("L"))
         np.testing.assert_array_equal(dec[..., :3], ref_rgb)
         np.testing.assert_array_equal(dec[..., 3], ref_a)
+
+
+def test_uastc_rdo_rate_distortion(oracle, tmp_path, test_files):
+    """UASTC RDO (full-block LZ replacement): meaningful size cut, bounded
+    PSNR loss, and the reference still decodes our file exactly."""
+    import subprocess
+
+    from PIL import Image as PILImage
+
+    from basis_universal_tpu import compressor
+    from basis_universal_tpu.formats.constants import (
+        BasisTexFormat, TranscoderTextureFormat as TF)
+    from basis_universal_tpu.transcoder import BasisTranscoder
+
+    img = np.asarray(PILImage.open(
+        test_files / "kodim23.png").convert("RGB"))[:256, :256]
+
+    def run(q):
+        out = compressor.compress(img, compressor.CompressorParams(
+            tex_format=BasisTexFormat.UASTC_LDR_4x4, effort=2,
+            rdo_uastc_quality=q))
+        tr = BasisTranscoder(out.basis_data)
+        dec = tr.transcode_image_level(0, 0, TF.RGBA32)[..., :3]
+        mse = ((dec.astype(np.float64) - img) ** 2).mean()
+        return out, dec, 10 * np.log10(255.0 ** 2 / mse)
+
+    base, _, psnr0 = run(0.0)
+    rdo, dec, psnr1 = run(1.0)
+    assert len(rdo.ktx2_data) < 0.85 * len(base.ktx2_data), \
+        (len(rdo.ktx2_data), len(base.ktx2_data))
+    assert psnr0 - psnr1 < 5.0, (psnr0, psnr1)
+
+    p = tmp_path / "rdo.basis"
+    p.write_bytes(rdo.basis_data)
+    r = subprocess.run([str(oracle), "-unpack", str(p)],
+                       cwd=tmp_path, capture_output=True, text=True)
+    assert r.returncode == 0, r.stdout + r.stderr
+    ref = np.asarray(PILImage.open(sorted(
+        tmp_path.glob("*unpacked_rgb_ASTC_LDR*png"))[0]).convert("RGB"))
+    np.testing.assert_array_equal(dec, ref)
