@@ -43,6 +43,7 @@ def cmd_compress(args):
             effort=args.effort,
             mip_gen=args.mipmap,
             perceptual=not args.linear,
+            rdo_uastc_quality=args.uastc_rdo_l if args.uastc else 0.0,
         )
         out = compressor.compress(img, params)
         stem = pathlib.Path(args.output_file).stem if args.output_file else pathlib.Path(src).stem
@@ -154,6 +155,8 @@ def main(argv=None):
     ap.add_argument("-uastc", action="store_true", help="UASTC LDR 4x4 mode")
     ap.add_argument("-hdr", "-hdr_4x4", action="store_true", dest="hdr",
                     help="UASTC HDR 4x4 mode (default for .exr/.hdr inputs)")
+    ap.add_argument("-uastc_rdo_l", type=float, default=0.0,
+                    help="UASTC RDO lambda (0 = off, 1.0 = default strength)")
     ap.add_argument("-q", type=int, default=128, help="ETC1S quality 1-255")
     ap.add_argument("-effort", "-comp_level", type=int, default=1, dest="effort")
     ap.add_argument("-mipmap", action="store_true")
