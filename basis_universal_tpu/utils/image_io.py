@@ -74,9 +74,9 @@ def load_exr(path) -> np.ndarray:
         p += sz
 
     comp = attrs["compression"][1][0]
-    if comp not in (0, 1, 2, 3):
+    if comp not in (0, 1, 2, 3, 4):
         raise NotImplementedError(
-            f"EXR compression {comp} (PIZ/PXR24/...) not supported yet")
+            f"EXR compression {comp} (PXR24/B44/...) not supported yet")
     x0, y0, x1, y1 = struct.unpack("<4i", attrs["dataWindow"][1])
     w, h = x1 - x0 + 1, y1 - y0 + 1
 
@@ -92,7 +92,7 @@ def load_exr(path) -> np.ndarray:
         q = e + 1 + 16
     chans.sort()  # stored in alphabetical order per spec
 
-    lines_per_block = {0: 1, 1: 1, 2: 1, 3: 16}[comp]
+    lines_per_block = {0: 1, 1: 1, 2: 1, 3: 16, 4: 32}[comp]
     nblocks = -(-h // lines_per_block)
     offsets = struct.unpack_from(f"<{nblocks}Q", data, p)
 
@@ -109,6 +109,8 @@ def load_exr(path) -> np.ndarray:
                 raw = _exr_reconstruct(buf)
         elif comp == 1 and len(raw) != expect:
             raw = _exr_rle_decompress(raw, expect)
+        elif comp == 4:
+            raw = _exr_piz_decompress(raw, chans, w, ny, expect)
         pos = 0
         for row in range(ny):
             for cname, ptype in chans:
@@ -377,3 +379,257 @@ def write_ktx1(path, block_data: bytes, width: int, height: int, fmt: str):
     out += struct.pack("<I", len(block_data))
     out += block_data
     pathlib.Path(path).write_bytes(bytes(out))
+
+
+# ---------------------------------------------------------------------------
+# PIZ decompression (parity: encoder/3rdparty/tinyexr.h DecompressPiz:3240,
+# hufUncompress:3110, hufUnpackEncTable:2603, hufDecode:2935, wav2Decode:2131,
+# reverseLutFromBitmap:3212)
+# ---------------------------------------------------------------------------
+
+_HUF_ENCSIZE = 65537
+_HUF_DECBITS = 14
+_HUF_DECMASK = (1 << _HUF_DECBITS) - 1
+
+
+def _huf_uncompress(data: bytes, n_out: int) -> np.ndarray:
+    """OpenEXR 16-bit Huffman decode → uint16 array of n_out symbols."""
+    im, iM = struct.unpack_from("<II", data, 0)
+    (nbits,) = struct.unpack_from("<I", data, 12)
+    pos = 20
+
+    # --- unpack code lengths (6-bit, zero-run codes 59..63)
+    lengths = np.zeros(_HUF_ENCSIZE, dtype=np.int64)
+    c = 0
+    lc = 0
+    i = im
+    while i <= iM:
+        while lc < 6:
+            c = (c << 8) | data[pos]
+            pos += 1
+            lc += 8
+        lc -= 6
+        l = (c >> lc) & 63
+        if l == 63:
+            while lc < 8:
+                c = (c << 8) | data[pos]
+                pos += 1
+                lc += 8
+            lc -= 8
+            run = ((c >> lc) & 255) + 6
+            i += run
+        elif l >= 59:
+            i += l - 59 + 2
+        else:
+            lengths[i] = l
+            i += 1
+
+    # --- canonical codes (hufCanonicalCodeTable:2490)
+    n = np.zeros(59, dtype=np.int64)
+    for l in lengths[lengths > 0]:
+        n[l] += 1
+    code_base = np.zeros(59, dtype=np.int64)
+    cc = 0
+    for l in range(58, 0, -1):
+        nc = (cc + n[l]) >> 1
+        code_base[l] = cc
+        cc = nc
+    syms = np.nonzero(lengths)[0]
+    codes = np.zeros(_HUF_ENCSIZE, dtype=np.int64)
+    next_code = code_base.copy()
+    for s in syms:
+        l = lengths[s]
+        codes[s] = next_code[l]
+        next_code[l] += 1
+
+    # --- fast decode table for codes <= 14 bits
+    tbl_len = np.zeros(1 << _HUF_DECBITS, dtype=np.int32)
+    tbl_lit = np.zeros(1 << _HUF_DECBITS, dtype=np.int32)
+    short = syms[lengths[syms] <= _HUF_DECBITS]
+    if short.size:
+        sl = lengths[short]
+        starts = codes[short] << (_HUF_DECBITS - sl)
+        counts = (np.int64(1) << (_HUF_DECBITS - sl))
+        order = np.argsort(starts)
+        fill_lit = np.repeat(short[order], counts[order])
+        fill_len = np.repeat(sl[order], counts[order])
+        st = starts[order]
+        pos0 = np.repeat(st, counts[order]) + (
+            np.arange(fill_lit.size)
+            - np.repeat(np.cumsum(counts[order]) - counts[order],
+                        counts[order]))
+        tbl_lit[pos0] = fill_lit
+        tbl_len[pos0] = fill_len
+    longs = {}
+    for s in syms[lengths[syms] > _HUF_DECBITS]:
+        l = int(lengths[s])
+        pfx = int(codes[s]) >> (l - _HUF_DECBITS)
+        longs.setdefault(pfx, []).append((int(s), l, int(codes[s])))
+
+    # --- bitstream decode (hufDecode:2935); RLC symbol = iM
+    out = np.zeros(n_out, dtype=np.uint16)
+    oi = 0
+    rlc = iM
+    tl_list = tbl_len.tolist()
+    ti_list = tbl_lit.tolist()
+    ie = pos + (nbits + 7) // 8
+    c = 0
+    lc = 0
+
+    def emit(sym):
+        nonlocal oi, c, lc, pos
+        if sym == rlc:
+            if lc < 8:
+                c = (c << 8) | data[pos]
+                pos += 1
+                lc += 8
+            lc -= 8
+            cs = (c >> lc) & 255
+            prev = out[oi - 1]
+            out[oi:oi + cs] = prev
+            oi += cs
+        else:
+            out[oi] = sym
+            oi += 1
+
+    while pos < ie:
+        c = (c << 8) | data[pos]
+        pos += 1
+        lc += 8
+        while lc >= _HUF_DECBITS:
+            idx = (c >> (lc - _HUF_DECBITS)) & _HUF_DECMASK
+            pl = tl_list[idx]
+            if pl:
+                lc -= pl
+                emit(ti_list[idx])
+            else:
+                for s, l, code in longs.get(idx, ()):
+                    while lc < l and pos < ie:
+                        c = (c << 8) | data[pos]
+                        pos += 1
+                        lc += 8
+                    if lc >= l and code == ((c >> (lc - l)) & ((1 << l) - 1)):
+                        lc -= l
+                        emit(s)
+                        break
+                else:
+                    raise ValueError("PIZ: invalid huffman code")
+
+    i = (8 - nbits) & 7
+    c >>= i
+    lc -= i
+    while lc > 0:
+        idx = (c << (_HUF_DECBITS - lc)) & _HUF_DECMASK
+        pl = tl_list[idx]
+        if pl and pl <= lc:
+            lc -= pl
+            emit(ti_list[idx])
+        else:
+            break
+    return out
+
+
+def _wdec(a, b, w14):
+    """Vectorized wdec14/wdec16 (tinyexr.h:1994-2017)."""
+    if w14:
+        ls = a.astype(np.int16).astype(np.int64)
+        hi = b.astype(np.int16).astype(np.int64)
+        ai = ls + (hi & 1) + (hi >> 1)
+        return (ai.astype(np.int16).astype(np.uint16),
+                (ai - hi).astype(np.int16).astype(np.uint16))
+    m = a.astype(np.int64)
+    d = b.astype(np.int64)
+    bb = (m - (d >> 1)) & 0xFFFF
+    aa = (d + bb - 0x8000) & 0xFFFF
+    return aa.astype(np.uint16), bb.astype(np.uint16)
+
+
+def _wav2_decode(buf, start, nx, ox, ny, oy, mx):
+    """In-place 2D wavelet decode of one plane (wav2Decode:2131);
+    element (y, x) lives at buf[start + y*oy + x*ox]."""
+    w14 = mx < (1 << 14)
+    nmin = min(nx, ny)
+    p = 1
+    while p <= nmin:
+        p <<= 1
+    p >>= 1
+    p2 = p
+    p >>= 1
+    while p >= 1:
+        ys = np.arange(0, ny - p2 + 1, p2) if ny >= p2 else np.zeros(0, np.int64)
+        xs = np.arange(0, nx - p2 + 1, p2) if nx >= p2 else np.zeros(0, np.int64)
+        if ys.size and xs.size:
+            idx = start + ys[:, None] * oy + xs[None, :] * ox
+            A = buf[idx]
+            B = buf[idx + ox * p]
+            C = buf[idx + oy * p]
+            D = buf[idx + oy * p + ox * p]
+            i00, i10 = _wdec(A, C, w14)
+            i01, i11 = _wdec(B, D, w14)
+            a, b = _wdec(i00, i01, w14)
+            cc, dd = _wdec(i10, i11, w14)
+            buf[idx] = a
+            buf[idx + ox * p] = b
+            buf[idx + oy * p] = cc
+            buf[idx + oy * p + ox * p] = dd
+        if (nx & p) and ys.size:
+            x_odd = (xs[-1] + p2) if xs.size else 0
+            j = start + ys * oy + x_odd * ox
+            a, b = _wdec(buf[j], buf[j + oy * p], w14)
+            buf[j] = a
+            buf[j + oy * p] = b
+        if ny & p:
+            y_odd = (ys[-1] + p2) if ys.size else 0
+            j = start + y_odd * oy + xs * ox
+            a, b = _wdec(buf[j], buf[j + ox * p], w14)
+            buf[j] = a
+            buf[j + ox * p] = b
+        p2 = p
+        p >>= 1
+
+
+def _exr_piz_decompress(raw, chans, w, ny, expect):
+    """PIZ scanline-block → raw per-line channel-interleaved bytes."""
+    if len(raw) == expect:
+        return raw
+    min_nz, max_nz = struct.unpack_from("<HH", raw, 0)
+    pos = 4
+    bitmap = np.zeros(8192, dtype=np.uint8)
+    if min_nz <= max_nz:
+        nb = max_nz - min_nz + 1
+        bitmap[min_nz:min_nz + nb] = np.frombuffer(raw[pos:pos + nb], np.uint8)
+        pos += nb
+    bits = np.unpackbits(bitmap, bitorder="little")
+    sel = np.nonzero(bits)[0]
+    if not sel.size or sel[0] != 0:
+        sel = np.concatenate([[0], sel])
+    lut = np.zeros(65536, dtype=np.uint16)
+    lut[:sel.size] = sel
+    max_value = sel.size - 1
+
+    (length,) = struct.unpack_from("<i", raw, pos)
+    pos += 4
+    tmp = _huf_uncompress(raw[pos:pos + length], expect // 2)
+
+    ofs = 0
+    for _cname, ptype in chans:
+        size = 1 if ptype == 1 else 2
+        for j in range(size):
+            _wav2_decode(tmp, ofs + j, w, size, ny, w * size, max_value)
+        ofs += w * ny * size
+    tmp = lut[tmp]
+
+    out = bytearray()
+    cur = [0] * len(chans)
+    base = []
+    b = 0
+    for _cname, ptype in chans:
+        base.append(b)
+        b += w * ny * (1 if ptype == 1 else 2)
+    for y in range(ny):
+        for ci, (_cname, ptype) in enumerate(chans):
+            n = w * (1 if ptype == 1 else 2)
+            seg = tmp[base[ci] + cur[ci]:base[ci] + cur[ci] + n]
+            cur[ci] += n
+            out += seg.astype("<u2").tobytes()
+    return bytes(out)

@@ -140,3 +140,28 @@ def test_bc6h_target(oracle_hdr):
     mse = ((ours - ref) ** 2).mean()
     rel_psnr = 10 * np.log10(float(ref.max()) ** 2 / mse)
     assert rel_psnr > 50.0, rel_psnr
+
+
+def test_exr_piz_loader(golden_dir, oracle, test_files):
+    """PIZ-compressed EXR reading (16-bit Huffman + 2D wavelet + LUT):
+    our decode of Desk.exr must agree with the reference's tinyexr read
+    to within UASTC-HDR codec loss (the only oracle available)."""
+    ours = load_exr(test_files / "Desk.exr")
+    assert ours.shape == (874, 644, 3)
+    assert np.isfinite(ours).all()
+    assert 200.0 < float(ours.max()) < 300.0
+
+    d = golden_dir / "piz"
+    d.mkdir(exist_ok=True)
+    half = d / "desk_hdr_unpacked_rgb_RGB_HALF_0_0000.exr"
+    if not half.exists():
+        subprocess.run(
+            [str(oracle), "-hdr_4x4", str(test_files / "Desk.exr"),
+             "-basis", "-output_file", str(d / "desk.basis")],
+            cwd=d, check=True, capture_output=True)
+        subprocess.run([str(oracle), "-unpack", str(d / "desk.basis")],
+                       cwd=d, check=True, capture_output=True)
+    ref = load_exr(half)
+    mse = ((ours - ref) ** 2).mean()
+    rel = 10 * np.log10(float(ours.max()) ** 2 / mse)
+    assert rel > 40.0, rel
