@@ -87,6 +87,11 @@ def get_lib():
         lib.cooccurrence_order.argtypes = [
             i64p, ctypes.c_int64, i64p, ctypes.c_int32, i32p]
 
+        u16p = ctypes.POINTER(ctypes.c_uint16)
+        lib.exr_huf_decode.restype = ctypes.c_int32
+        lib.exr_huf_decode.argtypes = [u8p, ctypes.c_int64,
+                                       u16p, ctypes.c_int64]
+
         lib.etc1s_decode_slice.restype = ctypes.c_int32
         lib.etc1s_decode_slice.argtypes = [
             u8p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,

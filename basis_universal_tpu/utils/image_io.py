@@ -393,7 +393,26 @@ _HUF_DECMASK = (1 << _HUF_DECBITS) - 1
 
 
 def _huf_uncompress(data: bytes, n_out: int) -> np.ndarray:
-    """OpenEXR 16-bit Huffman decode → uint16 array of n_out symbols."""
+    """OpenEXR 16-bit Huffman decode → uint16 array of n_out symbols.
+    Uses the native C++ runtime when available; the pure-Python path below
+    is the bit-identical fallback."""
+    from .. import native
+
+    lib = native.get_lib()
+    if lib is not None:
+        import ctypes
+
+        buf = np.frombuffer(data, np.uint8)
+        out = np.zeros(n_out, dtype=np.uint16)
+        rc = lib.exr_huf_decode(
+            buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(data),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)), n_out)
+        if rc >= 0:
+            return out
+    return _huf_uncompress_py(data, n_out)
+
+
+def _huf_uncompress_py(data: bytes, n_out: int) -> np.ndarray:
     im, iM = struct.unpack_from("<II", data, 0)
     (nbits,) = struct.unpack_from("<I", data, 12)
     pos = 20

@@ -735,3 +735,167 @@ void cooccurrence_order(const int64_t* pairs, int64_t num_pairs,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// OpenEXR PIZ 16-bit Huffman decode (parity: tinyexr.h hufUncompress:3110,
+// hufUnpackEncTable:2603, hufCanonicalCodeTable:2490, hufDecode:2935).
+// The Python fallback lives in utils/image_io.py (_huf_uncompress).
+// ---------------------------------------------------------------------------
+
+namespace {
+
+constexpr int kHufEncSize = 65537;
+constexpr int kHufDecBits = 14;
+constexpr int kHufDecMask = (1 << kHufDecBits) - 1;
+
+struct HufDecEntry {
+    int32_t len = 0;
+    int32_t lit = 0;
+    std::vector<int32_t> longs;
+};
+
+}  // namespace
+
+extern "C" int32_t exr_huf_decode(const uint8_t* data, int64_t n_in,
+                                  uint16_t* out, int64_t n_out) {
+    if (n_in < 20) return -1;
+    auto rd32 = [&](int64_t o) {
+        return (uint32_t)data[o] | ((uint32_t)data[o + 1] << 8) |
+               ((uint32_t)data[o + 2] << 16) | ((uint32_t)data[o + 3] << 24);
+    };
+    const int im0 = (int)rd32(0);
+    const int iM = (int)rd32(4);
+    const int64_t nbits = (int64_t)rd32(12);
+    if (im0 < 0 || im0 >= kHufEncSize || iM < 0 || iM >= kHufEncSize)
+        return -2;
+    int64_t pos = 20;
+
+    std::vector<int32_t> lengths(kHufEncSize, 0);
+    {
+        uint64_t c = 0;
+        int lc = 0;
+        int i = im0;
+        while (i <= iM) {
+            if (pos >= n_in) return -3;
+            while (lc < 6) { c = (c << 8) | data[pos++]; lc += 8; }
+            lc -= 6;
+            int l = (int)((c >> lc) & 63);
+            if (l == 63) {
+                while (lc < 8) { c = (c << 8) | data[pos++]; lc += 8; }
+                lc -= 8;
+                i += (int)((c >> lc) & 255) + 6;
+            } else if (l >= 59) {
+                i += l - 59 + 2;
+            } else {
+                lengths[i++] = l;
+            }
+        }
+    }
+
+    // canonical codes
+    int64_t n[59] = {0};
+    for (int i = 0; i < kHufEncSize; i++) n[lengths[i]]++;
+    int64_t base[59] = {0};
+    {
+        int64_t c = 0;
+        for (int l = 58; l > 0; l--) {
+            int64_t nc = (c + n[l]) >> 1;
+            base[l] = c;
+            c = nc;
+        }
+    }
+    std::vector<int64_t> codes(kHufEncSize, 0);
+    {
+        int64_t next_code[59];
+        std::copy(base, base + 59, next_code);
+        for (int i = 0; i < kHufEncSize; i++)
+            if (lengths[i] > 0) codes[i] = next_code[lengths[i]]++;
+    }
+
+    // decode tables
+    std::vector<HufDecEntry> tbl(1 << kHufDecBits);
+    for (int s = 0; s < kHufEncSize; s++) {
+        int l = lengths[s];
+        if (!l) continue;
+        if (l <= kHufDecBits) {
+            int64_t start = codes[s] << (kHufDecBits - l);
+            int64_t cnt = (int64_t)1 << (kHufDecBits - l);
+            for (int64_t k = 0; k < cnt; k++) {
+                tbl[start + k].len = l;
+                tbl[start + k].lit = s;
+            }
+        } else {
+            tbl[codes[s] >> (l - kHufDecBits)].longs.push_back(s);
+        }
+    }
+
+    const int rlc = iM;
+    int64_t oi = 0;
+    uint64_t c = 0;
+    int lc = 0;
+    const int64_t ie = pos + (nbits + 7) / 8;
+    if (ie > n_in) return -4;
+
+    auto emit = [&](int sym) -> bool {
+        if (sym == rlc) {
+            if (lc < 8) {
+                if (pos >= ie) return false;
+                c = (c << 8) | data[pos++];
+                lc += 8;
+            }
+            lc -= 8;
+            int cs = (int)((c >> lc) & 255);
+            if (oi == 0 || oi + cs > n_out) return false;
+            uint16_t prev = out[oi - 1];
+            while (cs-- > 0) out[oi++] = prev;
+        } else {
+            if (oi >= n_out) return false;
+            out[oi++] = (uint16_t)sym;
+        }
+        return true;
+    };
+
+    while (pos < ie) {
+        c = (c << 8) | data[pos++];
+        lc += 8;
+        while (lc >= kHufDecBits) {
+            const HufDecEntry& pl = tbl[(c >> (lc - kHufDecBits)) & kHufDecMask];
+            if (pl.len) {
+                lc -= pl.len;
+                if (!emit(pl.lit)) return -5;
+            } else {
+                bool found = false;
+                for (int32_t s : pl.longs) {
+                    int l = lengths[s];
+                    while (lc < l && pos < ie) {
+                        c = (c << 8) | data[pos++];
+                        lc += 8;
+                    }
+                    if (lc >= l &&
+                        codes[s] == (int64_t)((c >> (lc - l)) &
+                                              (((uint64_t)1 << l) - 1))) {
+                        lc -= l;
+                        if (!emit(s)) return -5;
+                        found = true;
+                        break;
+                    }
+                }
+                if (!found) return -6;
+            }
+        }
+    }
+
+    int i = (int)((8 - nbits) & 7);
+    c >>= i;
+    lc -= i;
+    while (lc > 0) {
+        const HufDecEntry& pl = tbl[(c << (kHufDecBits - lc)) & kHufDecMask];
+        if (pl.len && pl.len <= lc) {
+            lc -= pl.len;
+            if (!emit(pl.lit)) return -5;
+        } else {
+            break;
+        }
+    }
+    return (int32_t)(oi == n_out ? 0 : 1);
+}
