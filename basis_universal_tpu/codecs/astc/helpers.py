@@ -598,15 +598,17 @@ def decode_blocks_rgba16f(blocks) -> np.ndarray:
     return out
 
 
-def decode_blocks_rgba8(blocks, srgb: bool = False) -> np.ndarray:
-    """(N,16) ASTC LDR blocks → (N,4,4,4) uint8."""
+def decode_blocks_rgba8(blocks, srgb: bool = False,
+                        bw: int = 4, bh: int = 4) -> np.ndarray:
+    """(N,16) ASTC LDR blocks → (N,bh,bw,4) uint8.  Any standard LDR block
+    footprint 4x4..12x12 (the per-block machinery above is size-generic)."""
     blocks = np.asarray(blocks, dtype=np.uint8).reshape(-1, 16)
-    out = np.zeros((blocks.shape[0], 4, 4, 4), dtype=np.uint8)
+    out = np.zeros((blocks.shape[0], bh, bw, 4), dtype=np.uint8)
     for i in range(blocks.shape[0]):
-        blk = unpack_block(blocks[i].tobytes())
+        blk = unpack_block(blocks[i].tobytes(), bw, bh)
         if blk is None:
             raise ValueError(f"invalid ASTC block {i}")
-        px = decode_block(blk, srgb=srgb)
+        px = decode_block(blk, bw, bh, srgb=srgb)
         assert px.dtype == np.uint8
         out[i] = px
     return out

@@ -185,7 +185,16 @@ class UastcTranscodeEngine:
                 orig_width: int, orig_height: int) -> np.ndarray:
         from .codecs.uastc import decode as uastc_decode
 
+        if fmt == TF.ASTC_4x4_RGBA:
+            from .codecs.uastc import astc_pack
+
+            return astc_pack.uastc_blocks_to_astc(blocks).reshape(nby, nbx, 16)
         rgba = uastc_decode.decode_rgba(blocks)              # (N,4,4,4)
+        return self.convert_rgba(fmt, rgba, nbx, nby,
+                                 orig_width, orig_height)
+
+    def convert_rgba(self, fmt: TF, rgba: np.ndarray, nbx: int, nby: int,
+                     orig_width: int, orig_height: int) -> np.ndarray:
         grid = rgba.reshape(nby, nbx, 4, 4, 4)
         if fmt == TF.RGBA32:
             return etc1_ops.blocks_to_image(grid, orig_width, orig_height)
@@ -218,9 +227,14 @@ class UastcTranscodeEngine:
         if fmt == TF.ETC1_RGB:
             return self._reencode_etc1(px).reshape(nby, nbx, 8)
         if fmt == TF.ASTC_4x4_RGBA:
+            # re-encode path (used when the source isn't 4x4 UASTC blocks)
             from .codecs.uastc import astc_pack
+            from .codecs.uastc import encode as uastc_encode
 
-            return astc_pack.uastc_blocks_to_astc(blocks).reshape(nby, nbx, 16)
+            ub = uastc_encode.encode_blocks(
+                rgba.reshape(-1, 16, 4).astype(np.float32),
+                effort=2, has_alpha=True)
+            return astc_pack.uastc_blocks_to_astc(ub).reshape(nby, nbx, 16)
         if fmt == TF.ETC2_EAC_R11:
             return tc_ops.values_to_eac_r11(
                 px[..., 0].astype(np.int64)).reshape(nby, nbx, 8)
@@ -303,6 +317,56 @@ def _half_to_rgb9e5(half_bits: np.ndarray) -> np.ndarray:
     return m[..., 0] | (m[..., 1] << 9) | (m[..., 2] << 18) | (e << 27)
 
 
+ASTC_LDR_BLOCK_SIZES = {
+    BasisTexFormat.ASTC_LDR_4x4: (4, 4), BasisTexFormat.ASTC_LDR_5x4: (5, 4),
+    BasisTexFormat.ASTC_LDR_5x5: (5, 5), BasisTexFormat.ASTC_LDR_6x5: (6, 5),
+    BasisTexFormat.ASTC_LDR_6x6: (6, 6), BasisTexFormat.ASTC_LDR_8x5: (8, 5),
+    BasisTexFormat.ASTC_LDR_8x6: (8, 6), BasisTexFormat.ASTC_LDR_10x5: (10, 5),
+    BasisTexFormat.ASTC_LDR_10x6: (10, 6), BasisTexFormat.ASTC_LDR_8x8: (8, 8),
+    BasisTexFormat.ASTC_LDR_10x8: (10, 8),
+    BasisTexFormat.ASTC_LDR_10x10: (10, 10),
+    BasisTexFormat.ASTC_LDR_12x10: (12, 10),
+    BasisTexFormat.ASTC_LDR_12x12: (12, 12),
+}
+
+
+class AstcLdrTranscodeEngine:
+    """Standard ASTC LDR 4x4..12x12 slices (raw 16-byte blocks; parity:
+    basisu_transcoder.cpp m_lowlevel_xuastc_ldr_decoder standard-ASTC path).
+    Decodes via the size-generic ASTC decoder; block-compressed targets
+    re-encode from the decoded RGBA on a 4x4 grid."""
+
+    def __init__(self, block_w: int, block_h: int, srgb: bool):
+        self.bw, self.bh = block_w, block_h
+        self.srgb = srgb
+
+    def convert(self, fmt: TF, blocks: np.ndarray, nbx: int, nby: int,
+                orig_width: int, orig_height: int) -> np.ndarray:
+        from .codecs.astc import helpers as ah
+
+        if fmt == TF.ASTC_4x4_RGBA and (self.bw, self.bh) == (4, 4):
+            return blocks.reshape(nby, nbx, 16)
+        px = ah.decode_blocks_rgba8(blocks, srgb=self.srgb,
+                                    bw=self.bw, bh=self.bh)
+        grid = px.reshape(nby, nbx, self.bh, self.bw, 4)
+        img = grid.transpose(0, 2, 1, 3, 4).reshape(
+            nby * self.bh, nbx * self.bw, 4)[:orig_height, :orig_width]
+        if fmt == TF.RGBA32:
+            return img
+        if fmt in (TF.RGB565, TF.BGR565, TF.RGBA4444):
+            if fmt == TF.RGB565:
+                return tc_ops.rgba_to_rgb565(img)
+            if fmt == TF.BGR565:
+                return tc_ops.rgba_to_bgr565(img)
+            return tc_ops.rgba_to_rgba4444(img)
+        # block-compressed targets: re-block the decoded image at 4x4
+        blocks4 = etc1_ops.image_to_blocks(img)
+        b4y, b4x = blocks4.shape[:2]
+        eng = UastcTranscodeEngine()
+        return eng.convert_rgba(fmt, blocks4.reshape(-1, 4, 4, 4),
+                                b4x, b4y, orig_width, orig_height)
+
+
 class BasisTranscoder:
     """.basis reader + transcoder (basisu_transcoder analog)."""
 
@@ -373,6 +437,10 @@ class BasisTranscoder:
                 self._engine = UastcTranscodeEngine()
             elif self.tex_format == BasisTexFormat.UASTC_HDR_4x4:
                 self._engine = AstcHdrTranscodeEngine()
+            elif self.tex_format in ASTC_LDR_BLOCK_SIZES:
+                bw, bh = ASTC_LDR_BLOCK_SIZES[self.tex_format]
+                self._engine = AstcLdrTranscodeEngine(
+                    bw, bh, srgb=bool(h.flags & HeaderFlags.SRGB))
             else:
                 raise NotImplementedError(
                     f"{self.tex_format.name} .basis decode not implemented yet")
@@ -405,7 +473,9 @@ class BasisTranscoder:
         self.start_transcoding()
         entry = self._slice_map[(image_index, level_index)]
         sd = self.file.slices[entry["rgb"]]
-        if isinstance(self._engine, (UastcTranscodeEngine, AstcHdrTranscodeEngine)):
+        if isinstance(self._engine, (UastcTranscodeEngine,
+                                     AstcHdrTranscodeEngine,
+                                     AstcLdrTranscodeEngine)):
             blocks = np.frombuffer(
                 self.file.slice_data(entry["rgb"]), dtype=np.uint8).reshape(-1, 16)
             return self._engine.convert(fmt, blocks, sd.num_blocks_x,

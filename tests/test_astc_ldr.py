@@ -1,0 +1,66 @@
+"""Standard ASTC LDR 4x4..12x12 .basis decode conformance (pixel-exact vs
+the reference transcoder's own unpack of reference-encoded files)."""
+
+import subprocess
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from basis_universal_tpu.formats.constants import (
+    BasisTexFormat,
+    TranscoderTextureFormat as TF,
+)
+from basis_universal_tpu.transcoder import BasisTranscoder
+
+SIZES = ["5x5", "6x6", "8x8", "10x6", "12x12"]
+
+
+@pytest.fixture(scope="module")
+def astc_ldr_golden(golden_dir, oracle, test_files):
+    d = golden_dir / "astc_ldr"
+    d.mkdir(exist_ok=True)
+    src = d / "src.png"
+    if not src.exists():
+        img = np.asarray(
+            Image.open(test_files / "kodim23.png").convert("RGB"))[:96, :144]
+        Image.fromarray(img).save(src)
+    for s in SIZES:
+        out = d / f"b{s}.basis"
+        if not out.exists():
+            subprocess.run([str(oracle), f"-ldr_{s}", str(src), "-basis",
+                            "-output_file", str(out)],
+                           cwd=d, check=True, capture_output=True)
+            subprocess.run([str(oracle), "-unpack", str(out)],
+                           cwd=d, check=True, capture_output=True)
+    return d
+
+
+@pytest.mark.parametrize("size", SIZES)
+def test_astc_ldr_decode_pixel_exact(astc_ldr_golden, size):
+    d = astc_ldr_golden
+    tr = BasisTranscoder((d / f"b{size}.basis").read_bytes())
+    assert tr.tex_format == getattr(BasisTexFormat, f"ASTC_LDR_{size}")
+    img = tr.transcode_image_level(0, 0, TF.RGBA32)
+    ref = np.asarray(Image.open(
+        d / f"b{size}_unpacked_rgba_ASTC_LDR_{size.upper()}_RGBA_0000.png")
+        .convert("RGBA"))
+    np.testing.assert_array_equal(img, ref)
+
+
+def test_astc_ldr_block_targets(astc_ldr_golden):
+    """Block-compressed targets re-encode from the decoded RGBA."""
+    d = astc_ldr_golden
+    tr = BasisTranscoder((d / "b6x6.basis").read_bytes())
+    src = np.asarray(Image.open(d / "src.png").convert("RGB")).astype(np.float64)
+    bc1 = tr.transcode_image_level(0, 0, TF.BC1_RGB)
+    assert bc1.shape[-1] == 8
+    from basis_universal_tpu.ops import gpu_unpack
+    from basis_universal_tpu.ops.etc1 import blocks_to_image
+
+    by, bx = bc1.shape[:2]
+    dec = blocks_to_image(
+        gpu_unpack.unpack_bc1(bc1.reshape(-1, 8)).reshape(by, bx, 4, 4, 4),
+        src.shape[1], src.shape[0])
+    mse = ((dec[..., :3].astype(np.float64) - src) ** 2).mean()
+    assert 10 * np.log10(255.0 ** 2 / mse) > 30.0

@@ -25,9 +25,9 @@ def test_load_exr(test_files):
     assert hdr.dtype == np.float32
     assert hdr.ndim == 3 and hdr.shape[-1] == 3
     assert float(hdr.max()) > 1.0  # HDR content
-    # PIZ-compressed files are flagged, not silently misread
-    with pytest.raises(NotImplementedError):
-        image_io.load_image_hdr(test_files / "Desk.exr")
+    # PIZ-compressed files decode too (native Huffman + 2D wavelet)
+    piz = image_io.load_image_hdr(test_files / "Desk.exr")
+    assert piz.shape == (874, 644, 3) and np.isfinite(piz).all()
 
 
 def test_write_dds_roundtrip(tmp_path, test_files):
