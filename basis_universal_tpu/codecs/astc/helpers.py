@@ -137,7 +137,9 @@ def _decode_config(bits: _Bits, blk: LogBlock) -> bool:
         if bits.get(2, 4) != 0b1111:
             return False
     if bits.get(0, 9) == 0b111111100:
-        blk.solid_hdr = bits.get(9, 1) == 0
+        # bit 9 (D) set → HDR void extent, colors are half-float bits
+        # (decode_void_extent, transcoder/basisu_astc_helpers.h:4439)
+        blk.solid_hdr = bits.get(9, 1) == 1
         blk.solid_ldr = not blk.solid_hdr
         blk.solid_color = tuple(bits.get(64 + 16 * i, 16) for i in range(4))
         return True
@@ -579,15 +581,15 @@ def decode_block(blk: LogBlock, bw: int = 4, bh: int = 4, srgb: bool = False):
     return out
 
 
-def decode_blocks_rgba16f(blocks) -> np.ndarray:
-    """(N,16) ASTC HDR blocks → (N,4,4,4) uint16 half-float bits."""
+def decode_blocks_rgba16f(blocks, bw: int = 4, bh: int = 4) -> np.ndarray:
+    """(N,16) ASTC HDR blocks → (N,bh,bw,4) uint16 half-float bits."""
     blocks = np.asarray(blocks, dtype=np.uint8).reshape(-1, 16)
-    out = np.zeros((blocks.shape[0], 4, 4, 4), dtype=np.uint16)
+    out = np.zeros((blocks.shape[0], bh, bw, 4), dtype=np.uint16)
     for i in range(blocks.shape[0]):
-        blk = unpack_block(blocks[i].tobytes())
+        blk = unpack_block(blocks[i].tobytes(), bw, bh)
         if blk is None:
             raise ValueError(f"invalid ASTC block {i}")
-        px = decode_block(blk)
+        px = decode_block(blk, bw, bh)
         if px.dtype == np.uint8:  # LDR block inside an HDR stream
             h = np.zeros_like(out[i])
             f = px.astype(np.float32) / 255.0

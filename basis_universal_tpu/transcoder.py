@@ -279,17 +279,25 @@ class UastcTranscodeEngine:
 
 
 class AstcHdrTranscodeEngine:
-    """UASTC HDR 4x4 (standard constrained ASTC HDR blocks)."""
+    """UASTC HDR 4x4 / standard ASTC HDR 6x6 (ASTC HDR blocks; the 6x6
+    family stores raw blocks exactly like 4x4, just a bigger footprint)."""
+
+    def __init__(self, block_w: int = 4, block_h: int = 4):
+        self.bw, self.bh = block_w, block_h
 
     def convert(self, fmt: TF, blocks: np.ndarray, nbx: int, nby: int,
                 orig_width: int, orig_height: int) -> np.ndarray:
         from .codecs.astc import helpers as astc_helpers
 
-        if fmt in (TF.ASTC_HDR_4x4_RGBA, TF.ASTC_4x4_RGBA):
+        bw, bh = self.bw, self.bh
+        if fmt in (TF.ASTC_HDR_4x4_RGBA, TF.ASTC_4x4_RGBA) and (bw, bh) == (4, 4):
             return np.asarray(blocks, dtype=np.uint8).reshape(nby, nbx, 16)
-        half = astc_helpers.decode_blocks_rgba16f(blocks)     # (N,4,4,4) u16
-        grid = half.reshape(nby, nbx, 4, 4, 4)
-        img = etc1_ops.blocks_to_image(grid, orig_width, orig_height)
+        if fmt == TF.ASTC_HDR_6x6_RGBA and (bw, bh) == (6, 6):
+            return np.asarray(blocks, dtype=np.uint8).reshape(nby, nbx, 16)
+        half = astc_helpers.decode_blocks_rgba16f(blocks, bw=bw, bh=bh)
+        grid = half.reshape(nby, nbx, bh, bw, 4)
+        img = grid.transpose(0, 2, 1, 3, 4).reshape(
+            nby * bh, nbx * bw, 4)[:orig_height, :orig_width]
         if fmt == TF.RGBA_HALF:
             return img
         if fmt == TF.RGB_HALF:
@@ -299,10 +307,20 @@ class AstcHdrTranscodeEngine:
         if fmt == TF.BC6H:
             from .codecs.astc import hdr_encode
 
+            # re-block the decoded halfs on a 4x4 grid
+            b4y = -(-orig_height // 4)
+            b4x = -(-orig_width // 4)
+            pad = np.zeros((b4y * 4, b4x * 4, 3), dtype=np.uint16)
+            pad[:img.shape[0], :img.shape[1]] = img[..., :3]
+            pad[img.shape[0]:] = pad[img.shape[0] - 1:img.shape[0]] \
+                if img.shape[0] < pad.shape[0] else 0
+            pad[:, img.shape[1]:] = pad[:, img.shape[1] - 1:img.shape[1]] \
+                if img.shape[1] < pad.shape[1] else 0
+            b4 = pad.reshape(b4y, 4, b4x, 4, 3).transpose(0, 2, 1, 3, 4)
             return hdr_encode.halfs_to_bc6h(
-                half[..., :3].reshape(-1, 16, 3)).reshape(nby, nbx, 16)
+                b4.reshape(-1, 16, 3)).reshape(b4y, b4x, 16)
         raise NotImplementedError(
-            f"UASTC HDR transcode target {fmt!r} not implemented yet")
+            f"ASTC HDR transcode target {fmt!r} not implemented yet")
 
 
 def _half_to_rgb9e5(half_bits: np.ndarray) -> np.ndarray:
@@ -437,6 +455,8 @@ class BasisTranscoder:
                 self._engine = UastcTranscodeEngine()
             elif self.tex_format == BasisTexFormat.UASTC_HDR_4x4:
                 self._engine = AstcHdrTranscodeEngine()
+            elif self.tex_format == BasisTexFormat.ASTC_HDR_6x6:
+                self._engine = AstcHdrTranscodeEngine(6, 6)
             elif self.tex_format in ASTC_LDR_BLOCK_SIZES:
                 bw, bh = ASTC_LDR_BLOCK_SIZES[self.tex_format]
                 self._engine = AstcLdrTranscodeEngine(

@@ -165,3 +165,33 @@ def test_exr_piz_loader(golden_dir, oracle, test_files):
     mse = ((ours - ref) ** 2).mean()
     rel = 10 * np.log10(float(ours.max()) ** 2 / mse)
     assert rel > 40.0, rel
+
+
+@pytest.fixture(scope="module")
+def oracle_hdr_6x6(golden_dir, oracle, test_files):
+    out = golden_dir / "mem_hdr6.basis"
+    if not out.exists():
+        subprocess.run(
+            [str(oracle), "-hdr_6x6", str(test_files / "memorial.exr"),
+             "-basis", "-output_file", str(out)],
+            cwd=golden_dir, check=True, capture_output=True)
+        subprocess.run([str(oracle), "-unpack", str(out)],
+                       cwd=golden_dir, check=True, capture_output=True)
+    ref = load_exr(golden_dir / "mem_hdr6_hdr_unpacked_rgb_RGB_HALF_0_0000.exr")
+    return out.read_bytes(), ref
+
+
+def test_astc_hdr_6x6_decode_bit_exact(oracle_hdr_6x6):
+    """ASTC HDR 6x6 .basis (raw 16-byte 6x6 HDR blocks incl. HDR
+    void-extents) decodes bit-exactly vs the reference."""
+    data, ref = oracle_hdr_6x6
+    tr = BasisTranscoder(data)
+    assert tr.tex_format == BasisTexFormat.ASTC_HDR_6x6
+    half = tr.transcode_image_level(0, 0, TF.RGB_HALF)
+    ours = half.view(np.float16).astype(np.float32)
+    np.testing.assert_array_equal(ours, ref)
+    # passthrough + BC6H targets exist
+    astc = tr.transcode_image_level(0, 0, TF.ASTC_HDR_6x6_RGBA)
+    assert astc.shape[-1] == 16
+    bc6h = tr.transcode_image_level(0, 0, TF.BC6H)
+    assert bc6h.shape == (192, 128, 16)
