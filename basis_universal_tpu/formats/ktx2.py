@@ -301,6 +301,15 @@ class Ktx2File:
             return BasisTexFormat.UASTC_LDR_4x4
         if m == KDF_MODEL_UASTC_HDR_4X4:
             return BasisTexFormat.UASTC_HDR_4x4
+        # standard ASTC payloads are identified by VkFormat
+        if self.vk_format == 1000066004:  # ASTC_6x6_SFLOAT
+            return BasisTexFormat.ASTC_HDR_6x6
+        if 157 <= self.vk_format <= 184:  # ASTC_*_UNORM/SRGB pairs
+            sizes = ["4x4", "5x4", "5x5", "6x5", "6x6", "8x5", "8x6",
+                     "8x8", "10x5", "10x6", "10x8", "10x10", "12x10",
+                     "12x12"]
+            name = sizes[(self.vk_format - 157) // 2]
+            return getattr(BasisTexFormat, f"ASTC_LDR_{name}")
         return None
 
     def level_data(self, level: int) -> bytes:

@@ -551,6 +551,14 @@ class Ktx2Transcoder:
                 self._descs = descs
             elif fmt == BasisTexFormat.UASTC_LDR_4x4:
                 self._engine = UastcTranscodeEngine()
+            elif fmt == BasisTexFormat.UASTC_HDR_4x4:
+                self._engine = AstcHdrTranscodeEngine()
+            elif fmt == BasisTexFormat.ASTC_HDR_6x6:
+                self._engine = AstcHdrTranscodeEngine(6, 6)
+            elif fmt in ASTC_LDR_BLOCK_SIZES:
+                bw, bh = ASTC_LDR_BLOCK_SIZES[fmt]
+                self._engine = AstcLdrTranscodeEngine(
+                    bw, bh, srgb=bool(self.file.is_srgb))
             else:
                 raise NotImplementedError(
                     f"KTX2 decode for {fmt!r} not implemented yet")
@@ -561,11 +569,15 @@ class Ktx2Transcoder:
         self.start_transcoding()
         w = max(1, self.file.pixel_width >> level)
         h = max(1, self.file.pixel_height >> level)
-        nbx, nby = (w + 3) // 4, (h + 3) // 4
+        bw = getattr(self._engine, "bw", 4)
+        bh = getattr(self._engine, "bh", 4)
+        nbx, nby = -(-w // bw), -(-h // bh)
         layers = self.get_layers()
         faces = self.get_faces()
         idx = level * (layers * faces) + layer * faces + face
-        if isinstance(self._engine, UastcTranscodeEngine):
+        if isinstance(self._engine, (UastcTranscodeEngine,
+                                     AstcHdrTranscodeEngine,
+                                     AstcLdrTranscodeEngine)):
             lvl = self.file.level_data(level)
             img_bytes = nbx * nby * 16
             ofs = (layer * faces + face) * img_bytes

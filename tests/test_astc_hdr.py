@@ -195,3 +195,19 @@ def test_astc_hdr_6x6_decode_bit_exact(oracle_hdr_6x6):
     assert astc.shape[-1] == 16
     bc6h = tr.transcode_image_level(0, 0, TF.BC6H)
     assert bc6h.shape == (192, 128, 16)
+
+
+def test_astc_hdr_6x6_ktx2_decode(oracle_hdr_6x6, golden_dir, oracle, test_files):
+    from basis_universal_tpu.transcoder import Ktx2Transcoder
+
+    data, ref = oracle_hdr_6x6
+    out = golden_dir / "mem_hdr6.ktx2"
+    if not out.exists():
+        subprocess.run(
+            [str(oracle), "-hdr_6x6", str(test_files / "memorial.exr"),
+             "-output_file", str(out)],
+            cwd=golden_dir, check=True, capture_output=True)
+    k = Ktx2Transcoder(out.read_bytes())
+    half = k.transcode_image_level(0, 0, 0, TF.RGB_HALF)
+    np.testing.assert_array_equal(
+        half.view(np.float16).astype(np.float32), ref)

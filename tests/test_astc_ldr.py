@@ -64,3 +64,21 @@ def test_astc_ldr_block_targets(astc_ldr_golden):
         src.shape[1], src.shape[0])
     mse = ((dec[..., :3].astype(np.float64) - src) ** 2).mean()
     assert 10 * np.log10(255.0 ** 2 / mse) > 30.0
+
+
+def test_astc_ldr_ktx2_decode(astc_ldr_golden, golden_dir, oracle):
+    """Standard-ASTC KTX2 (VkFormat-identified, Zstd) decodes identically
+    to the .basis path."""
+    d = astc_ldr_golden
+    out = d / "b6x6.ktx2"
+    if not out.exists():
+        subprocess.run([str(oracle), "-ldr_6x6", str(d / "src.png"),
+                        "-output_file", str(out)],
+                       cwd=d, check=True, capture_output=True)
+    from basis_universal_tpu.transcoder import Ktx2Transcoder
+
+    k = Ktx2Transcoder(out.read_bytes())
+    img = k.transcode_image_level(0, 0, 0, TF.RGBA32)
+    ref = np.asarray(Image.open(
+        d / "b6x6_unpacked_rgba_ASTC_LDR_6X6_RGBA_0000.png").convert("RGBA"))
+    np.testing.assert_array_equal(img, ref)
