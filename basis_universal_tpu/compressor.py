@@ -183,6 +183,8 @@ def compress(images, params: CompressorParams = CompressorParams()) -> Compresso
         return _compress_uastc(images, params)
     if params.tex_format == BasisTexFormat.UASTC_HDR_4x4:
         return _compress_uastc_hdr(images, params)
+    if params.tex_format == BasisTexFormat.ASTC_LDR_4x4:
+        return _compress_astc_ldr_4x4(images, params)
     assert params.tex_format == BasisTexFormat.ETC1S, \
         f"{params.tex_format!r} encoding not implemented yet"
 
@@ -323,6 +325,76 @@ def _rdo_thresholds(params: CompressorParams):
     else:
         scale = 1.0
     return max(1.0, 1.0 + (e_t - 1.0) * scale), max(1.0, 1.0 + (s_t - 1.0) * scale)
+
+
+def _compress_astc_ldr_4x4(images, params: CompressorParams) -> CompressorOutput:
+    """ASTC LDR 4x4: UASTC mode search + the byte-exact ASTC repack, stored
+    as a standard-ASTC payload (the reference's -ldr_4x4 mode also runs a
+    shared ASTC encoder internally; raw 16-byte blocks per slice, Zstd
+    KTX2 with VkFormat ASTC_4x4_UNORM/SRGB)."""
+    from .codecs.uastc import astc_pack
+    from .codecs.uastc import encode as uastc_encode
+    from .ops.resample import generate_mipmaps
+
+    slices = []
+    any_alpha = False
+    for image_index, img in enumerate(images):
+        img = np.asarray(img)
+        if img.ndim == 2:
+            img = img[..., None].repeat(3, axis=-1)
+        if img.shape[-1] == 3:
+            img = np.concatenate(
+                [img, np.full(img.shape[:2] + (1,), 255, np.uint8)], axis=-1)
+        has_alpha = bool((img[..., 3] != 255).any())
+        any_alpha |= has_alpha
+        levels = [img]
+        if params.mip_gen:
+            levels += generate_mipmaps(img, params.mip_smallest_dimension)
+        for level_index, lvl in enumerate(levels):
+            h, w = lvl.shape[:2]
+            blocks = image_to_blocks(lvl).astype(np.float32)
+            by, bx = blocks.shape[:2]
+            ub = uastc_encode.encode_blocks(
+                blocks.reshape(by * bx, 16, 4), effort=params.effort,
+                has_alpha=has_alpha)
+            astc = astc_pack.uastc_blocks_to_astc(ub)
+            slices.append(dict(
+                image_index=image_index, level_index=level_index,
+                orig_width=w, orig_height=h, num_blocks_x=bx,
+                num_blocks_y=by, alpha=has_alpha, data=astc.tobytes()))
+
+    descs = []
+    for s in slices:
+        descs.append(basis_file.SliceDesc(
+            image_index=s["image_index"], level_index=s["level_index"],
+            flags=int(SliceDescFlags.HAS_ALPHA) if s["alpha"] else 0,
+            orig_width=s["orig_width"], orig_height=s["orig_height"],
+            num_blocks_x=s["num_blocks_x"], num_blocks_y=s["num_blocks_y"],
+            slice_data_crc16=crc16(s["data"]),
+        ))
+    flags = 0
+    if params.perceptual:
+        flags |= HeaderFlags.SRGB
+    if any_alpha:
+        flags |= HeaderFlags.HAS_ALPHA_SLICES
+    data = basis_file.write_basis_file(
+        BasisTexFormat.ASTC_LDR_4x4, descs, [s["data"] for s in slices],
+        tex_type=params.tex_type, flags=int(flags),
+        userdata0=params.userdata0, userdata1=params.userdata1)
+    base = slices[0]
+    ktx2_data = ktx2.write_ktx2_astc(
+        base_width=base["orig_width"], base_height=base["orig_height"],
+        level_count=max(s["level_index"] for s in slices) + 1,
+        layer_count=max(s["image_index"] for s in slices) + 1,
+        face_count=1,
+        slice_blocks=[s["data"] for s in slices],
+        slice_info=[dict(level=s["level_index"], layer=s["image_index"],
+                         face=0) for s in slices],
+        block_w=4, block_h=4, srgb=params.perceptual)
+    return CompressorOutput(
+        basis_data=data, ktx2_data=ktx2_data,
+        num_endpoints=0, num_selectors=0,
+        slice_endpoints=[], slice_selectors=[])
 
 
 def _compress_uastc_hdr(images, params: CompressorParams) -> CompressorOutput:

@@ -115,6 +115,49 @@ def uastc_hdr_4x4_dfd() -> bytes:
         channels=channels)
 
 
+ASTC_VK_SIZES = ["4x4", "5x4", "5x5", "6x5", "6x6", "8x5", "8x6", "8x8",
+                 "10x5", "10x6", "10x8", "10x10", "12x10", "12x12"]
+
+
+def astc_dfd(srgb: bool, block_w: int, block_h: int,
+             hdr: bool = False) -> bytes:
+    """Standard-ASTC DFD (model 162 KHR_DF_MODEL_ASTC, one 128-bit sample;
+    byte-exact vs the reference's KTX2 output for -ldr_*/-hdr_6x6)."""
+    if hdr:
+        channels = [(0, 127, 0x80, 0, 0x3F800000)]
+        return make_dfd(162, block_w=block_w, block_h=block_h,
+                        bytes_per_block=16, srgb=False, channels=channels)
+    channels = [(0, 127, 0x00, 0, 0xFFFFFFFF)]
+    return make_dfd(162, block_w=block_w, block_h=block_h,
+                    bytes_per_block=16, srgb=srgb, channels=channels)
+
+
+def write_ktx2_astc(
+    *, base_width: int, base_height: int, level_count: int,
+    layer_count: int, face_count: int,
+    slice_blocks: List[bytes], slice_info: List[dict],
+    block_w: int = 4, block_h: int = 4, srgb: bool = True,
+    hdr: bool = False, zstd_level: int = 6, supercompression: bool = True,
+    key_values: Optional[Dict[str, bytes]] = None,
+) -> bytes:
+    """Standard-ASTC payload KTX2 (VkFormat ASTC_<WxH>_UNORM/SRGB/SFLOAT,
+    Zstd supercompression) — the container the reference writes for its
+    ASTC LDR 4x4-12x12 and ASTC HDR 6x6 modes."""
+    idx = ASTC_VK_SIZES.index(f"{block_w}x{block_h}")
+    if hdr:
+        vk = 1000066000 + idx
+    else:
+        vk = 157 + idx * 2 + (1 if srgb else 0)
+    return _write_ktx2_blocks(
+        base_width=base_width, base_height=base_height,
+        level_count=level_count, layer_count=layer_count,
+        face_count=face_count, slice_blocks=slice_blocks,
+        slice_info=slice_info,
+        dfd=astc_dfd(srgb, block_w, block_h, hdr=hdr), vk_format=vk,
+        zstd_level=zstd_level, supercompression=supercompression,
+        key_values=key_values, block_w=block_w, block_h=block_h)
+
+
 def write_ktx2_uastc_hdr(
     *, base_width: int, base_height: int, level_count: int,
     layer_count: int, face_count: int,
@@ -161,6 +204,7 @@ def _write_ktx2_blocks(
     slice_blocks: List[bytes], slice_info: List[dict], dfd: bytes,
     vk_format: int, zstd_level: int, supercompression: bool,
     key_values: Optional[Dict[str, bytes]],
+    block_w: int = 4, block_h: int = 4,
 ) -> bytes:
     total_levels = max(1, level_count)
     total_layers = max(1, layer_count)

@@ -82,3 +82,35 @@ def test_astc_ldr_ktx2_decode(astc_ldr_golden, golden_dir, oracle):
     ref = np.asarray(Image.open(
         d / "b6x6_unpacked_rgba_ASTC_LDR_6X6_RGBA_0000.png").convert("RGBA"))
     np.testing.assert_array_equal(img, ref)
+
+
+def test_astc_ldr_4x4_encode_oracle(oracle, tmp_path, test_files):
+    """Our ASTC LDR 4x4 encode (UASTC search + byte-exact repack): the
+    reference unpacks both containers and matches our decode exactly."""
+    from basis_universal_tpu import compressor
+
+    img = np.asarray(Image.open(
+        test_files / "kodim23.png").convert("RGB"))[:128, :128]
+    out = compressor.compress(img, compressor.CompressorParams(
+        tex_format=BasisTexFormat.ASTC_LDR_4x4, effort=2))
+    tr = BasisTranscoder(out.basis_data)
+    assert tr.tex_format == BasisTexFormat.ASTC_LDR_4x4
+    dec = tr.transcode_image_level(0, 0, TF.RGBA32)
+    mse = ((dec[..., :3].astype(np.float64) - img) ** 2).mean()
+    assert 10 * np.log10(255.0 ** 2 / mse) > 40.0
+
+    from basis_universal_tpu.transcoder import Ktx2Transcoder
+
+    k = Ktx2Transcoder(out.ktx2_data)
+    np.testing.assert_array_equal(k.transcode_image_level(0, 0, 0, TF.RGBA32),
+                                  dec)
+    for name, payload in (("a.basis", out.basis_data),
+                          ("a.ktx2", out.ktx2_data)):
+        p = tmp_path / name
+        p.write_bytes(payload)
+        r = subprocess.run([str(oracle), "-unpack", str(p)],
+                           cwd=tmp_path, capture_output=True, text=True)
+        assert r.returncode == 0, r.stdout + r.stderr
+    ref = np.asarray(Image.open(sorted(
+        tmp_path.glob("a_unpacked_rgba_ASTC_LDR_4X4*png"))[0]).convert("RGBA"))
+    np.testing.assert_array_equal(dec, ref)
