@@ -277,3 +277,148 @@ def _pack_cem11_blocks(eps: np.ndarray, weights: np.ndarray) -> np.ndarray:
     lanes[:, 1] |= rev << np.uint64(128 - 48 - 64)
     out = lanes.view(np.uint8).reshape(n, 16)
     return out
+
+
+# --- ASTC HDR 6x6 encode (CEM 11 direct, 5x5 weight grid) --------------------
+
+
+@functools.lru_cache(maxsize=None)
+def _find_block_mode(grid_w: int, grid_h: int, wrange: int) -> int:
+    """Brute-force the 11-bit block mode whose decode gives the requested
+    weight grid + range, single plane (uses our spec decoder as truth)."""
+    for bm in range(2048):
+        blk16 = bytearray(16)
+        blk16[0] = bm & 0xFF
+        blk16[1] = (bm >> 8) & 7
+        cfg = ah.decode_block_mode_fields(bm)
+        if cfg is None:
+            continue
+        gw, gh, rng, dual = cfg
+        if (gw, gh, rng, dual) == (grid_w, grid_h, wrange, False):
+            return bm
+    raise ValueError(f"no block mode for {grid_w}x{grid_h} range {wrange}")
+
+
+@functools.lru_cache(maxsize=None)
+def _infill_matrix(grid_w: int, grid_h: int, bw: int, bh: int) -> tuple:
+    """(M, pinv(M)): per-texel weights as a linear map of grid weights
+    (float model of the spec §18.11 infill)."""
+    cols = []
+    for j in range(grid_w * grid_h):
+        grid = np.zeros(grid_w * grid_h, dtype=np.int64)
+        grid[j] = 64
+        up = ah.upsample_weights(grid, grid_w, grid_h, bw, bh)
+        cols.append(np.asarray(up, dtype=np.float64) / 64.0)
+    m = np.stack(cols, axis=1)                              # (bw*bh, gw*gh)
+    return m, np.linalg.pinv(m)
+
+
+def encode_blocks_hdr_6x6(px_half: np.ndarray, effort: int = 1) -> np.ndarray:
+    """(B,36,3) uint16 half bits → (B,16) uint8 ASTC HDR 6x6 blocks.
+
+    CEM 11 direct endpoints (qlog8/qlog8/qlog7 min/max per channel), 5x5
+    2-bit weight grid fit by least squares against the §18.11 infill and
+    requantized.  A basic single-partition encoder (the reference's 6x6
+    encoder, encoder/basisu_astc_hdr_6x6_enc.cpp, adds partitions, more
+    grids and RDO — future refinement)."""
+    b = px_half.shape[0]
+    q16 = half_to_qlog16(px_half).astype(np.int64)          # (B,36,3)
+    q12 = q16 >> 4
+    lo12 = q12.min(axis=1)
+    hi12 = q12.max(axis=1)
+    prec = np.array([4, 4, 5])
+    lo_q = lo12 >> prec
+    hi_q = np.minimum(-(-hi12 >> prec.astype(np.int64)),
+                      np.array([255, 255, 127]))
+    le = (lo_q << prec) << 4                                # qlog16 (B,3)
+    he = (hi_q << prec) << 4
+
+    # continuous ideal texel weights via per-channel LS projection
+    d = (he - le).astype(np.float64)                        # (B,3)
+    num = ((q16 - le[:, None, :]) * d[:, None, :]).sum(-1)  # (B,36)
+    den = np.maximum((d * d).sum(-1), 1e-9)
+    w_tex = np.clip(64.0 * num / den[:, None], 0, 64)
+
+    lut = _qlog16_to_half_lut().astype(np.int64)
+    tgt_h = lut[np.clip(q16, 0, 65535)]                     # (B,36,3)
+
+    # candidate weight-grid configs (plain-bit ISE ranges only): the
+    # per-block argmin picks the grid whose infilled reconstruction wins
+    configs = [(6, 6, 0, 1), (5, 5, 2, 2), (4, 4, 5, 3)]    # (gw,gh,rng,bits)
+    if effort >= 2:
+        configs.append((3, 3, 5, 3))
+    cand_codes, cand_err = [], []
+    for (gw, gh, rng, wb) in configs:
+        m, pinv = _infill_matrix(gw, gh, 6, 6)
+        grid_f = np.clip(w_tex @ pinv.T, 0, 64)             # (B,g)
+        levels = np.array([ah.dequant_weight(v, rng)
+                           for v in range(1 << wb)])
+        codes = np.abs(grid_f[..., None] - levels).argmin(-1)
+        # exact §18.11 infill of the dequantized grid, then half-space SSE
+        gq = levels[codes]                                   # (B,g)
+        up = np.clip((gq @ (m.T * 64.0) + 32).astype(np.int64) >> 6, 0, 64)
+        rec = (le[:, None, :] * (64 - up[..., None])
+               + he[:, None, :] * up[..., None] + 32) >> 6
+        rec_h = lut[np.clip(rec, 0, 65535)]
+        cand_err.append(((rec_h - tgt_h) ** 2).sum(axis=(1, 2)))
+        cand_codes.append(codes)
+    best = np.argmin(np.stack(cand_err, axis=1), axis=1)    # (B,)
+
+    eps = np.zeros((b, 6), dtype=np.int64)
+    eps[:, 0] = lo_q[:, 0]
+    eps[:, 1] = hi_q[:, 0]
+    eps[:, 2] = lo_q[:, 1]
+    eps[:, 3] = hi_q[:, 1]
+    eps[:, 4] = lo_q[:, 2] | 0x80
+    eps[:, 5] = hi_q[:, 2] | 0x80
+
+    out = np.zeros((b, 16), dtype=np.uint8)
+    for ci, (gw, gh, rng, wb) in enumerate(configs):
+        idx = np.flatnonzero(best == ci)
+        if not idx.size:
+            continue
+        out[idx] = _pack_cem11_generic(
+            eps[idx], cand_codes[ci][idx], gw, gh, rng, wb)
+    return out
+
+
+def _pack_cem11_generic(eps, codes, gw, gh, rng, wb):
+    """Pack single-partition CEM-11 blocks with an arbitrary plain-bit
+    weight grid (inferred endpoint range 20)."""
+    n = eps.shape[0]
+    lanes = np.zeros((n, 2), dtype=np.uint64)
+
+    def wr(ofs, vals, nb):
+        v = vals.astype(np.uint64) & np.uint64((1 << nb) - 1)
+        if ofs < 64:
+            lanes[:, 0] |= v << np.uint64(ofs)
+            if ofs + nb > 64:
+                lanes[:, 1] |= v >> np.uint64(64 - ofs)
+        else:
+            lanes[:, 1] |= v << np.uint64(ofs - 64)
+        return ofs + nb
+
+    bm = _find_block_mode(gw, gh, rng)
+    ofs = wr(0, np.full(n, bm), 11)
+    ofs = wr(ofs, np.zeros(n), 2)
+    ofs = wr(ofs, np.full(n, 11), 4)
+    for i in range(6):
+        ofs = wr(ofs, eps[:, i], 8)
+    nw = gw * gh
+    nwb = nw * wb
+    assert 24 <= nwb <= 96 and ofs + nwb <= 128
+    wstream = np.zeros(n, dtype=np.uint64)
+    for i in range(nw):
+        wstream |= (codes[:, i].astype(np.uint64)
+                    & np.uint64((1 << wb) - 1)) << np.uint64(wb * i)
+    rev = np.zeros(n, dtype=np.uint64)
+    tmp = wstream.copy()
+    for _ in range(nwb):
+        rev = (rev << np.uint64(1)) | (tmp & np.uint64(1))
+        tmp >>= np.uint64(1)
+    if nwb <= 64:
+        lanes[:, 1] |= rev << np.uint64(128 - nwb - 64)
+    else:  # pragma: no cover - all current configs fit in the top lane
+        lanes[:, 1] |= rev >> np.uint64(nwb - 64)
+        lanes[:, 0] |= rev << np.uint64(128 - nwb)
+    return lanes.view(np.uint8).reshape(n, 16)

@@ -614,3 +614,18 @@ def decode_blocks_rgba8(blocks, srgb: bool = False,
         assert px.dtype == np.uint8
         out[i] = px
     return out
+
+
+def decode_block_mode_fields(bm: int):
+    """11-bit block mode → (grid_w, grid_h, weight_ise_range, dual_plane)
+    or None (uses the same row machinery as _decode_config)."""
+    blk16 = bytearray(16)
+    blk16[0] = bm & 0xFF
+    blk16[1] = (bm >> 8) & 7
+    bits = _Bits(bytes(blk16))
+    blk = LogBlock()
+    if bits.get(0, 9) == 0b111111100:
+        return None
+    if not _decode_config(bits, blk):
+        return None
+    return blk.grid_width, blk.grid_height, blk.weight_ise_range, blk.dual_plane

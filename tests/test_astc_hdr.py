@@ -211,3 +211,31 @@ def test_astc_hdr_6x6_ktx2_decode(oracle_hdr_6x6, golden_dir, oracle, test_files
     half = k.transcode_image_level(0, 0, 0, TF.RGB_HALF)
     np.testing.assert_array_equal(
         half.view(np.float16).astype(np.float32), ref)
+
+
+def test_astc_hdr_6x6_encode_oracle(oracle, tmp_path, test_files):
+    """Our ASTC HDR 6x6 encoder (CEM 11, multi-grid weight candidates):
+    oracle unpacks both containers and matches our decode exactly."""
+    from basis_universal_tpu import compressor
+
+    src = load_exr(test_files / "memorial.exr")[:192, :192]
+    out = compressor.compress([src], compressor.CompressorParams(
+        tex_format=BasisTexFormat.ASTC_HDR_6x6, effort=2))
+    tr = BasisTranscoder(out.basis_data)
+    assert tr.tex_format == BasisTexFormat.ASTC_HDR_6x6
+    half = tr.transcode_image_level(0, 0, TF.RGB_HALF)
+    ours = half.view(np.float16).astype(np.float32)
+    mse = ((ours - src) ** 2).mean()
+    rel = 10 * np.log10(float(src.max()) ** 2 / mse)
+    assert rel > 27.0, rel  # 3.56bpp on a dark, detailed crop
+    assert len(out.basis_data) < 192 * 192 * 0.5  # ~3.6 bpp vs 8 bpp 4x4
+
+    for name, payload in (("h.basis", out.basis_data),
+                          ("h.ktx2", out.ktx2_data)):
+        p = tmp_path / name
+        p.write_bytes(payload)
+        r = subprocess.run([str(oracle), "-unpack", str(p)],
+                           cwd=tmp_path, capture_output=True, text=True)
+        assert r.returncode == 0, r.stdout + r.stderr
+    ref = load_exr(sorted(tmp_path.glob("h_hdr_unpacked_rgb_RGB_HALF*exr"))[0])
+    np.testing.assert_array_equal(ours, ref)
