@@ -183,8 +183,10 @@ def compress(images, params: CompressorParams = CompressorParams()) -> Compresso
         return _compress_uastc(images, params)
     if params.tex_format == BasisTexFormat.UASTC_HDR_4x4:
         return _compress_uastc_hdr(images, params)
-    if params.tex_format == BasisTexFormat.ASTC_LDR_4x4:
-        return _compress_astc_ldr_4x4(images, params)
+    from .transcoder import ASTC_LDR_BLOCK_SIZES
+    if params.tex_format in ASTC_LDR_BLOCK_SIZES:
+        return _compress_astc_ldr(images, params,
+                                  *ASTC_LDR_BLOCK_SIZES[params.tex_format])
     if params.tex_format == BasisTexFormat.ASTC_HDR_6x6:
         return _compress_astc_hdr_6x6(images, params)
     assert params.tex_format == BasisTexFormat.ETC1S, \
@@ -329,11 +331,13 @@ def _rdo_thresholds(params: CompressorParams):
     return max(1.0, 1.0 + (e_t - 1.0) * scale), max(1.0, 1.0 + (s_t - 1.0) * scale)
 
 
-def _compress_astc_ldr_4x4(images, params: CompressorParams) -> CompressorOutput:
-    """ASTC LDR 4x4: UASTC mode search + the byte-exact ASTC repack, stored
-    as a standard-ASTC payload (the reference's -ldr_4x4 mode also runs a
-    shared ASTC encoder internally; raw 16-byte blocks per slice, Zstd
-    KTX2 with VkFormat ASTC_4x4_UNORM/SRGB)."""
+def _compress_astc_ldr(images, params: CompressorParams,
+                       bw: int = 4, bh: int = 4) -> CompressorOutput:
+    """ASTC LDR 4x4-12x12: 4x4 runs the UASTC mode search + byte-exact
+    repack; other footprints run the direct CEM 8/12 encoder
+    (codecs/astc/ldr_encode.py). Raw 16-byte blocks per slice, Zstd KTX2
+    with VkFormat ASTC_<WxH>_UNORM/SRGB)."""
+    from .codecs.astc import ldr_encode
     from .codecs.uastc import astc_pack
     from .codecs.uastc import encode as uastc_encode
     from .ops.resample import generate_mipmaps
@@ -354,12 +358,24 @@ def _compress_astc_ldr_4x4(images, params: CompressorParams) -> CompressorOutput
             levels += generate_mipmaps(img, params.mip_smallest_dimension)
         for level_index, lvl in enumerate(levels):
             h, w = lvl.shape[:2]
-            blocks = image_to_blocks(lvl).astype(np.float32)
-            by, bx = blocks.shape[:2]
-            ub = uastc_encode.encode_blocks(
-                blocks.reshape(by * bx, 16, 4), effort=params.effort,
-                has_alpha=has_alpha)
-            astc = astc_pack.uastc_blocks_to_astc(ub)
+            by, bx = -(-h // bh), -(-w // bw)
+            if (bw, bh) == (4, 4):
+                blocks = image_to_blocks(lvl).astype(np.float32)
+                ub = uastc_encode.encode_blocks(
+                    blocks.reshape(by * bx, 16, 4), effort=params.effort,
+                    has_alpha=has_alpha)
+                astc = astc_pack.uastc_blocks_to_astc(ub)
+            else:
+                pad = np.zeros((by * bh, bx * bw, 4), dtype=np.uint8)
+                pad[:h, :w] = lvl
+                if h < pad.shape[0]:
+                    pad[h:] = pad[h - 1:h]
+                if w < pad.shape[1]:
+                    pad[:, w:] = pad[:, w - 1:w]
+                pb = pad.reshape(by, bh, bx, bw, 4).transpose(0, 2, 1, 3, 4)
+                astc = ldr_encode.encode_blocks_ldr(
+                    pb.reshape(by * bx, bh * bw, 4), bw, bh,
+                    has_alpha=has_alpha, effort=params.effort)
             slices.append(dict(
                 image_index=image_index, level_index=level_index,
                 orig_width=w, orig_height=h, num_blocks_x=bx,
@@ -380,7 +396,7 @@ def _compress_astc_ldr_4x4(images, params: CompressorParams) -> CompressorOutput
     if any_alpha:
         flags |= HeaderFlags.HAS_ALPHA_SLICES
     data = basis_file.write_basis_file(
-        BasisTexFormat.ASTC_LDR_4x4, descs, [s["data"] for s in slices],
+        params.tex_format, descs, [s["data"] for s in slices],
         tex_type=params.tex_type, flags=int(flags),
         userdata0=params.userdata0, userdata1=params.userdata1)
     base = slices[0]
@@ -392,7 +408,7 @@ def _compress_astc_ldr_4x4(images, params: CompressorParams) -> CompressorOutput
         slice_blocks=[s["data"] for s in slices],
         slice_info=[dict(level=s["level_index"], layer=s["image_index"],
                          face=0) for s in slices],
-        block_w=4, block_h=4, srgb=params.perceptual)
+        block_w=bw, block_h=bh, srgb=params.perceptual)
     return CompressorOutput(
         basis_data=data, ktx2_data=ktx2_data,
         num_endpoints=0, num_selectors=0,

@@ -114,3 +114,30 @@ def test_astc_ldr_4x4_encode_oracle(oracle, tmp_path, test_files):
     ref = np.asarray(Image.open(sorted(
         tmp_path.glob("a_unpacked_rgba_ASTC_LDR_4X4*png"))[0]).convert("RGBA"))
     np.testing.assert_array_equal(dec, ref)
+
+
+@pytest.mark.parametrize("size", ["6x6", "8x8", "12x12"])
+def test_astc_ldr_direct_encode_oracle(oracle, tmp_path, test_files, size):
+    """The direct CEM 8/12 encoder for non-4x4 footprints: oracle unpacks
+    our .basis and matches our decode exactly; quality sane for the bpp."""
+    from basis_universal_tpu import compressor
+
+    img = np.asarray(Image.open(
+        test_files / "kodim23.png").convert("RGB"))[:126, :250]
+    fmt = getattr(BasisTexFormat, f"ASTC_LDR_{size}")
+    out = compressor.compress(img, compressor.CompressorParams(
+        tex_format=fmt, effort=1))
+    tr = BasisTranscoder(out.basis_data)
+    assert tr.tex_format == fmt
+    dec = tr.transcode_image_level(0, 0, TF.RGBA32)
+    mse = ((dec[..., :3].astype(np.float64) - img) ** 2).mean()
+    assert 10 * np.log10(255.0 ** 2 / mse) > 36.0
+
+    p = tmp_path / "a.basis"
+    p.write_bytes(out.basis_data)
+    r = subprocess.run([str(oracle), "-unpack", str(p)],
+                       cwd=tmp_path, capture_output=True, text=True)
+    assert r.returncode == 0, r.stdout + r.stderr
+    ref = np.asarray(Image.open(sorted(
+        tmp_path.glob("a_unpacked_rgba_ASTC_LDR*png"))[0]).convert("RGBA"))
+    np.testing.assert_array_equal(dec, ref)
