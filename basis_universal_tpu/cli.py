@@ -31,14 +31,20 @@ def cmd_compress(args):
     from .formats.constants import BasisTexFormat
 
     for src in args.inputs:
-        if args.hdr or _p.Path(src).suffix.lower() in (".exr", ".hdr"):
+        if args.hdr or args.hdr_6x6 \
+                or _p.Path(src).suffix.lower() in (".exr", ".hdr"):
             return cmd_compress_hdr(args)
         img = _load_image(src)
         if args.output_path:
             pathlib.Path(args.output_path).mkdir(parents=True, exist_ok=True)
+        if args.ldr_size:
+            fmt = getattr(BasisTexFormat, f"ASTC_LDR_{args.ldr_size}")
+        elif args.uastc:
+            fmt = BasisTexFormat.UASTC_LDR_4x4
+        else:
+            fmt = BasisTexFormat.ETC1S
         params = compressor.CompressorParams(
-            tex_format=(BasisTexFormat.UASTC_LDR_4x4 if args.uastc
-                        else BasisTexFormat.ETC1S),
+            tex_format=fmt,
             quality_level=args.q,
             effort=args.effort,
             mip_gen=args.mipmap,
@@ -68,10 +74,12 @@ def cmd_compress_hdr(args):
 
     if args.output_path:
         pathlib.Path(args.output_path).mkdir(parents=True, exist_ok=True)
+    fmt = (BasisTexFormat.ASTC_HDR_6x6 if args.hdr_6x6
+           else BasisTexFormat.UASTC_HDR_4x4)
     for src in args.inputs:
         img = load_image_hdr(src)
         params = compressor.CompressorParams(
-            tex_format=BasisTexFormat.UASTC_HDR_4x4, effort=args.effort)
+            tex_format=fmt, effort=args.effort)
         out = compressor.compress([img], params)
         stem = pathlib.Path(args.output_file).stem if args.output_file \
             else pathlib.Path(src).stem
@@ -84,7 +92,7 @@ def cmd_compress_hdr(args):
             p.write_bytes(out.ktx2_data)
         pix = img.shape[0] * img.shape[1]
         data = out.basis_data if args.basis else out.ktx2_data
-        print(f"Wrote {p} (UASTC HDR 4x4, {len(data)} bytes, "
+        print(f"Wrote {p} ({fmt.name}, {len(data)} bytes, "
               f"{len(data)*8.0/pix:.3f} bits/texel)")
     return 0
 
@@ -157,6 +165,14 @@ def main(argv=None):
                     help="UASTC HDR 4x4 mode (default for .exr/.hdr inputs)")
     ap.add_argument("-uastc_rdo_l", type=float, default=0.0,
                     help="UASTC RDO lambda (0 = off, 1.0 = default strength)")
+    ap.add_argument("-hdr_6x6", action="store_true",
+                    help="ASTC HDR 6x6 mode")
+    for s in ("4x4", "5x4", "5x5", "6x5", "6x6", "8x5", "8x6", "10x5",
+              "10x6", "8x8", "10x8", "10x10", "12x10", "12x12"):
+        ap.add_argument(f"-ldr_{s}", f"-astc_ldr_{s}", dest="ldr_size",
+                        action="store_const", const=s,
+                        help=argparse.SUPPRESS)
+    ap.set_defaults(ldr_size=None)
     ap.add_argument("-q", type=int, default=128, help="ETC1S quality 1-255")
     ap.add_argument("-effort", "-comp_level", type=int, default=1, dest="effort")
     ap.add_argument("-mipmap", action="store_true")
