@@ -1,0 +1,348 @@
+"""UASTC HDR 6x6 INTERMEDIATE decode → logical ASTC blocks → pixels.
+
+The intermediate format (parity: transcoder/basisu_transcoder.cpp
+decode_6x6_hdr:24770 and the astc_6x6_hdr namespace in
+basisu_astc_hdr_core.h) is a bitwise stream of per-block encodings:
+  RUN   (code 000): repeat the previous block
+  SOLID (code 100): 3x15-bit positive half floats
+  REUSE (code  10): copy a nearby block's mode/endpoints, new weights
+  BLOCK (code   1): truncated-binary block mode (75 modes) + endpoint
+        mode (raw / use-left / use-upper / ±5-bit rank deltas) +
+        ISE-coded endpoints and weights (trit/quint bits packed FIRST,
+        then the plain bits — NOT standard ASTC ISE interleaving)
+followed by a 0xA742 end marker.  Decoded blocks are standard ASTC HDR
+6x6 (CEM 7/11) after requantizing endpoints/weights from the coding ISE
+ranges to the transcode ranges; a 2x2 weight grid is upsampled to 4x4
+(not valid ASTC otherwise).
+"""
+
+import functools
+
+import numpy as np
+
+from ..uastc import tables as T
+from . import helpers as ah
+from . import hdr6x6_tables as HT
+
+SIG0 = 0xABCD  # original release (encoder bug in 2x2 upsample)
+SIG1 = 0xABCE
+END_MARKER = 0xA742
+REUSE_ROWS = 5
+
+
+class _BitReader:
+    """LSB-first bit reader (bitwise_decoder semantics)."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.buf = 0
+        self.nbits = 0
+
+    def get(self, n: int) -> int:
+        while self.nbits < n:
+            c = self.data[self.pos] if self.pos < len(self.data) else 0
+            self.pos += 1
+            self.buf |= c << self.nbits
+            self.nbits += 8
+        v = self.buf & ((1 << n) - 1)
+        self.buf >>= n
+        self.nbits -= n
+        return v
+
+    def vlc(self, chunk_bits: int) -> int:
+        mask = (1 << chunk_bits) - 1
+        v = 0
+        ofs = 0
+        while True:
+            s = self.get(chunk_bits + 1)
+            v |= (s & mask) << ofs
+            ofs += chunk_bits
+            if not (s & (1 << chunk_bits)):
+                return v
+
+    def truncated_binary(self, n: int) -> int:
+        k = n.bit_length() - 1
+        u = (1 << (k + 1)) - n
+        r = self.get(k)
+        if r >= u:
+            r = ((r << 1) | self.get(1)) - u
+        return r
+
+
+@functools.lru_cache(maxsize=None)
+def _weight_tabs(rng: int):
+    levels = ah.ise_levels(rng)
+    ise_to_val = np.array([ah.dequant_weight(v, rng) for v in range(levels)])
+    val_to_ise = np.array(
+        [int(np.argmin(np.abs(ise_to_val - v))) for v in range(65)])
+    return ise_to_val, val_to_ise
+
+
+@functools.lru_cache(maxsize=None)
+def _endpoint_tabs(rng: int):
+    ise_to_val = np.asarray(T.color_unquant_table(rng), dtype=np.int64)
+    val_to_ise = np.array(
+        [int(np.argmin(np.abs(ise_to_val - v))) for v in range(256)])
+    order = np.argsort(ise_to_val * 256 + np.arange(len(ise_to_val)))
+    rank_to_ise = order.astype(np.int64)
+    ise_to_rank = np.zeros_like(rank_to_ise)
+    ise_to_rank[rank_to_ise] = np.arange(len(rank_to_ise))
+    return ise_to_val, val_to_ise, ise_to_rank, rank_to_ise
+
+
+@functools.lru_cache(maxsize=None)
+def _preserve_tab(rng: int, top_bits: int):
+    """quantize [0,255] to the nearest ISE symbol whose dequantized value
+    preserves the top 2/3 bits (init_quantize_tables:23008)."""
+    ise_to_val, _, _, _ = _endpoint_tabs(rng)
+    mask = 0b11000000 if top_bits == 2 else 0b11100000
+    out = np.zeros(256, dtype=np.int64)
+    for v in range(256):
+        best, best_err = -1, 1 << 30
+        for sym, qv in enumerate(ise_to_val):
+            if (qv & mask) != (v & mask):
+                continue
+            err = (int(qv) - v) ** 2
+            if err < best_err:
+                best_err, best = err, sym
+        out[v] = best
+    return out
+
+
+def _decode_values(br: _BitReader, total: int, rng: int) -> list:
+    """The intermediate ISE layout: all trit/quint packed words first."""
+    b, t, q = ah.BISE_RANGE_TABLE[rng]
+    tq_vals = []
+    if t or q:
+        bundle = 5 if t else 3
+        mul = 3 if t else 5
+        n_tq = -(-total // bundle)
+        for i in range(n_tq):
+            nb = 8 if t else 7
+            if i == n_tq - 1:
+                rem = total - (n_tq - 1) * bundle
+                if t:
+                    nb = {1: 2, 2: 4, 3: 5, 4: 7}.get(rem, 8)
+                else:
+                    nb = {1: 3, 2: 5}.get(rem, 7)
+            tq_vals.append(br.get(nb))
+    else:
+        bundle = mul = 0
+    out = []
+    accum = 0
+    accum_rem = 0
+    nxt = 0
+    for _ in range(total):
+        v = br.get(b) if b else 0
+        if tq_vals:
+            if not accum_rem:
+                accum = tq_vals[nxt]
+                nxt += 1
+                accum_rem = bundle
+            v |= (accum % mul) << b
+            accum //= mul
+            accum_rem -= 1
+        out.append(v)
+    return out
+
+
+def _requant_weights(vals, from_r: int, to_r: int):
+    if from_r == to_r:
+        return list(vals)
+    dq, _ = _weight_tabs(from_r)
+    _, q = _weight_tabs(to_r)
+    return [int(q[dq[v]]) for v in vals]
+
+
+def _requant_endpoints(cem: int, vals, from_r: int, to_r: int):
+    """requantize_ise_endpoints (:23089) incl. the MSB-preserving tables
+    for CEM 11 non-direct and CEM 7."""
+    n = 6 if cem == 11 else 4
+    if from_r == to_r:
+        return list(vals[:n])
+    dq_src, _, _, _ = _endpoint_tabs(from_r)
+    raw = [int(dq_src[v]) for v in vals[:n]] if from_r != 20 \
+        else [int(v) for v in vals[:n]]
+    if to_r == 20:
+        return raw
+    _, q, _, _ = _endpoint_tabs(to_r)
+    p2 = _preserve_tab(to_r, 2)
+    p3 = _preserve_tab(to_r, 3)
+    if cem == 11:
+        maj = ((raw[4] >> 7) & 1) | (((raw[5] >> 7) & 1) << 1)
+        if maj == 3:  # direct
+            return [int(q[v]) for v in raw]
+        return [int(q[raw[0]]), int(p2[raw[1]]), int(p2[raw[2]]),
+                int(p2[raw[3]]), int(p3[raw[4]]), int(p3[raw[5]])]
+    return [int(p2[raw[0]]), int(p3[raw[1]]), int(p3[raw[2]]),
+            int(p3[raw[3]])]
+
+
+def _make_log_block(bmd, endpoints, weights, partition_id: int):
+    """Build our decoder's LogBlock at the mode's TRANSCODE ISE ranges."""
+    (dp, cem, nparts, gx, gy, _er, wr, te_r, tw_r, _lv, dpc) = bmd
+    blk = ah.LogBlock()
+    blk.dual_plane = bool(dp)
+    blk.ccs = max(dpc, 0)
+    blk.num_partitions = nparts
+    blk.partition_id = partition_id
+    blk.cems = tuple([cem] * nparts)
+    blk.endpoint_ise_range = te_r
+    blk.grid_width = gx
+    blk.grid_height = gy
+    blk.weight_ise_range = tw_r
+    blk.endpoints = list(endpoints)
+    if (not dp) and gx == 2 and gy == 2:
+        # 2x2 isn't valid ASTC: upsample the grid to 4x4 (:23206)
+        dqw, qw = _weight_tabs(tw_r)
+        dq = [int(dqw[v]) for v in weights]
+        up = ah.upsample_weights(dq, 2, 2, 4, 4)
+        blk.grid_width = 4
+        blk.grid_height = 4
+        blk.weights = [int(qw[v]) for v in up]
+    else:
+        blk.weights = list(weights)
+    return blk
+
+
+def decode_6x6_hdr(data: bytes):
+    """Intermediate stream → (list of LogBlocks raster order, width,
+    height).  Raises ValueError on malformed streams."""
+    br = _BitReader(data)
+    sig = br.get(16)
+    if sig not in (SIG0, SIG1):
+        raise ValueError("bad UASTC HDR 6x6 intermediate signature")
+    width = br.get(16)
+    height = br.get(16)
+    if not width or not height:
+        raise ValueError("bad dimensions")
+    nbx, nby = -(-width // 6), -(-height // 6)
+    total = nbx * nby
+    blocks = [None] * total
+    # log-block reuse window (mode/endpoint state at CODING ranges)
+    state = [None] * total  # (bmd_index, endpoint_ise_range, endpoints)
+
+    i = 0
+    while i < total:
+        b0 = br.get(1)
+        if b0:
+            et = "block"
+        elif br.get(1):
+            et = "reuse"
+        elif br.get(1):
+            et = "solid"
+        else:
+            et = "run"
+
+        if et == "run":
+            if i == 0:
+                raise ValueError("run at start")
+            run_len = br.vlc(5) + 1
+            if run_len > total - i:
+                raise ValueError("run too long")
+            for _ in range(run_len):
+                blocks[i] = blocks[i - 1]
+                state[i] = state[i - 1]
+                i += 1
+        elif et == "solid":
+            rh, gh, bh = br.get(15), br.get(15), br.get(15)
+            blk = ah.LogBlock()
+            blk.solid_hdr = True
+            blk.solid_ldr = False
+            blk.solid_color = (rh, gh, bh, 0x3C00)
+            blocks[i] = blk
+            state[i] = None
+            i += 1
+        elif et == "reuse":
+            if i == 0:
+                raise ValueError("reuse at start")
+            dx, dy = HT.REUSE_XY_DELTAS[br.get(5)]
+            bx, by = i % nbx, i // nbx
+            px, py = bx + dx, by + dy
+            j = px + py * nbx
+            if px < 0 or px >= nbx or py < 0 or j >= i:
+                raise ValueError("bad reuse target")
+            if state[j] is None:
+                raise ValueError("reuse of solid block")
+            bmd_i, ep_rng, eps = state[j]
+            bmd = HT.BLOCK_MODE_DESCS[bmd_i]
+            (dp, cem, nparts, gx, gy, _er, wr, te_r, tw_r, _lv, _c) = bmd
+            nw = gx * gy * (2 if dp else 1)
+            weights = _decode_values(br, nw, wr)
+            nvals = 6 if cem == 11 else 4
+            t_eps = []
+            pid = state[j][3] if len(state[j]) > 3 else 0
+            for p in range(nparts):
+                t_eps += _requant_endpoints(
+                    cem, eps[nvals * p:nvals * (p + 1)], ep_rng, te_r)
+            t_w = _requant_weights(weights, wr, tw_r)
+            blocks[i] = _make_log_block(bmd, t_eps, t_w, pid)
+            state[i] = (bmd_i, ep_rng, eps, pid)
+            i += 1
+        else:  # block
+            bm = br.truncated_binary(len(HT.BLOCK_MODE_DESCS))
+            em = br.truncated_binary(5)
+            bmd = HT.BLOCK_MODE_DESCS[bm]
+            (dp, cem, nparts, gx, gy, e_r, w_r, te_r, tw_r, _lv, _c) = bmd
+            nvals = 6 if cem == 11 else 4
+            bx, by = i % nbx, i // nbx
+            pid = 0
+            if em == 0:  # raw
+                if nparts == 2:
+                    pid = HT.PART2_UNIQUE_INDEX_TO_SEED[
+                        br.truncated_binary(len(HT.PART2_UNIQUE_INDEX_TO_SEED))]
+                elif nparts == 3:
+                    pid = HT.PART3_UNIQUE_INDEX_TO_SEED[
+                        br.truncated_binary(len(HT.PART3_UNIQUE_INDEX_TO_SEED))]
+                eps = _decode_values(br, nvals * nparts, e_r)
+                ep_rng = e_r
+            else:
+                nx, ny = (bx - 1, by) if em in (1, 3) else (bx, by - 1)
+                if nx < 0 or ny < 0:
+                    raise ValueError("bad neighbor")
+                j = nx + ny * nbx
+                if state[j] is None:
+                    raise ValueError("neighbor is solid")
+                n_bmd_i, n_rng, n_eps = state[j][:3]
+                n_cem = HT.BLOCK_MODE_DESCS[n_bmd_i][1]
+                if n_cem != cem:
+                    raise ValueError("neighbor CEM mismatch")
+                if em in (1, 2):  # use left/upper verbatim
+                    ep_rng = n_rng
+                    eps = list(n_eps[:nvals])
+                else:  # ±rank delta at the mode's coding range
+                    ep_rng = e_r
+                    base = _requant_endpoints(cem, n_eps[:nvals], n_rng, e_r)
+                    _, _, ise_to_rank, rank_to_ise = _endpoint_tabs(e_r)
+                    levels = ah.ise_levels(e_r)
+                    eps = []
+                    for k in range(nvals):
+                        delta = br.get(5) - 16
+                        r = int(ise_to_rank[base[k]]) + delta
+                        if r < 0 or r >= levels:
+                            raise ValueError("endpoint delta out of range")
+                        eps.append(int(rank_to_ise[r]))
+            nw = gx * gy * (2 if dp else 1)
+            weights = _decode_values(br, nw, w_r)
+            t_eps = []
+            for p in range(nparts):
+                t_eps += _requant_endpoints(
+                    cem, eps[nvals * p:nvals * (p + 1)], ep_rng, te_r)
+            t_w = _requant_weights(weights, w_r, tw_r)
+            blocks[i] = _make_log_block(bmd, t_eps, t_w, pid)
+            state[i] = (bm, ep_rng, eps, pid)
+            i += 1
+
+    if br.get(16) != END_MARKER:
+        raise ValueError("end marker missing")
+    return blocks, width, height
+
+
+def decode_blocks_rgba16f(data: bytes):
+    """Intermediate stream → ((nby*nbx, 6, 6, 4) half bits, w, h)."""
+    blocks, w, h = decode_6x6_hdr(data)
+    out = np.zeros((len(blocks), 6, 6, 4), dtype=np.uint16)
+    for i, blk in enumerate(blocks):
+        out[i] = ah.decode_block(blk, 6, 6)
+    return out, w, h

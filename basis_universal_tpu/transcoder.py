@@ -335,6 +335,40 @@ def _half_to_rgb9e5(half_bits: np.ndarray) -> np.ndarray:
     return m[..., 0] | (m[..., 1] << 9) | (m[..., 2] << 18) | (e << 27)
 
 
+class Hdr6x6IntermediateEngine:
+    """UASTC HDR 6x6 INTERMEDIATE (supercompressed stream → logical ASTC
+    HDR 6x6 blocks; codecs/astc/hdr6x6_decode.py, bit-exact vs the
+    reference's decode_6x6_hdr)."""
+
+    bw = bh = 6
+
+    def convert(self, fmt: TF, data, nbx: int, nby: int,
+                orig_width: int, orig_height: int) -> np.ndarray:
+        from .codecs.astc import hdr6x6_decode as hd
+
+        blocks, w, h = hd.decode_blocks_rgba16f(bytes(data))
+        grid = blocks.reshape(nby, nbx, 6, 6, 4)
+        img = grid.transpose(0, 2, 1, 3, 4).reshape(
+            nby * 6, nbx * 6, 4)[:orig_height, :orig_width]
+        if fmt == TF.RGBA_HALF:
+            return img
+        if fmt == TF.RGB_HALF:
+            return np.ascontiguousarray(img[..., :3])
+        if fmt == TF.RGB_9E5:
+            return _half_to_rgb9e5(img[..., :3])
+        if fmt == TF.BC6H:
+            from .codecs.astc import hdr_encode
+
+            b4y, b4x = -(-orig_height // 4), -(-orig_width // 4)
+            pad = np.zeros((b4y * 4, b4x * 4, 3), dtype=np.uint16)
+            pad[:img.shape[0], :img.shape[1]] = img[..., :3]
+            b4 = pad.reshape(b4y, 4, b4x, 4, 3).transpose(0, 2, 1, 3, 4)
+            return hdr_encode.halfs_to_bc6h(
+                b4.reshape(-1, 16, 3)).reshape(b4y, b4x, 16)
+        raise NotImplementedError(
+            f"UASTC HDR 6x6i transcode target {fmt!r} not implemented yet")
+
+
 ASTC_LDR_BLOCK_SIZES = {
     BasisTexFormat.ASTC_LDR_4x4: (4, 4), BasisTexFormat.ASTC_LDR_5x4: (5, 4),
     BasisTexFormat.ASTC_LDR_5x5: (5, 5), BasisTexFormat.ASTC_LDR_6x5: (6, 5),
@@ -457,6 +491,8 @@ class BasisTranscoder:
                 self._engine = AstcHdrTranscodeEngine()
             elif self.tex_format == BasisTexFormat.ASTC_HDR_6x6:
                 self._engine = AstcHdrTranscodeEngine(6, 6)
+            elif self.tex_format == BasisTexFormat.UASTC_HDR_6x6_INTERMEDIATE:
+                self._engine = Hdr6x6IntermediateEngine()
             elif self.tex_format in ASTC_LDR_BLOCK_SIZES:
                 bw, bh = ASTC_LDR_BLOCK_SIZES[self.tex_format]
                 self._engine = AstcLdrTranscodeEngine(
@@ -493,6 +529,10 @@ class BasisTranscoder:
         self.start_transcoding()
         entry = self._slice_map[(image_index, level_index)]
         sd = self.file.slices[entry["rgb"]]
+        if isinstance(self._engine, Hdr6x6IntermediateEngine):
+            return self._engine.convert(
+                fmt, self.file.slice_data(entry["rgb"]), sd.num_blocks_x,
+                sd.num_blocks_y, sd.orig_width, sd.orig_height)
         if isinstance(self._engine, (UastcTranscodeEngine,
                                      AstcHdrTranscodeEngine,
                                      AstcLdrTranscodeEngine)):

@@ -239,3 +239,24 @@ def test_astc_hdr_6x6_encode_oracle(oracle, tmp_path, test_files):
         assert r.returncode == 0, r.stdout + r.stderr
     ref = load_exr(sorted(tmp_path.glob("h_hdr_unpacked_rgb_RGB_HALF*exr"))[0])
     np.testing.assert_array_equal(ours, ref)
+
+
+def test_uastc_hdr_6x6_intermediate_decode(golden_dir, oracle, test_files):
+    """The supercompressed UASTC HDR 6x6 intermediate stream decodes
+    bit-exactly vs the reference's decode_6x6_hdr."""
+    out = golden_dir / "mem6i.basis"
+    if not out.exists():
+        subprocess.run(
+            [str(oracle), "-hdr_6x6i", str(test_files / "memorial.exr"),
+             "-basis", "-output_file", str(out)],
+            cwd=golden_dir, check=True, capture_output=True)
+        subprocess.run([str(oracle), "-unpack", str(out)],
+                       cwd=golden_dir, check=True, capture_output=True)
+    ref = load_exr(golden_dir / "mem6i_hdr_unpacked_rgb_RGB_HALF_0_0000.exr")
+    tr = BasisTranscoder(out.read_bytes())
+    assert tr.tex_format == BasisTexFormat.UASTC_HDR_6x6_INTERMEDIATE
+    half = tr.transcode_image_level(0, 0, TF.RGB_HALF)
+    np.testing.assert_array_equal(
+        half.view(np.float16).astype(np.float32), ref)
+    bc6h = tr.transcode_image_level(0, 0, TF.BC6H)
+    assert bc6h.shape == (192, 128, 16)
