@@ -346,3 +346,87 @@ def decode_blocks_rgba16f(data: bytes):
     for i, blk in enumerate(blocks):
         out[i] = ah.decode_block(blk, 6, 6)
     return out, w, h
+
+
+# --- generic logical → physical ASTC pack ------------------------------------
+
+
+def pack_log_block(blk) -> bytes:
+    """LogBlock → 16-byte physical ASTC block (single-CEM configs; the
+    endpoint ISE range must equal the decoder-inferred range, as all
+    valid ASTC encodings do).  astc_helpers::pack_astc_block analog."""
+    from ..uastc import astc_pack
+
+    if blk.solid_hdr or blk.solid_ldr:
+        w = astc_pack._BlockWriter()
+        w.put(0b111111100, 9)
+        w.put(1 if blk.solid_hdr else 0, 1)
+        w.put(0b11, 2)
+        for _ in range(4):
+            w.put(0x1FFF, 13)
+        for c in range(4):
+            w.put_at(int(blk.solid_color[c]), 16, 64 + 16 * c)
+        return w.to_bytes()
+
+    from .hdr_encode import _find_block_mode
+
+    w = astc_pack._BlockWriter()
+    bm = _find_block_mode(blk.grid_width, blk.grid_height,
+                          blk.weight_ise_range)
+    if blk.dual_plane:
+        # re-search including the Dp flag
+        bm = None
+        for cand in range(2048):
+            cfg = ah.decode_block_mode_fields(cand)
+            if cfg == (blk.grid_width, blk.grid_height,
+                       blk.weight_ise_range, True):
+                bm = cand
+                break
+        if bm is None:
+            raise ValueError("no dual-plane block mode")
+    w.put(bm, 11)
+    w.put(blk.num_partitions - 1, 2)
+    cem = blk.cems[0]
+    extra_bits = 0
+    if blk.num_partitions == 1:
+        w.put(cem, 4)
+        config_bits = 17
+    else:
+        w.put(blk.partition_id, 10)
+        w.put(cem << 2, 6)  # all-same-CEM encoding
+        config_bits = 11 + 2 + 16
+    nw = blk.grid_width * blk.grid_height * (2 if blk.dual_plane else 1)
+    wbits = ah.ise_sequence_bits(nw, blk.weight_ise_range)
+    if blk.dual_plane:
+        extra_bits = 2
+        w.put_at(blk.ccs, 2, 128 - wbits - 2)
+    n_vals = ah.cem_num_values(cem) * blk.num_partitions
+    remaining = 128 - config_bits - wbits - extra_bits
+    inferred = -1
+    for k in range(20, 3, -1):
+        if ah.ise_sequence_bits(n_vals, k) <= remaining:
+            inferred = k
+            break
+    if inferred != blk.endpoint_ise_range:
+        raise ValueError(
+            f"endpoint range {blk.endpoint_ise_range} != inferred {inferred}")
+    astc_pack._ise_encode(w, [int(v) for v in blk.endpoints], inferred)
+
+    # weights: ISE-encode then bit-reverse into the top of the block
+    ww = astc_pack._BlockWriter()
+    astc_pack._ise_encode(ww, [int(v) for v in blk.weights],
+                          blk.weight_ise_range)
+    rev = 0
+    v = ww.bits
+    for _ in range(wbits):
+        rev = (rev << 1) | (v & 1)
+        v >>= 1
+    w.put_at(rev, wbits, 128 - wbits)
+    return w.to_bytes()
+
+
+def pack_log_blocks(blocks) -> np.ndarray:
+    out = np.zeros((len(blocks), 16), dtype=np.uint8)
+    for i, blk in enumerate(blocks):
+        out[i] = np.frombuffer(pack_log_block(blk), dtype=np.uint8)
+    return out

@@ -346,6 +346,9 @@ class Hdr6x6IntermediateEngine:
                 orig_width: int, orig_height: int) -> np.ndarray:
         from .codecs.astc import hdr6x6_decode as hd
 
+        if fmt == TF.ASTC_HDR_6x6_RGBA:
+            log_blocks, _w, _h = hd.decode_6x6_hdr(bytes(data))
+            return hd.pack_log_blocks(log_blocks).reshape(nby, nbx, 16)
         blocks, w, h = hd.decode_blocks_rgba16f(bytes(data))
         grid = blocks.reshape(nby, nbx, 6, 6, 4)
         img = grid.transpose(0, 2, 1, 3, 4).reshape(

@@ -260,3 +260,27 @@ def test_uastc_hdr_6x6_intermediate_decode(golden_dir, oracle, test_files):
         half.view(np.float16).astype(np.float32), ref)
     bc6h = tr.transcode_image_level(0, 0, TF.BC6H)
     assert bc6h.shape == (192, 128, 16)
+
+
+def test_uastc_hdr_6x6i_astc_passthrough(golden_dir, oracle):
+    """The generic log→physical packer: reference decodes our packed
+    6x6 HDR blocks to exactly the intermediate stream's pixels."""
+    from basis_universal_tpu.formats import basis_file as bf
+    from basis_universal_tpu.utils.crc import crc16
+
+    data = (golden_dir / "mem6i.basis").read_bytes()
+    tr = BasisTranscoder(data)
+    phys = tr.transcode_image_level(0, 0, TF.ASTC_HDR_6x6_RGBA)
+    half = tr.transcode_image_level(0, 0, TF.RGB_HALF)
+    nby, nbx = phys.shape[:2]
+    info = tr.get_image_level_info(0, 0)
+    descs = [bf.SliceDesc(
+        image_index=0, level_index=0, flags=0,
+        orig_width=info.orig_width, orig_height=info.orig_height,
+        num_blocks_x=nbx, num_blocks_y=nby,
+        slice_data_crc16=crc16(phys.tobytes()))]
+    wrapped = bf.write_basis_file(
+        BasisTexFormat.ASTC_HDR_6x6, descs, [phys.tobytes()])
+    tr2 = BasisTranscoder(wrapped)
+    half2 = tr2.transcode_image_level(0, 0, TF.RGB_HALF)
+    np.testing.assert_array_equal(half, half2)
