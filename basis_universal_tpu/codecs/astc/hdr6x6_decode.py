@@ -430,3 +430,168 @@ def pack_log_blocks(blocks) -> np.ndarray:
     for i, blk in enumerate(blocks):
         out[i] = np.frombuffer(pack_log_block(blk), dtype=np.uint8)
     return out
+
+
+# --- UASTC HDR 6x6 intermediate ENCODE (v1) ----------------------------------
+
+
+class _BitWriter:
+    def __init__(self):
+        self.bits = 0
+        self.pos = 0
+
+    def put(self, v: int, n: int):
+        self.bits |= (int(v) & ((1 << n) - 1)) << self.pos
+        self.pos += n
+
+    def truncated_binary(self, v: int, n: int):
+        k = n.bit_length() - 1
+        u = (1 << (k + 1)) - n
+        if v < u:
+            self.put(v, k)
+        else:
+            self.put((v + u) >> 1, k)
+            self.put((v + u) & 1, 1)
+
+    def to_bytes(self) -> bytes:
+        return self.bits.to_bytes((self.pos + 7) // 8, "little")
+
+
+def _encode_values(bw: _BitWriter, vals, rng: int):
+    """Inverse of _decode_values (trit/quint words first, then plain bits)."""
+    b, t, q = ah.BISE_RANGE_TABLE[rng]
+    total = len(vals)
+    if t or q:
+        bundle = 5 if t else 3
+        mul = 3 if t else 5
+        n_tq = -(-total // bundle)
+        for i in range(n_tq):
+            word = 0
+            m = 1
+            for c in range(bundle):
+                k = i * bundle + c
+                if k < total:
+                    word += (vals[k] >> b) * m
+                m *= mul
+            nb = 8 if t else 7
+            if i == n_tq - 1:
+                rem = total - (n_tq - 1) * bundle
+                if t:
+                    nb = {1: 2, 2: 4, 3: 5, 4: 7}.get(rem, 8)
+                else:
+                    nb = {1: 3, 2: 5}.get(rem, 7)
+            bw.put(word, nb)
+    for v in vals:
+        if b:
+            bw.put(v & ((1 << b) - 1), b)
+
+
+# v1 encode mode set: single-partition CEM 11, no dual plane
+_ENC_MODES = (0, 9, 10)   # 6x6 grid w3lvl / 4x4 grid w16lvl / 3x3 w16lvl
+
+
+def encode_6x6_hdr(px_half: np.ndarray, width: int, height: int,
+                   effort: int = 1) -> bytes:
+    """(B,36,3) uint16 half bits (raster 6x6 blocks) → intermediate stream.
+
+    v1: BLOCK(cRaw) with per-block best of a few single-partition CEM-11
+    modes, RUN for repeated blocks, SOLID for flat blocks.  The reference
+    encoder (encoder/basisu_astc_hdr_6x6_enc.cpp) adds reuse, deltas,
+    partitions and RDO on top of the same stream syntax."""
+    from .hdr_encode import _infill_matrix, half_to_qlog16, _qlog16_to_half_lut
+
+    b = px_half.shape[0]
+    q16 = half_to_qlog16(px_half).astype(np.int64)
+    q12 = q16 >> 4
+    lo12, hi12 = q12.min(axis=1), q12.max(axis=1)
+    prec = np.array([4, 4, 5])
+    lo_q = lo12 >> prec
+    hi_q = np.minimum(-(-hi12 >> prec.astype(np.int64)),
+                      np.array([255, 255, 127]))
+    le = (lo_q << prec) << 4
+    he = (hi_q << prec) << 4
+    d = (he - le).astype(np.float64)
+    num = ((q16 - le[:, None, :]) * d[:, None, :]).sum(-1)
+    den = np.maximum((d * d).sum(-1), 1e-9)
+    w_tex = np.clip(64.0 * num / den[:, None], 0, 64)
+    lut = _qlog16_to_half_lut().astype(np.int64)
+    tgt_h = lut[np.clip(q16, 0, 65535)]
+
+    solid = (q16.max(axis=1) == q16.min(axis=1)).all(-1) if False else \
+        (px_half.max(axis=1) == px_half.min(axis=1)).all(-1)
+
+    cand_codes, cand_err = [], []
+    for mi in _ENC_MODES:
+        (_dp, _cem, _np, gx, gy, e_r, w_r, _te, _tw, _lv, _c) = \
+            HT.BLOCK_MODE_DESCS[mi]
+        m, pinv = _infill_matrix(gx, gy, 6, 6)
+        grid_f = np.clip(w_tex @ pinv.T, 0, 64)
+        dqw, qw = _weight_tabs(w_r)
+        codes = np.abs(grid_f[..., None] - dqw[None, None, :]).argmin(-1)
+        gq = dqw[codes]
+        up = np.clip((gq @ (m.T * 64.0) + 32).astype(np.int64) >> 6, 0, 64)
+        rec = (le[:, None, :] * (64 - up[..., None])
+               + he[:, None, :] * up[..., None] + 32) >> 6
+        rec_h = lut[np.clip(rec, 0, 65535)]
+        cand_err.append(((rec_h - tgt_h) ** 2).sum(axis=(1, 2)))
+        cand_codes.append(codes)
+    best = np.argmin(np.stack(cand_err, axis=1), axis=1)
+
+    eps_bytes = np.zeros((b, 6), dtype=np.int64)
+    eps_bytes[:, 0] = lo_q[:, 0]
+    eps_bytes[:, 1] = hi_q[:, 0]
+    eps_bytes[:, 2] = lo_q[:, 1]
+    eps_bytes[:, 3] = hi_q[:, 1]
+    eps_bytes[:, 4] = lo_q[:, 2] | 0x80
+    eps_bytes[:, 5] = hi_q[:, 2] | 0x80
+
+    bw = _BitWriter()
+    bw.put(SIG1, 16)
+    bw.put(width, 16)
+    bw.put(height, 16)
+    prev_key = None
+    run_len = 0
+
+    def flush_run():
+        nonlocal run_len
+        if run_len:
+            bw.put(0b000, 3)
+            # vlc(5)
+            v = run_len - 1
+            while True:
+                chunk = v & 31
+                v >>= 5
+                bw.put(chunk | (32 if v else 0), 6)
+                if not v:
+                    break
+            run_len = 0
+
+    for i in range(b):
+        if solid[i]:
+            key = ("s", px_half[i, 0, 0], px_half[i, 0, 1], px_half[i, 0, 2])
+        else:
+            mi = _ENC_MODES[best[i]]
+            key = ("b", mi, eps_bytes[i].tobytes(),
+                   cand_codes[best[i]][i].tobytes())
+        if key == prev_key and i:
+            run_len += 1
+            continue
+        flush_run()
+        prev_key = key
+        if solid[i]:
+            bw.put(0b100, 3)
+            for c in range(3):
+                bw.put(int(px_half[i, 0, c]) & 0x7FFF, 15)
+            continue
+        mi = _ENC_MODES[best[i]]
+        (_dp, cem, _np, gx, gy, e_r, w_r, _te, _tw, _lv, _c) = \
+            HT.BLOCK_MODE_DESCS[mi]
+        bw.put(1, 1)                                 # BLOCK
+        bw.truncated_binary(mi, len(HT.BLOCK_MODE_DESCS))
+        bw.truncated_binary(0, 5)                    # endpoint mode cRaw
+        eps = _requant_endpoints(cem, eps_bytes[i], 20, e_r)
+        _encode_values(bw, eps, e_r)
+        _encode_values(bw, [int(v) for v in cand_codes[best[i]][i]], w_r)
+    flush_run()
+    bw.put(END_MARKER, 16)
+    return bw.to_bytes()

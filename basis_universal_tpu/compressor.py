@@ -189,6 +189,8 @@ def compress(images, params: CompressorParams = CompressorParams()) -> Compresso
                                   *ASTC_LDR_BLOCK_SIZES[params.tex_format])
     if params.tex_format == BasisTexFormat.ASTC_HDR_6x6:
         return _compress_astc_hdr_6x6(images, params)
+    if params.tex_format == BasisTexFormat.UASTC_HDR_6x6_INTERMEDIATE:
+        return _compress_uastc_hdr_6x6i(images, params)
     assert params.tex_format == BasisTexFormat.ETC1S, \
         f"{params.tex_format!r} encoding not implemented yet"
 
@@ -460,6 +462,43 @@ def _compress_astc_hdr_6x6(images, params: CompressorParams) -> CompressorOutput
         slice_info=[dict(level=0, layer=s["image_index"], face=0)
                     for s in slices],
         block_w=6, block_h=6, srgb=False, hdr=True)
+    return CompressorOutput(
+        basis_data=data, ktx2_data=ktx2_data,
+        num_endpoints=0, num_selectors=0,
+        slice_endpoints=[], slice_selectors=[])
+
+
+def _compress_uastc_hdr_6x6i(images, params: CompressorParams) -> CompressorOutput:
+    """UASTC HDR 6x6 intermediate: float32 RGB → supercompressed stream
+    (.basis tex_format 4, KTX2 scheme 4 / model 168)."""
+    from .codecs.astc import hdr6x6_decode as hd
+    from .codecs.astc import hdr_encode
+
+    img = np.asarray(images[0], dtype=np.float32)
+    if img.ndim == 2:
+        img = img[..., None].repeat(3, axis=-1)
+    half = hdr_encode.float_to_half_bits(img[..., :3]).view(np.uint16)
+    h, w = img.shape[:2]
+    by, bx = -(-h // 6), -(-w // 6)
+    pad = np.zeros((by * 6, bx * 6, 3), dtype=np.uint16)
+    pad[:h, :w] = half
+    if h < pad.shape[0]:
+        pad[h:] = pad[h - 1:h]
+    if w < pad.shape[1]:
+        pad[:, w:] = pad[:, w - 1:w]
+    blocks = pad.reshape(by, 6, bx, 6, 3).transpose(0, 2, 1, 3, 4)
+    stream = hd.encode_6x6_hdr(
+        blocks.reshape(by * bx, 36, 3), w, h, effort=params.effort)
+    descs = [basis_file.SliceDesc(
+        image_index=0, level_index=0, flags=0,
+        orig_width=w, orig_height=h, num_blocks_x=bx, num_blocks_y=by,
+        slice_data_crc16=crc16(stream))]
+    data = basis_file.write_basis_file(
+        BasisTexFormat.UASTC_HDR_6x6_INTERMEDIATE, descs, [stream],
+        tex_type=params.tex_type, flags=0,
+        userdata0=params.userdata0, userdata1=params.userdata1)
+    ktx2_data = ktx2.write_ktx2_uastc_hdr_6x6i(
+        base_width=w, base_height=h, stream=stream)
     return CompressorOutput(
         basis_data=data, ktx2_data=ktx2_data,
         num_endpoints=0, num_selectors=0,

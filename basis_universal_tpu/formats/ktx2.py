@@ -158,6 +158,35 @@ def write_ktx2_astc(
         key_values=key_values, block_w=block_w, block_h=block_h)
 
 
+def uastc_hdr_6x6i_dfd() -> bytes:
+    """Matches the reference's UASTC HDR 6x6 intermediate DFD byte-for-byte
+    (model 168, linear, 6x6 texel block, one 128-bit FLOAT sample)."""
+    channels = [(0, 127, 0x80, 0, 0x3F800000)]
+    return make_dfd(168, block_w=6, block_h=6, bytes_per_block=16,
+                    srgb=False, channels=channels)
+
+
+def write_ktx2_uastc_hdr_6x6i(
+    *, base_width: int, base_height: int,
+    stream: bytes, key_values: Optional[Dict[str, bytes]] = None,
+) -> bytes:
+    """UASTC HDR 6x6 intermediate KTX2: vk_format 0, supercompression
+    scheme 4 (the intermediate stream is its own supercompression)."""
+    # SGD: one std slice offset/len desc per image:
+    # (offset-in-level, length, profile = the stream's 16-bit signature)
+    sig = struct.unpack_from("<H", stream, 0)[0]
+    sgd = struct.pack("<3I", 0, len(stream), sig)
+    return _write_ktx2_blocks(
+        base_width=base_width, base_height=base_height,
+        level_count=1, layer_count=1, face_count=1,
+        slice_blocks=[stream],
+        slice_info=[dict(level=0, layer=0, face=0)],
+        dfd=uastc_hdr_6x6i_dfd(), vk_format=0,
+        zstd_level=0, supercompression=False,
+        key_values=key_values, block_w=6, block_h=6,
+        scheme_override=4, sgd=sgd)
+
+
 def write_ktx2_uastc_hdr(
     *, base_width: int, base_height: int, level_count: int,
     layer_count: int, face_count: int,
@@ -205,6 +234,8 @@ def _write_ktx2_blocks(
     vk_format: int, zstd_level: int, supercompression: bool,
     key_values: Optional[Dict[str, bytes]],
     block_w: int = 4, block_h: int = 4,
+    scheme_override: Optional[int] = None,
+    sgd: bytes = b"",
 ) -> bytes:
     total_levels = max(1, level_count)
     total_layers = max(1, layer_count)
@@ -213,7 +244,7 @@ def _write_ktx2_blocks(
     for data, info in zip(slice_blocks, slice_info):
         level_bytes[info["level"]] += data
 
-    scheme = KTX2_SS_NONE
+    scheme = KTX2_SS_NONE if scheme_override is None else scheme_override
     comp_levels = [bytes(lb) for lb in level_bytes]
     if supercompression:
         try:
@@ -239,6 +270,10 @@ def _write_ktx2_blocks(
     out += dfd
     kvd_ofs = len(out)
     out += kvd
+    sgd_ofs = 0
+    if sgd:
+        sgd_ofs = len(out)
+        out += sgd
     if scheme == KTX2_SS_NONE:
         _align(out, 16)
 
@@ -247,14 +282,15 @@ def _write_ktx2_blocks(
         bo = len(out)
         out += comp_levels[lvl]
         li[lvl] = (bo, len(comp_levels[lvl]),
-                   len(level_bytes[lvl]) if scheme else 0)
+                   len(level_bytes[lvl]) if scheme == KTX2_SS_ZSTANDARD else 0)
     for i, (bo, bl, ul) in enumerate(li):
         struct.pack_into("<3Q", out, li_ofs + 24 * i, bo, bl, ul)
     struct.pack_into(
         _HDR_FMT, out, hdr_ofs,
         vk_format, 1, base_width, base_height,
         0, layer_count if layer_count > 1 else 0, total_faces, total_levels,
-        scheme, dfd_ofs, len(dfd), kvd_ofs, len(kvd), 0, 0)
+        scheme, dfd_ofs, len(dfd), kvd_ofs, len(kvd),
+        sgd_ofs, len(sgd))
     return bytes(out)
 
 
@@ -345,6 +381,8 @@ class Ktx2File:
             return BasisTexFormat.UASTC_LDR_4x4
         if m == KDF_MODEL_UASTC_HDR_4X4:
             return BasisTexFormat.UASTC_HDR_4x4
+        if m == 168:  # UASTC HDR 6x6 intermediate (supercompression scheme 4)
+            return BasisTexFormat.UASTC_HDR_6x6_INTERMEDIATE
         # standard ASTC payloads are identified by VkFormat
         if self.vk_format == 1000066004:  # ASTC_6x6_SFLOAT
             return BasisTexFormat.ASTC_HDR_6x6

@@ -598,6 +598,8 @@ class Ktx2Transcoder:
                 self._engine = AstcHdrTranscodeEngine()
             elif fmt == BasisTexFormat.ASTC_HDR_6x6:
                 self._engine = AstcHdrTranscodeEngine(6, 6)
+            elif fmt == BasisTexFormat.UASTC_HDR_6x6_INTERMEDIATE:
+                self._engine = Hdr6x6IntermediateEngine()
             elif fmt in ASTC_LDR_BLOCK_SIZES:
                 bw, bh = ASTC_LDR_BLOCK_SIZES[fmt]
                 self._engine = AstcLdrTranscodeEngine(
@@ -618,6 +620,9 @@ class Ktx2Transcoder:
         layers = self.get_layers()
         faces = self.get_faces()
         idx = level * (layers * faces) + layer * faces + face
+        if isinstance(self._engine, Hdr6x6IntermediateEngine):
+            return self._engine.convert(
+                fmt, self.file.level_data(level), nbx, nby, w, h)
         if isinstance(self._engine, (UastcTranscodeEngine,
                                      AstcHdrTranscodeEngine,
                                      AstcLdrTranscodeEngine)):

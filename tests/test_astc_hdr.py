@@ -284,3 +284,34 @@ def test_uastc_hdr_6x6i_astc_passthrough(golden_dir, oracle):
     tr2 = BasisTranscoder(wrapped)
     half2 = tr2.transcode_image_level(0, 0, TF.RGB_HALF)
     np.testing.assert_array_equal(half, half2)
+
+
+def test_uastc_hdr_6x6i_encode_oracle(oracle, tmp_path, test_files):
+    """Our intermediate encoder (BLOCK/RUN/SOLID, modes 0/9/10): the
+    reference unpacks both containers (.basis + scheme-4 KTX2) and matches
+    our decode exactly."""
+    from basis_universal_tpu import compressor
+    from basis_universal_tpu.transcoder import Ktx2Transcoder
+
+    src = load_exr(test_files / "memorial.exr")[:192, :192]
+    out = compressor.compress([src], compressor.CompressorParams(
+        tex_format=BasisTexFormat.UASTC_HDR_6x6_INTERMEDIATE))
+    tr = BasisTranscoder(out.basis_data)
+    ours = tr.transcode_image_level(0, 0, TF.RGB_HALF) \
+        .view(np.float16).astype(np.float32)
+    k = Ktx2Transcoder(out.ktx2_data)
+    np.testing.assert_array_equal(
+        k.transcode_image_level(0, 0, 0, TF.RGB_HALF)
+        .view(np.float16).astype(np.float32), ours)
+    mse = ((ours - src) ** 2).mean()
+    assert 10 * np.log10(float(src.max()) ** 2 / mse) > 26.0
+
+    for name, payload in (("i.basis", out.basis_data),
+                          ("i.ktx2", out.ktx2_data)):
+        p = tmp_path / name
+        p.write_bytes(payload)
+        r = subprocess.run([str(oracle), "-unpack", str(p)],
+                           cwd=tmp_path, capture_output=True, text=True)
+        assert r.returncode == 0, r.stdout + r.stderr
+    ref = load_exr(sorted(tmp_path.glob("i_hdr_unpacked_rgb_RGB_HALF*exr"))[0])
+    np.testing.assert_array_equal(ours, ref)
