@@ -261,9 +261,14 @@ def find_best_selector_patterns(dists, patterns, num_patterns: int):
     """
     b = dists.shape[0]
     d_flat = dists.reshape(b, 64)
-    one = jax.nn.one_hot(patterns, 4, dtype=dists.dtype)        # (S,16,4)
+    one = jax.nn.one_hot(patterns, 4, dtype=jnp.bfloat16)       # (S,16,4)
     p_flat = one.reshape(num_patterns, 64)
-    err = d_flat @ p_flat.T                                     # (B,S)
+    # bf16 MXU matmul with f32 accumulation: the one-hot operand is exact
+    # in bf16 and distances only need to rank, halving the HBM traffic of
+    # the (B, S) product at large codebook sizes
+    err = jax.lax.dot_general(
+        d_flat.astype(jnp.bfloat16), p_flat.T,
+        (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
     best = jnp.argmin(err, axis=-1)
     return best.astype(jnp.int32), jnp.min(err, axis=-1)
 
