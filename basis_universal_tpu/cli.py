@@ -31,7 +31,7 @@ def cmd_compress(args):
     from .formats.constants import BasisTexFormat
 
     for src in args.inputs:
-        if args.hdr or args.hdr_6x6 \
+        if args.hdr or args.hdr_6x6 or args.hdr_6x6i \
                 or _p.Path(src).suffix.lower() in (".exr", ".hdr"):
             return cmd_compress_hdr(args)
         img = _load_image(src)
@@ -74,8 +74,12 @@ def cmd_compress_hdr(args):
 
     if args.output_path:
         pathlib.Path(args.output_path).mkdir(parents=True, exist_ok=True)
-    fmt = (BasisTexFormat.ASTC_HDR_6x6 if args.hdr_6x6
-           else BasisTexFormat.UASTC_HDR_4x4)
+    if args.hdr_6x6i:
+        fmt = BasisTexFormat.UASTC_HDR_6x6_INTERMEDIATE
+    elif args.hdr_6x6:
+        fmt = BasisTexFormat.ASTC_HDR_6x6
+    else:
+        fmt = BasisTexFormat.UASTC_HDR_4x4
     for src in args.inputs:
         img = load_image_hdr(src)
         params = compressor.CompressorParams(
@@ -167,6 +171,8 @@ def main(argv=None):
                     help="UASTC RDO lambda (0 = off, 1.0 = default strength)")
     ap.add_argument("-hdr_6x6", action="store_true",
                     help="ASTC HDR 6x6 mode")
+    ap.add_argument("-hdr_6x6i", action="store_true",
+                    help="UASTC HDR 6x6 intermediate (supercompressed) mode")
     for s in ("4x4", "5x4", "5x5", "6x5", "6x6", "8x5", "8x6", "10x5",
               "10x6", "8x8", "10x8", "10x10", "12x10", "12x12"):
         ap.add_argument(f"-ldr_{s}", f"-astc_ldr_{s}", dest="ldr_size",
