@@ -510,21 +510,28 @@ def _compress_uastc_hdr(images, params: CompressorParams) -> CompressorOutput:
     ASTC HDR blocks (CEM 11), .basis + Zstd KTX2 (model 167)."""
     from .codecs.astc import hdr_encode
 
+    from .ops.resample import generate_mipmaps_hdr
+
     slices = []
     for image_index, img in enumerate(images):
         img = np.asarray(img, dtype=np.float32)
         if img.ndim == 2:
             img = img[..., None].repeat(3, axis=-1)
-        half = hdr_encode.float_to_half_bits(img[..., :3])
-        h, w = img.shape[:2]
-        blocks = image_to_blocks(half.view(np.uint16)).astype(np.uint16)
-        by, bx = blocks.shape[:2]
-        ub = hdr_encode.encode_blocks_hdr(
-            blocks.reshape(by * bx, 16, 3), effort=params.effort)
-        slices.append(dict(
-            image_index=image_index, level_index=0,
-            orig_width=w, orig_height=h, num_blocks_x=bx, num_blocks_y=by,
-            alpha=False, data=ub.tobytes()))
+        levels = [img[..., :3]]
+        if params.mip_gen:
+            levels += generate_mipmaps_hdr(
+                img[..., :3], params.mip_smallest_dimension)
+        for level_index, lvl in enumerate(levels):
+            half = hdr_encode.float_to_half_bits(lvl)
+            h, w = lvl.shape[:2]
+            blocks = image_to_blocks(half.view(np.uint16)).astype(np.uint16)
+            by, bx = blocks.shape[:2]
+            ub = hdr_encode.encode_blocks_hdr(
+                blocks.reshape(by * bx, 16, 3), effort=params.effort)
+            slices.append(dict(
+                image_index=image_index, level_index=level_index,
+                orig_width=w, orig_height=h, num_blocks_x=bx,
+                num_blocks_y=by, alpha=False, data=ub.tobytes()))
 
     descs = [basis_file.SliceDesc(
         image_index=s["image_index"], level_index=s["level_index"], flags=0,
@@ -539,10 +546,11 @@ def _compress_uastc_hdr(images, params: CompressorParams) -> CompressorOutput:
     base = slices[0]
     ktx2_data = ktx2.write_ktx2_uastc_hdr(
         base_width=base["orig_width"], base_height=base["orig_height"],
-        level_count=1, layer_count=len(images), face_count=1,
+        level_count=max(s["level_index"] for s in slices) + 1,
+        layer_count=len(images), face_count=1,
         slice_blocks=[s["data"] for s in slices],
-        slice_info=[dict(level=0, layer=s["image_index"], face=0)
-                    for s in slices])
+        slice_info=[dict(level=s["level_index"], layer=s["image_index"],
+                         face=0) for s in slices])
     return CompressorOutput(
         basis_data=data, ktx2_data=ktx2_data,
         num_endpoints=0, num_selectors=0,

@@ -94,3 +94,28 @@ def generate_mipmaps(img: np.ndarray, smallest_dimension: int = 1,
         if h == 1 and w == 1:
             break
     return levels
+
+
+def resample_hdr(img: np.ndarray, out_w: int, out_h: int,
+                 filter: str = "kaiser") -> np.ndarray:
+    """Downsample an (H, W, C) float32 linear-light image (HDR mip path:
+    no sRGB transfer, no quantization)."""
+    f = np.asarray(img, dtype=np.float32)
+    h, w = f.shape[:2]
+    ky = _filter_kernel(filter, max(1, h // out_h))
+    kx = _filter_kernel(filter, max(1, w // out_w))
+    f = _downsample_axis(f, 0, out_h, ky)
+    f = _downsample_axis(f, 1, out_w, kx)
+    return np.maximum(f, 0.0)
+
+
+def generate_mipmaps_hdr(img: np.ndarray, smallest_dimension: int = 1,
+                         filter: str = "kaiser"):
+    levels = []
+    h, w = img.shape[:2]
+    while max(h, w) > 1 and min(h, w) > smallest_dimension:
+        h, w = max(1, h // 2), max(1, w // 2)
+        levels.append(resample_hdr(img, w, h, filter=filter))
+        if h == 1 and w == 1:
+            break
+    return levels

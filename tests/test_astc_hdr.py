@@ -315,3 +315,24 @@ def test_uastc_hdr_6x6i_encode_oracle(oracle, tmp_path, test_files):
         assert r.returncode == 0, r.stdout + r.stderr
     ref = load_exr(sorted(tmp_path.glob("i_hdr_unpacked_rgb_RGB_HALF*exr"))[0])
     np.testing.assert_array_equal(ours, ref)
+
+
+def test_uastc_hdr_mipmaps_oracle(oracle, tmp_path, test_files):
+    """HDR mip chain (linear float kaiser): oracle unpacks every level and
+    level 1 matches our decode exactly."""
+    from basis_universal_tpu import compressor
+
+    src = load_exr(test_files / "memorial.exr")[:128, :128]
+    out = compressor.compress([src], compressor.CompressorParams(
+        tex_format=BasisTexFormat.UASTC_HDR_4x4, effort=1, mip_gen=True))
+    tr = BasisTranscoder(out.basis_data)
+    assert tr.get_total_image_levels(0) == 8
+    p = tmp_path / "m.basis"
+    p.write_bytes(out.basis_data)
+    r = subprocess.run([str(oracle), "-unpack", str(p)],
+                       cwd=tmp_path, capture_output=True, text=True)
+    assert r.returncode == 0, r.stdout + r.stderr
+    ref = load_exr(sorted(tmp_path.glob("m_hdr_unpacked_rgb_RGB_HALF_1*exr"))[0])
+    ours = tr.transcode_image_level(0, 1, TF.RGB_HALF) \
+        .view(np.float16).astype(np.float32)
+    np.testing.assert_array_equal(ours, ref)
