@@ -422,28 +422,34 @@ def _compress_astc_hdr_6x6(images, params: CompressorParams) -> CompressorOutput
     blocks (CEM 11, 5x5 weight grid), .basis + Zstd KTX2 (VkFormat
     ASTC_6x6_SFLOAT)."""
     from .codecs.astc import hdr_encode
+    from .ops.resample import generate_mipmaps_hdr
 
     slices = []
     for image_index, img in enumerate(images):
         img = np.asarray(img, dtype=np.float32)
         if img.ndim == 2:
             img = img[..., None].repeat(3, axis=-1)
-        half = hdr_encode.float_to_half_bits(img[..., :3]).view(np.uint16)
-        h, w = img.shape[:2]
-        by, bx = -(-h // 6), -(-w // 6)
-        pad = np.zeros((by * 6, bx * 6, 3), dtype=np.uint16)
-        pad[:h, :w] = half
-        if h < pad.shape[0]:
-            pad[h:] = pad[h - 1:h]
-        if w < pad.shape[1]:
-            pad[:, w:] = pad[:, w - 1:w]
-        blocks = pad.reshape(by, 6, bx, 6, 3).transpose(0, 2, 1, 3, 4)
-        ub = hdr_encode.encode_blocks_hdr_6x6(
-            blocks.reshape(by * bx, 36, 3), effort=params.effort)
-        slices.append(dict(
-            image_index=image_index, level_index=0,
-            orig_width=w, orig_height=h, num_blocks_x=bx, num_blocks_y=by,
-            alpha=False, data=ub.tobytes()))
+        levels = [img[..., :3]]
+        if params.mip_gen:
+            levels += generate_mipmaps_hdr(
+                img[..., :3], params.mip_smallest_dimension)
+        for level_index, lvl in enumerate(levels):
+            half = hdr_encode.float_to_half_bits(lvl).view(np.uint16)
+            h, w = lvl.shape[:2]
+            by, bx = -(-h // 6), -(-w // 6)
+            pad = np.zeros((by * 6, bx * 6, 3), dtype=np.uint16)
+            pad[:h, :w] = half
+            if h < pad.shape[0]:
+                pad[h:] = pad[h - 1:h]
+            if w < pad.shape[1]:
+                pad[:, w:] = pad[:, w - 1:w]
+            blocks = pad.reshape(by, 6, bx, 6, 3).transpose(0, 2, 1, 3, 4)
+            ub = hdr_encode.encode_blocks_hdr_6x6(
+                blocks.reshape(by * bx, 36, 3), effort=params.effort)
+            slices.append(dict(
+                image_index=image_index, level_index=level_index,
+                orig_width=w, orig_height=h, num_blocks_x=bx,
+                num_blocks_y=by, alpha=False, data=ub.tobytes()))
 
     descs = [basis_file.SliceDesc(
         image_index=s["image_index"], level_index=s["level_index"], flags=0,
@@ -457,10 +463,11 @@ def _compress_astc_hdr_6x6(images, params: CompressorParams) -> CompressorOutput
     base = slices[0]
     ktx2_data = ktx2.write_ktx2_astc(
         base_width=base["orig_width"], base_height=base["orig_height"],
-        level_count=1, layer_count=len(images), face_count=1,
+        level_count=max(s["level_index"] for s in slices) + 1,
+        layer_count=len(images), face_count=1,
         slice_blocks=[s["data"] for s in slices],
-        slice_info=[dict(level=0, layer=s["image_index"], face=0)
-                    for s in slices],
+        slice_info=[dict(level=s["level_index"], layer=s["image_index"],
+                         face=0) for s in slices],
         block_w=6, block_h=6, srgb=False, hdr=True)
     return CompressorOutput(
         basis_data=data, ktx2_data=ktx2_data,
