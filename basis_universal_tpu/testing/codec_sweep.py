@@ -23,7 +23,15 @@ SIZE_TOLERANCE_MIN_BYTES = 1024
 DEFAULT_IMAGES = ["kodim03.png", "kodim23.png", "alpha0.png"]
 DEFAULT_QUALITIES = [10, 50, 100, 192, 255]
 DEFAULT_EFFORTS = [1]
-DEFAULT_CODECS = ["etc1s", "uastc"]
+DEFAULT_CODECS = ["etc1s", "uastc", "astc_ldr_6x6", "astc_ldr_12x12"]
+
+_CODEC_FORMATS = {
+    "etc1s": BasisTexFormat.ETC1S,
+    "uastc": BasisTexFormat.UASTC_LDR_4x4,
+    "astc_ldr_4x4": BasisTexFormat.ASTC_LDR_4x4,
+    "astc_ldr_6x6": BasisTexFormat.ASTC_LDR_6x6,
+    "astc_ldr_12x12": BasisTexFormat.ASTC_LDR_12x12,
+}
 
 
 @dataclasses.dataclass
@@ -52,12 +60,11 @@ def run_sweep(test_files_dir, images=None, qualities=None, efforts=None,
             continue
         img = np.asarray(Image.open(p).convert("RGBA"))
         for codec in codecs or DEFAULT_CODECS:
-            fmt = (BasisTexFormat.ETC1S if codec == "etc1s"
-                   else BasisTexFormat.UASTC_LDR_4x4)
+            fmt = _CODEC_FORMATS[codec]
             for effort in efforts or DEFAULT_EFFORTS:
                 for q in qualities or DEFAULT_QUALITIES:
-                    if codec == "uastc" and q != (qualities or DEFAULT_QUALITIES)[-1]:
-                        continue  # UASTC has no quality knob yet (no RDO)
+                    if codec != "etc1s" and q != (qualities or DEFAULT_QUALITIES)[-1]:
+                        continue  # only ETC1S has a quality knob
                     params = compressor.CompressorParams(
                         tex_format=fmt, quality_level=q, effort=effort)
                     out = compressor.compress(img, params)
