@@ -300,13 +300,22 @@ def _compress_uastc(images, params: CompressorParams) -> CompressorOutput:
         userdata0=params.userdata0, userdata1=params.userdata1)
 
     base = slices[0]
+    level_count = max(s["level_index"] for s in slices) + 1
+    layer_count = max(s["image_index"] for s in slices) + 1
+    face_count = 1
+    if params.tex_type == BasisTextureType.CUBEMAP_ARRAY:
+        assert layer_count % 6 == 0, "cubemaps need a multiple of 6 images"
+        face_count = 6
+        layer_count //= 6
     ktx2_data = ktx2.write_ktx2_uastc(
         base_width=base["orig_width"], base_height=base["orig_height"],
-        level_count=max(s["level_index"] for s in slices) + 1,
-        layer_count=max(s["image_index"] for s in slices) + 1,
-        face_count=1,
+        level_count=level_count,
+        layer_count=layer_count,
+        face_count=face_count,
         slice_blocks=[s["data"] for s in slices],
-        slice_info=[dict(level=s["level_index"], layer=s["image_index"], face=0)
+        slice_info=[dict(level=s["level_index"],
+                         layer=s["image_index"] // face_count,
+                         face=s["image_index"] % face_count)
                     for s in slices],
         srgb=params.perceptual, has_alpha=any_alpha)
     return CompressorOutput(

@@ -322,3 +322,26 @@ def test_uastc_rdo_rate_distortion(oracle, tmp_path, test_files):
     ref = np.asarray(PILImage.open(sorted(
         tmp_path.glob("*unpacked_rgb_ASTC_LDR*png"))[0]).convert("RGB"))
     np.testing.assert_array_equal(dec, ref)
+
+
+def test_uastc_cubemap_oracle(oracle, tmp_path, test_files):
+    """UASTC cubemap (6 faces): the oracle accepts both containers."""
+    from PIL import Image as PILImage
+
+    from basis_universal_tpu import compressor
+    from basis_universal_tpu.formats.constants import (
+        BasisTexFormat, BasisTextureType)
+
+    img = np.asarray(PILImage.open(
+        test_files / "kodim23.png").convert("RGBA"))[:64, :64]
+    faces = [np.roll(img, i * 7, axis=0) for i in range(6)]
+    out = compressor.compress(faces, compressor.CompressorParams(
+        tex_format=BasisTexFormat.UASTC_LDR_4x4, effort=1,
+        tex_type=BasisTextureType.CUBEMAP_ARRAY))
+    for name, payload in (("c.basis", out.basis_data),
+                          ("c.ktx2", out.ktx2_data)):
+        p = tmp_path / name
+        p.write_bytes(payload)
+        r = subprocess.run([str(oracle), "-unpack", str(p)],
+                           cwd=tmp_path, capture_output=True, text=True)
+        assert r.returncode == 0, r.stdout + r.stderr
