@@ -141,3 +141,31 @@ def test_astc_ldr_direct_encode_oracle(oracle, tmp_path, test_files, size):
     ref = np.asarray(Image.open(sorted(
         tmp_path.glob("a_unpacked_rgba_ASTC_LDR*png"))[0]).convert("RGBA"))
     np.testing.assert_array_equal(dec, ref)
+
+
+def test_xuastc_container_parse(golden_dir, oracle, test_files):
+    """XUASTC LDR full-zstd container layer (round-2 groundwork): the
+    stream split + raw-bits metadata parse on a reference-encoded file."""
+    from basis_universal_tpu.codecs.astc import xuastc_ldr
+    from basis_universal_tpu.formats.basis_file import BasisFile
+
+    d = golden_dir / "astc_ldr"
+    d.mkdir(exist_ok=True)
+    src = d / "src.png"
+    if not src.exists():
+        img = np.asarray(
+            Image.open(test_files / "kodim23.png").convert("RGB"))[:96, :144]
+        Image.fromarray(img).save(src)
+    out = d / "x6x6i.basis"
+    if not out.exists():
+        subprocess.run([str(oracle), "-ldr_6x6i", "-xuastc_zstd", str(src),
+                        "-basis", "-output_file", str(out)],
+                       cwd=d, check=True, capture_output=True)
+    f = BasisFile(out.read_bytes())
+    c = xuastc_ldr.parse_container(f.slice_data(0))
+    assert (c.block_w, c.block_h) == (6, 6)
+    assert (c.width, c.height) == (144, 96)
+    assert c.syntax == xuastc_ldr.SYNTAX_FULL_ZSTD
+    assert c.streams["mode_bytes"]
+    with pytest.raises(NotImplementedError):
+        xuastc_ldr.decode(f.slice_data(0))
