@@ -89,7 +89,10 @@ def parse_container(data: bytes) -> XuastcContainer:
             f"XUASTC syntax {syntax} (arith/hybrid) not supported yet")
     lens = struct.unpack_from("<21I", data, 1)
     raw_bits_len = lens[0]
-    stream_lens = lens[1:20]        # 19 compressed streams + unused tail
+    stream_lens = lens[1:20]        # 19 side streams + unused tail
+    if not raw_bits_len or not stream_lens[0]:
+        # reference rejects empty raw_bits/mode_bytes (transcoder.cpp:27649)
+        raise ValueError("XUASTC stream has empty raw_bits or mode_bytes")
     pos = 1 + 21 * 4
     raw_bits = data[pos:pos + raw_bits_len]
     pos += raw_bits_len
@@ -97,12 +100,16 @@ def parse_container(data: bytes) -> XuastcContainer:
     dctx = zstandard.ZstdDecompressor()
     streams = {}
     for name, ln in zip(_STREAM_NAMES, stream_lens):
-        if ln:
+        if not ln:
+            streams[name] = b""
+        elif name == "sign_bits":
+            # sign_bits is stored RAW, not Zstd (transcoder.cpp:27716-27721)
+            streams[name] = data[pos:pos + ln]
+            pos += ln
+        else:
             streams[name] = dctx.decompress(
                 data[pos:pos + ln], max_output_size=1 << 28)
             pos += ln
-        else:
-            streams[name] = b""
     if pos > len(data):
         raise ValueError("XUASTC stream truncated")
 
@@ -120,6 +127,8 @@ def parse_container(data: bytes) -> XuastcContainer:
     use_dct = bool(br.get(1))
     int_q = br.get(8) if use_dct else 0
     dct_q = int_q / 2.0
+    if use_dct and not (0.0 < dct_q <= 100.0):
+        raise ValueError("invalid XUASTC DCT global quality factor")
     return XuastcContainer(
         syntax=syntax, block_w=bw, block_h=bh, width=width, height=height,
         has_alpha=has_alpha, srgb_decode=srgb, use_dct=use_dct, dct_q=dct_q,

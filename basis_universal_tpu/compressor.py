@@ -300,6 +300,26 @@ def _compress_uastc(images, params: CompressorParams) -> CompressorOutput:
         userdata0=params.userdata0, userdata1=params.userdata1)
 
     base = slices[0]
+    level_count, layer_count, face_count, info = _ktx2_layout(params, slices)
+    ktx2_data = ktx2.write_ktx2_uastc(
+        base_width=base["orig_width"], base_height=base["orig_height"],
+        level_count=level_count,
+        layer_count=layer_count,
+        face_count=face_count,
+        slice_blocks=[s["data"] for s in slices],
+        slice_info=info,
+        srgb=params.perceptual, has_alpha=any_alpha)
+    return CompressorOutput(
+        basis_data=data, ktx2_data=ktx2_data,
+        num_endpoints=0, num_selectors=0,
+        slice_endpoints=[], slice_selectors=[])
+
+
+def _ktx2_layout(params: CompressorParams, slices):
+    """Derive KTX2 (level_count, layer_count, face_count) and per-slice
+    level/layer/face mapping from the flat image_index numbering.  For
+    CUBEMAP_ARRAY source order is face-major within each cubemap
+    (basisu_comp.cpp create_ktx2_file face derivation)."""
     level_count = max(s["level_index"] for s in slices) + 1
     layer_count = max(s["image_index"] for s in slices) + 1
     face_count = 1
@@ -307,21 +327,11 @@ def _compress_uastc(images, params: CompressorParams) -> CompressorOutput:
         assert layer_count % 6 == 0, "cubemaps need a multiple of 6 images"
         face_count = 6
         layer_count //= 6
-    ktx2_data = ktx2.write_ktx2_uastc(
-        base_width=base["orig_width"], base_height=base["orig_height"],
-        level_count=level_count,
-        layer_count=layer_count,
-        face_count=face_count,
-        slice_blocks=[s["data"] for s in slices],
-        slice_info=[dict(level=s["level_index"],
-                         layer=s["image_index"] // face_count,
-                         face=s["image_index"] % face_count)
-                    for s in slices],
-        srgb=params.perceptual, has_alpha=any_alpha)
-    return CompressorOutput(
-        basis_data=data, ktx2_data=ktx2_data,
-        num_endpoints=0, num_selectors=0,
-        slice_endpoints=[], slice_selectors=[])
+    info = [dict(level=s["level_index"],
+                 layer=s["image_index"] // face_count,
+                 face=s["image_index"] % face_count)
+            for s in slices]
+    return level_count, layer_count, face_count, info
 
 
 def _rdo_thresholds(params: CompressorParams):
@@ -411,14 +421,13 @@ def _compress_astc_ldr(images, params: CompressorParams,
         tex_type=params.tex_type, flags=int(flags),
         userdata0=params.userdata0, userdata1=params.userdata1)
     base = slices[0]
+    level_count, layer_count, face_count, info = _ktx2_layout(params, slices)
     ktx2_data = ktx2.write_ktx2_astc(
         base_width=base["orig_width"], base_height=base["orig_height"],
-        level_count=max(s["level_index"] for s in slices) + 1,
-        layer_count=max(s["image_index"] for s in slices) + 1,
-        face_count=1,
+        level_count=level_count, layer_count=layer_count,
+        face_count=face_count,
         slice_blocks=[s["data"] for s in slices],
-        slice_info=[dict(level=s["level_index"], layer=s["image_index"],
-                         face=0) for s in slices],
+        slice_info=info,
         block_w=bw, block_h=bh, srgb=params.perceptual)
     return CompressorOutput(
         basis_data=data, ktx2_data=ktx2_data,
@@ -470,13 +479,13 @@ def _compress_astc_hdr_6x6(images, params: CompressorParams) -> CompressorOutput
         tex_type=params.tex_type, flags=0,
         userdata0=params.userdata0, userdata1=params.userdata1)
     base = slices[0]
+    level_count, layer_count, face_count, info = _ktx2_layout(params, slices)
     ktx2_data = ktx2.write_ktx2_astc(
         base_width=base["orig_width"], base_height=base["orig_height"],
-        level_count=max(s["level_index"] for s in slices) + 1,
-        layer_count=len(images), face_count=1,
+        level_count=level_count, layer_count=layer_count,
+        face_count=face_count,
         slice_blocks=[s["data"] for s in slices],
-        slice_info=[dict(level=s["level_index"], layer=s["image_index"],
-                         face=0) for s in slices],
+        slice_info=info,
         block_w=6, block_h=6, srgb=False, hdr=True)
     return CompressorOutput(
         basis_data=data, ktx2_data=ktx2_data,
@@ -490,6 +499,9 @@ def _compress_uastc_hdr_6x6i(images, params: CompressorParams) -> CompressorOutp
     from .codecs.astc import hdr6x6_decode as hd
     from .codecs.astc import hdr_encode
 
+    if params.tex_type == BasisTextureType.CUBEMAP_ARRAY:
+        raise ValueError(
+            "UASTC HDR 6x6 intermediate does not support cubemap arrays")
     img = np.asarray(images[0], dtype=np.float32)
     if img.ndim == 2:
         img = img[..., None].repeat(3, axis=-1)
@@ -560,13 +572,13 @@ def _compress_uastc_hdr(images, params: CompressorParams) -> CompressorOutput:
         userdata0=params.userdata0, userdata1=params.userdata1)
 
     base = slices[0]
+    level_count, layer_count, face_count, info = _ktx2_layout(params, slices)
     ktx2_data = ktx2.write_ktx2_uastc_hdr(
         base_width=base["orig_width"], base_height=base["orig_height"],
-        level_count=max(s["level_index"] for s in slices) + 1,
-        layer_count=len(images), face_count=1,
+        level_count=level_count, layer_count=layer_count,
+        face_count=face_count,
         slice_blocks=[s["data"] for s in slices],
-        slice_info=[dict(level=s["level_index"], layer=s["image_index"],
-                         face=0) for s in slices])
+        slice_info=info)
     return CompressorOutput(
         basis_data=data, ktx2_data=ktx2_data,
         num_endpoints=0, num_selectors=0,
@@ -661,24 +673,16 @@ def _assemble(slices, fe, params: CompressorParams,
     )
 
     base = slices[0]
-    level_count = max(s["level_index"] for s in slices) + 1
-    layer_count = max(s["image_index"] for s in slices) + 1
-    face_count = 1
-    if params.tex_type == BasisTextureType.CUBEMAP_ARRAY:
-        assert layer_count % 6 == 0, "cubemaps need a multiple of 6 images"
-        face_count = 6
-        layer_count //= 6
+    level_count, layer_count, face_count, info = _ktx2_layout(params, slices)
+    for i, s in enumerate(slices):
+        info[i]["alpha"] = s["alpha"]
+        info[i]["iframe"] = (not is_video) or video_prev[i] is None
     ktx2_data = ktx2.write_ktx2_etc1s(
         base_width=base["orig_width"], base_height=base["orig_height"],
         level_count=level_count, layer_count=layer_count,
         face_count=face_count,
         slice_streams=slice_streams,
-        slice_info=[dict(level=s["level_index"],
-                         layer=(s["image_index"] // face_count),
-                         face=(s["image_index"] % face_count),
-                         alpha=s["alpha"],
-                         iframe=(not is_video) or video_prev[i] is None)
-                    for i, s in enumerate(slices)],
+        slice_info=info,
         is_video=is_video,
         endpoint_palette=endpoint_palette,
         selector_palette=selector_palette,

@@ -88,7 +88,8 @@ def generate_mipmaps(img: np.ndarray, smallest_dimension: int = 1,
     encoder/basisu_comp.cpp:2095-2146)."""
     levels = []
     h, w = img.shape[:2]
-    while max(h, w) > 1 and min(h, w) > smallest_dimension:
+    # reference loops while max(w,h) > smallest_dimension (basisu_comp.cpp:2104)
+    while max(h, w) > smallest_dimension:
         h, w = max(1, h // 2), max(1, w // 2)
         levels.append(resample(img, w, h, filter=filter, srgb=srgb))
         if h == 1 and w == 1:
@@ -113,7 +114,7 @@ def generate_mipmaps_hdr(img: np.ndarray, smallest_dimension: int = 1,
                          filter: str = "kaiser"):
     levels = []
     h, w = img.shape[:2]
-    while max(h, w) > 1 and min(h, w) > smallest_dimension:
+    while max(h, w) > smallest_dimension:
         h, w = max(1, h // 2), max(1, w // 2)
         levels.append(resample_hdr(img, w, h, filter=filter))
         if h == 1 and w == 1:

@@ -556,6 +556,8 @@ class Ktx2Transcoder:
         self.file = ktx2.Ktx2File(data)
         self._engine: Optional[Etc1sTranscodeEngine] = None
         self._descs = None
+        # per-image decoded ETC1S index cache (video prev-frame chaining)
+        self._decoded: Dict[Tuple[int, bool], _Etc1sDecodedSlice] = {}
 
     @property
     def header(self):
@@ -632,16 +634,48 @@ class Ktx2Transcoder:
             blocks = np.frombuffer(
                 lvl[ofs:ofs + img_bytes], dtype=np.uint8).reshape(-1, 16)
             return self._engine.convert(fmt, blocks, nbx, nby, w, h)
-        d = self._descs[idx]
-        lvl = self.file.level_data(level)
-        rgb_data = lvl[d.rgb_slice_byte_offset:
-                       d.rgb_slice_byte_offset + d.rgb_slice_byte_length]
-        e, s = self._engine.decode_slice(rgb_data, nbx, nby)
-        rgb = _Etc1sDecodedSlice(e, s)
+        rgb = self._get_decoded(level, layer, face, nbx, nby, alpha=False)
         alpha = None
-        if d.alpha_slice_byte_length:
-            a_data = lvl[d.alpha_slice_byte_offset:
-                         d.alpha_slice_byte_offset + d.alpha_slice_byte_length]
-            ae, asel = self._engine.decode_slice(a_data, nbx, nby)
-            alpha = _Etc1sDecodedSlice(ae, asel)
+        if self._descs[idx].alpha_slice_byte_length:
+            alpha = self._get_decoded(level, layer, face, nbx, nby, alpha=True)
         return self._engine.convert(fmt, rgb, alpha, w, h)
+
+    def is_video(self) -> bool:
+        """Video if the KTXanimData key exists OR any image desc carries the
+        P-frame flag (basisu_transcoder.cpp:20268-20371)."""
+        if "KTXanimData" in self.file.key_values:
+            return True
+        if self._descs is not None:
+            return any(d.image_flags & ktx2.KTX2_IMAGE_IS_P_FRAME
+                       for d in self._descs)
+        return False
+
+    def _get_decoded(self, level: int, layer: int, face: int,
+                     nbx: int, nby: int, alpha: bool) -> _Etc1sDecodedSlice:
+        """Decode one ETC1S image slice, chaining video P-frames back to the
+        previous layer's indices of the same (level, face) — the KTX2 analog
+        of basisu_transcoder_state::m_prev_frame_indices
+        (basisu_transcoder.cpp:20593, :8554+)."""
+        layers, faces = self.get_layers(), self.get_faces()
+        idx = level * (layers * faces) + layer * faces + face
+        key = (idx, alpha)
+        if key in self._decoded:
+            return self._decoded[key]
+        d = self._descs[idx]
+        prev = None
+        is_p = bool(d.image_flags & ktx2.KTX2_IMAGE_IS_P_FRAME)
+        if is_p and layer > 0:
+            pd = self._get_decoded(level, layer - 1, face, nbx, nby, alpha)
+            prev = (pd.endpoint_idx, pd.selector_idx)
+        lvl = self.file.level_data(level)
+        if alpha:
+            data = lvl[d.alpha_slice_byte_offset:
+                       d.alpha_slice_byte_offset + d.alpha_slice_byte_length]
+        else:
+            data = lvl[d.rgb_slice_byte_offset:
+                       d.rgb_slice_byte_offset + d.rgb_slice_byte_length]
+        e, s = self._engine.decode_slice(
+            data, nbx, nby, is_video=prev is not None, prev=prev)
+        out = _Etc1sDecodedSlice(e, s)
+        self._decoded[key] = out
+        return out

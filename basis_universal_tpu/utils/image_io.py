@@ -407,8 +407,13 @@ def _huf_uncompress(data: bytes, n_out: int) -> np.ndarray:
         rc = lib.exr_huf_decode(
             buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(data),
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)), n_out)
-        if rc >= 0:
+        # rc==1 means the bitstream ended short of n_out symbols — treat
+        # truncated/corrupt PIZ data as an error (tinyexr.h:3110 semantics),
+        # never silently accept a zero-filled tail.
+        if rc == 0:
             return out
+        if rc > 0:
+            raise ValueError("EXR PIZ Huffman stream truncated")
     return _huf_uncompress_py(data, n_out)
 
 

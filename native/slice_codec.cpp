@@ -781,7 +781,11 @@ extern "C" int32_t exr_huf_decode(const uint8_t* data, int64_t n_in,
             lc -= 6;
             int l = (int)((c >> lc) & 63);
             if (l == 63) {
-                while (lc < 8) { c = (c << 8) | data[pos++]; lc += 8; }
+                while (lc < 8) {
+                    if (pos >= n_in) return -3;
+                    c = (c << 8) | data[pos++];
+                    lc += 8;
+                }
                 lc -= 8;
                 i += (int)((c >> lc) & 255) + 6;
             } else if (l >= 59) {

@@ -81,6 +81,33 @@ def test_video_oracle(frames, oracle, tmp_path):
         np.testing.assert_array_equal(ref, ours, err_msg=f"frame {i}")
 
 
+def test_video_ktx2(frames, oracle, tmp_path):
+    """KTX2 video: P-frames must chain prev-frame indices
+    (basisu_transcoder.cpp:20593 state threading)."""
+    from basis_universal_tpu.transcoder import Ktx2Transcoder
+
+    params = compressor.CompressorParams(
+        quality_level=128, effort=1,
+        tex_type=BasisTextureType.VIDEO_FRAMES)
+    out = compressor.compress(frames, params)
+    p = tmp_path / "vid.ktx2"
+    p.write_bytes(out.ktx2_data)
+    r = subprocess.run([str(oracle), "-unpack", str(p)],
+                       cwd=tmp_path, capture_output=True, text=True)
+    assert r.returncode == 0, r.stdout + r.stderr
+    tr = Ktx2Transcoder(out.ktx2_data)
+    tr.start_transcoding()
+    assert tr.is_video()
+    assert tr.get_layers() == len(frames)
+    pngs = sorted(tmp_path.glob("vid_unpacked_rgb_RGBA32_*.png"))
+    assert len(pngs) == len(frames)
+    # decode out of order on purpose: random access must still chain P-frames
+    for i in reversed(range(len(frames))):
+        ref = np.asarray(Image.open(pngs[i]).convert("RGB"))
+        ours = tr.transcode_image_level(0, i, 0, TF.RGBA32)[..., :3]
+        np.testing.assert_array_equal(ref, ours, err_msg=f"frame {i}")
+
+
 def test_cubemap_ktx2(frames, test_files):
     faces = [frames[i % len(frames)] for i in range(6)]
     params = compressor.CompressorParams(
