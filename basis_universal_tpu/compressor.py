@@ -42,9 +42,11 @@ def etc1s_quality_to_clusters(quality_level: int, total_blocks: int):
     MID_SIZE = 4800
     MAX_SIZE = 8192
     if q <= mid:
+        # lerp(0, 0.5, (q/mid)^0.65) IS the lerp factor (basisu_comp.cpp:3345
+        # lerp(32, max_endpoints, color_endpoint_quality)) — q=128 → ~2416
         ceq = 0.5 * (q / mid) ** 0.65
         max_endpoints = min(max(min(max(max_endpoints, 256), MID_SIZE), 64), total_blocks)
-        endpoint_clusters = int(0.5 + 32 + (max_endpoints - 32) * (ceq / 0.5))
+        endpoint_clusters = int(0.5 + 32 + (max_endpoints - 32) * ceq)
     else:
         ceq = ((q - mid) / (1.0 - mid)) ** 1.6
         max_endpoints = min(max(max_endpoints, 256), MAX_SIZE)

@@ -32,7 +32,8 @@ def _build() -> pathlib.Path:
     _CACHE_DIR.mkdir(parents=True, exist_ok=True)
     tmp = out.with_suffix(".tmp.so")
     subprocess.run(
-        ["g++", "-O2", "-shared", "-fPIC", "-std=c++17",
+        ["g++", "-O3", "-march=native", "-funroll-loops",
+         "-shared", "-fPIC", "-std=c++17",
          str(_SRC), "-o", str(tmp)],
         check=True, capture_output=True)
     os.replace(tmp, out)

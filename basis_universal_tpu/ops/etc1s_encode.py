@@ -47,6 +47,69 @@ def expand5(c5):
     return (c5 << 3) | (c5 >> 2)
 
 
+# Midpoints between consecutive intensity-table values: the unclipped
+# optimal selector for a pixel with gray-axis offset u is the table value
+# nearest to u, found by 3 threshold compares (tables are sorted ascending).
+_INTEN_MID = (ETC1_INTEN_TABLES[:, :-1] + ETC1_INTEN_TABLES[:, 1:]) / 2.0  # (8,3)
+
+
+def _gray_axis_minterm(u):
+    """Σ_i min_k (t_k - u_i)² per intensity table, for u (..., 16) gray-axis
+    offsets. Returns (..., 8).
+
+    The ETC1S palette is base + t_k·(1,1,1), so the per-pixel min-over-
+    selectors distance decomposes into a scalar function of the pixel's
+    luma offset u_i = (Σ_ch x_ch - Σ_ch base_ch)/3 — this replaces the
+    reference optimizer's per-channel 4-color scan
+    (encoder/basisu_etc.cpp etc1_optimizer) with 8 threshold compares.
+    Clipping to [0,255] is ignored during the scan (scores only rank
+    candidates; the winner's palette/selectors are computed clipped).
+    """
+    mids = jnp.asarray(_INTEN_MID, dtype=jnp.float32)          # (8,3)
+    tabs = _INTEN                                              # (8,4)
+    uu = u[..., None, :]                                       # (...,1,16)
+    k = ((uu > mids[:, 0, None]).astype(jnp.int32)
+         + (uu > mids[:, 1, None]) + (uu > mids[:, 2, None]))  # (...,8,16)
+    # select t_k without a gather: chained where on the 3 thresholds
+    t0, t1, t2, t3 = tabs[:, 0], tabs[:, 1], tabs[:, 2], tabs[:, 3]
+    tk = jnp.where(k == 0, t0[:, None],
+                   jnp.where(k == 1, t1[:, None],
+                             jnp.where(k == 2, t2[:, None], t3[:, None])))
+    d = tk - uu
+    return jnp.sum(d * d, axis=-1)                             # (...,8)
+
+
+def _block_moments(pixels):
+    """Per-block sufficient statistics for the factorized candidate scan."""
+    luma = jnp.sum(pixels, axis=-1)                            # (B,16)
+    return dict(
+        luma=luma,
+        sum_l=jnp.sum(luma, axis=-1),                          # (B,)
+        sum_l2=jnp.sum(luma * luma, axis=-1),                  # (B,)
+        sum_x=jnp.sum(pixels, axis=1),                         # (B,3)
+        sum_x2=jnp.sum(pixels * pixels, axis=(1, 2)),          # (B,)
+    )
+
+
+def _scan_block_errs(mom, base8, npix=16.0):
+    """Factorized ETC1S candidate errors.
+
+    mom: _block_moments dict (entries (B,...) or cluster-aggregated (C,...)).
+    base8: (D, B, 3) f32 candidate base colors (unclipped scoring).
+    Returns err (D, B, 8) = Σ_i min_k ||x_i - (base + t_k)||² without clip:
+        Σ|x|² - 2 b·Σx + n|b|² - Σs²/3 + 3 Σ_i min_k (t_k - s_i/3)²,
+    where s_i = luma_i - Σ_ch b_ch.
+    """
+    lb = jnp.sum(base8, axis=-1)                               # (D,B)
+    q = (mom["sum_x2"][None] - 2.0 * jnp.einsum("dbc,bc->db", base8, mom["sum_x"])
+         + npix * jnp.sum(base8 * base8, axis=-1))             # (D,B)
+    su2 = (mom["sum_l2"][None] - 2.0 * lb * mom["sum_l"][None]
+           + npix * lb * lb)                                   # (D,B)
+    u = (mom["luma"][None] - lb[..., None]) * (1.0 / 3.0)      # (D,B,16)
+    minterm = _gray_axis_minterm(u)                            # (D,B,8)
+    return (q - su2 * (1.0 / 3.0))[..., None] + 3.0 * minterm
+
+
 @functools.partial(jax.jit, static_argnames=("radius",))
 def encode_blocks(pixels, radius: int = 1):
     """Per-block ETC1S encode.
@@ -59,26 +122,26 @@ def encode_blocks(pixels, radius: int = 1):
     mean = jnp.mean(pixels, axis=1)  # (B,3)
     base5 = jnp.clip(jnp.round(mean * (31.0 / 255.0)).astype(jnp.int32), 0, 31)
 
-    def eval_delta(delta):
-        c5 = jnp.clip(base5 + delta[None, :], 0, 31)           # (B,3)
-        base8 = expand5(c5).astype(jnp.float32)                # (B,3)
-        # palette: (B, 8, 4, 3)
-        pal = jnp.clip(base8[:, None, None, :] + _INTEN[None, :, :, None], 0.0, 255.0)
-        # dist: (B, 8, 4, 16)
-        diff = pal[:, :, :, None, :] - pixels[:, None, None, :, :]
-        d = jnp.sum(diff * diff, axis=-1)
-        per_pix = jnp.min(d, axis=2)                           # (B, 8, 16)
-        err_bt = jnp.sum(per_pix, axis=-1)                     # (B, 8)
-        best_t = jnp.argmin(err_bt, axis=-1)                   # (B,)
-        best_err = jnp.take_along_axis(err_bt, best_t[:, None], 1)[:, 0]
-        return best_err, best_t.astype(jnp.int32), c5
-
-    errs, tables, c5s = jax.lax.map(eval_delta, jnp.asarray(deltas))
-    best_d = jnp.argmin(errs, axis=0)                          # (B,)
+    mom = _block_moments(pixels)
+    c5s = jnp.clip(base5[None] + deltas[:, None, :], 0, 31)    # (D,B,3)
+    base8 = expand5(c5s).astype(jnp.float32)
+    err_dbt = _scan_block_errs(mom, base8)                     # (D,B,8)
+    d_, b_, t_ = err_dbt.shape
+    flat = jnp.moveaxis(err_dbt, 1, 0).reshape(b_, d_ * t_)    # (B, D*8)
+    # unclipped scores shortlist; exact clipped rescore picks the winner
+    # (clipping shifts errors near the gamut edge enough to matter for PSNR)
+    k_re = min(16, d_ * t_)
+    _, cand = jax.lax.top_k(-flat, k_re)                       # (B,K)
     b = jnp.arange(pixels.shape[0])
-    err = errs[best_d, b]
-    inten = tables[best_d, b]
-    color5 = c5s[best_d, b]                                    # (B,3)
+    cand_d, cand_t = cand // 8, cand % 8
+    cb8 = expand5(c5s[cand_d, b[:, None]]).astype(jnp.float32)  # (B,K,3)
+    cpal = jnp.clip(cb8[:, :, None, :] + _INTEN[cand_t][..., None], 0.0, 255.0)  # (B,K,4,3)
+    cdiff = cpal[:, :, :, None, :] - pixels[:, None, None, :, :]
+    cerr = jnp.sum(jnp.min(jnp.sum(cdiff * cdiff, -1), axis=2), -1)  # (B,K)
+    kbest = jnp.argmin(cerr, axis=-1)
+    err = cerr[b, kbest]
+    inten = cand_t[b, kbest].astype(jnp.int32)
+    color5 = c5s[cand_d[b, kbest], b]                          # (B,3)
 
     base8 = expand5(color5).astype(jnp.float32)
     pal = jnp.clip(base8[:, None, :] + _INTEN[inten][:, :, None], 0.0, 255.0)  # (B,4,3)
@@ -108,24 +171,51 @@ def optimize_cluster_endpoints(pixels, cluster_ids, cluster_means,
     """
     deltas = jnp.asarray(_candidate_deltas(radius))            # (D,3)
     base5 = jnp.clip(jnp.round(cluster_means * (31.0 / 255.0)).astype(jnp.int32), 0, 31)
+    c5s = jnp.clip(base5[None] + deltas[:, None, :], 0, 31)    # (D,C,3)
+    base8 = expand5(c5s).astype(jnp.float32)                   # (D,C,3)
 
-    def eval_delta(delta):
-        c5 = jnp.clip(base5 + delta[None, :], 0, 31)           # (C,3)
-        base8 = expand5(c5).astype(jnp.float32)
-        pal = jnp.clip(base8[:, None, None, :] + _INTEN[None, :, :, None], 0.0, 255.0)  # (C,8,4,3)
-        blk_pal = pal[cluster_ids]                             # (B,8,4,3)
-        diff = blk_pal[:, :, :, None, :] - pixels[:, None, None, :, :]
-        d = jnp.sum(diff * diff, axis=-1)                      # (B,8,4,16)
-        per_blk = jnp.sum(jnp.min(d, axis=2), axis=-1)         # (B,8)
-        err_ct = jax.ops.segment_sum(per_blk, cluster_ids, num_segments=num_clusters)
-        return err_ct, c5                                      # (C,8), (C,3)
+    # factorized scan (see _scan_block_errs): the moment terms aggregate to
+    # per-cluster sufficient statistics; only the gray-axis min-term needs a
+    # per-pixel pass, segment-summed to clusters per candidate.
+    mom = _block_moments(pixels)
+    ones = jnp.ones(pixels.shape[0], dtype=jnp.float32)
+    c_cnt = jax.ops.segment_sum(ones, cluster_ids, num_segments=num_clusters)
+    c_sum_x = jax.ops.segment_sum(mom["sum_x"], cluster_ids, num_segments=num_clusters)
+    c_sum_x2 = jax.ops.segment_sum(mom["sum_x2"], cluster_ids, num_segments=num_clusters)
+    c_sum_l = jax.ops.segment_sum(mom["sum_l"], cluster_ids, num_segments=num_clusters)
+    c_sum_l2 = jax.ops.segment_sum(mom["sum_l2"], cluster_ids, num_segments=num_clusters)
+    npix = 16.0 * c_cnt                                        # (C,)
 
-    errs, c5s = jax.lax.map(eval_delta, deltas)                # (D,C,8), (D,C,3)
-    flat = errs.transpose(1, 0, 2).reshape(num_clusters, -1)   # (C, D*8)
-    best = jnp.argmin(flat, axis=-1)
-    best_d, best_t = best // 8, best % 8
+    lb = jnp.sum(base8, axis=-1)                               # (D,C)
+    q = (c_sum_x2[None] - 2.0 * jnp.einsum("dcx,cx->dc", base8, c_sum_x)
+         + npix[None] * jnp.sum(base8 * base8, axis=-1))       # (D,C)
+    su2 = (c_sum_l2[None] - 2.0 * lb * c_sum_l[None]
+           + npix[None] * lb * lb)                             # (D,C)
+
+    lb_blk = lb[:, cluster_ids]                                # (D,B)
+    u = (mom["luma"][None] - lb_blk[..., None]) * (1.0 / 3.0)  # (D,B,16)
+    minterm = _gray_axis_minterm(u)                            # (D,B,8)
+    d_ = deltas.shape[0]
+    mt_ct = jax.ops.segment_sum(
+        jnp.moveaxis(minterm, 0, 1).reshape(pixels.shape[0], d_ * 8),
+        cluster_ids, num_segments=num_clusters)                # (C,D*8)
+    errs = (q - su2 * (1.0 / 3.0)).T[:, :, None] \
+        + 3.0 * mt_ct.reshape(num_clusters, d_, 8)             # (C,D,8)
+    flat = errs.reshape(num_clusters, -1)                      # (C, D*8)
+    # shortlist per cluster, then exact clipped rescore over member pixels
+    k_re = min(16, d_ * 8)
+    _, cand = jax.lax.top_k(-flat, k_re)                       # (C,K)
     c = jnp.arange(num_clusters)
-    return c5s[best_d, c], best_t.astype(jnp.int32)
+    cand_d, cand_t = cand // 8, cand % 8
+    cb8 = expand5(c5s[cand_d, c[:, None]]).astype(jnp.float32)  # (C,K,3)
+    cpal = jnp.clip(cb8[:, :, None, :] + _INTEN[cand_t][..., None], 0.0, 255.0)  # (C,K,4,3)
+    blk_pal = cpal[cluster_ids]                                # (B,K,4,3)
+    bdiff = blk_pal[:, :, :, None, :] - pixels[:, None, None, :, :]
+    berr = jnp.sum(jnp.min(jnp.sum(bdiff * bdiff, -1), axis=2), -1)  # (B,K)
+    cerr = jax.ops.segment_sum(berr, cluster_ids, num_segments=num_clusters)
+    kbest = jnp.argmin(cerr, axis=-1)
+    return (c5s[cand_d[c, kbest], c],
+            cand_t[c, kbest].astype(jnp.int32))
 
 
 @functools.partial(jax.jit, static_argnames=("num_clusters", "iters"))
@@ -180,15 +270,20 @@ def bisecting_init(vecs, weights, num_clusters: int, key):
     w = weights
     wv = vecs * w[:, None]
 
+    # raw-moment features computed ONCE: per round a single fused
+    # segment-sum yields count/mean/covariance (cov = M2 - n·μμᵀ), and a
+    # single gather of (axis, μ·axis) computes the split projections —
+    # scatter/gather launches, not FLOPs, dominate this stage on TPU
+    outer = (vecs[:, :, None] * vecs[:, None, :]).reshape(n, f * f)
+    feats = jnp.concatenate([w[:, None], wv, outer * w[:, None]], -1)  # (N,1+F+F²)
+
     for r in range(rounds):
         c = 1 << r
-        cnt = jax.ops.segment_sum(w, assign, num_segments=c)    # (C,)
-        s1 = jax.ops.segment_sum(wv, assign, num_segments=c)    # (C,F)
-        mean = s1 / jnp.maximum(cnt, 1e-9)[:, None]
-        centered = vecs - mean[assign]
-        outer = (centered[:, :, None] * centered[:, None, :]) * w[:, None, None]
-        cov = jax.ops.segment_sum(outer.reshape(n, f * f), assign,
-                                  num_segments=c).reshape(c, f, f)
+        m = jax.ops.segment_sum(feats, assign, num_segments=c)  # (C,43)
+        cnt = m[:, 0]
+        mean = m[:, 1:1 + f] / jnp.maximum(cnt, 1e-9)[:, None]
+        m2 = m[:, 1 + f:].reshape(c, f, f)
+        cov = m2 - cnt[:, None, None] * mean[:, :, None] * mean[:, None, :]
         v0 = jnp.ones((c, f), dtype=vecs.dtype)
 
         def power(v, _):
@@ -196,14 +291,16 @@ def bisecting_init(vecs, weights, num_clusters: int, key):
             v = v / (jnp.linalg.norm(v, axis=-1, keepdims=True) + 1e-9)
             return v, None
 
-        axis, _ = jax.lax.scan(power, v0, None, length=8)
-        proj = jnp.sum(centered * axis[assign], -1)             # (N,)
+        axis, _ = jax.lax.scan(power, v0, None, length=4)
+        thr = jnp.sum(mean * axis, -1)                          # (C,)
+        ga = jnp.concatenate([axis, thr[:, None]], -1)[assign]  # (N,F+1)
+        proj = jnp.sum(vecs * ga[:, :f], -1) - ga[:, f]
         assign = assign * 2 + (proj > 0).astype(jnp.int32)
 
     c = 1 << rounds
-    cnt = jax.ops.segment_sum(w, assign, num_segments=c)
-    s1 = jax.ops.segment_sum(wv, assign, num_segments=c)
-    mean = s1 / jnp.maximum(cnt, 1e-9)[:, None]
+    m = jax.ops.segment_sum(feats[:, :1 + f], assign, num_segments=c)
+    cnt = m[:, 0]
+    mean = m[:, 1:] / jnp.maximum(cnt, 1e-9)[:, None]
     # keep the num_clusters most-populated leaves as k-means seeds
     top = jnp.argsort(-cnt)[:num_clusters]
     seeds = mean[top]
@@ -282,35 +379,58 @@ def rdo_neighbor_copy(px, assign, sel_assign, cb_pal, patterns,
     history hits in the entropy stream. Runs INSIDE the frontend device
     program — left_idx/up_idx are flat neighbor indices (-1 = none).
     """
-    def block_err(e_indices, sel_patterns):
-        pal = cb_pal[e_indices]                                # (B,4,3)
-        cols = jnp.take_along_axis(pal, sel_patterns[:, :, None], axis=1)
-        d = px - cols
-        return jnp.sum(d * d, axis=(1, 2))
+    sel_pat = patterns[sel_assign]                             # (B,16)
+    lv, uv = jnp.maximum(left_idx, 0), jnp.maximum(up_idx, 0)
 
-    sel_pat = patterns[sel_assign]
-    cur_err = block_err(assign, sel_pat)
+    # block error vs any endpoint's palette decomposes into a dot product of
+    # per-block moments (grouped by the block's selector pattern) with a
+    # per-endpoint feature (palette colors and their norms):
+    #   err(e) = Σ|x|² - 2 Σ_k y_k·pal[e,k] + Σ_k m_k |pal[e,k]|²
+    # with y_k = Σ_{i: s_i=k} x_i and m_k = |{i: s_i=k}|. This avoids the
+    # (B,3,4,3) palette gather + take_along chain (slow scatter/gather on TPU).
+    one = jax.nn.one_hot(sel_pat, 4, dtype=px.dtype)           # (B,16,4)
+    y = jnp.einsum("bik,bic->bkc", one, px)                    # (B,4,3)
+    m = jnp.sum(one, axis=1)                                   # (B,4)
+    zfeat = jnp.concatenate([y.reshape(-1, 12), m], axis=-1)   # (B,16)
+    efeat = jnp.concatenate(
+        [-2.0 * cb_pal.reshape(-1, 12),
+         jnp.sum(cb_pal * cb_pal, axis=-1)], axis=-1)          # (C,16)
+    sx2 = jnp.sum(px * px, axis=(1, 2))                        # (B,)
 
-    for nbr in (left_idx, up_idx):
-        nb = jnp.maximum(nbr, 0)
-        n_assign = assign[nb]
-        n_err = block_err(n_assign, sel_pat)
-        use = (n_err <= cur_err * e_thresh) & (nbr >= 0) & (cur_err > 0) \
-            & (n_assign != assign)
-        assign = jnp.where(use, n_assign, assign)
-        cur_err = jnp.where(use, n_err, cur_err)
+    e_cand = jnp.stack([assign, assign[lv], assign[uv]], axis=1)   # (B,3)
+    e_err = sx2[:, None] + jnp.einsum(
+        "bf,bjf->bj", zfeat, efeat[e_cand])                    # (B,3)
+    cur = e_err[:, 0]
+    ok_l = (e_err[:, 1] <= cur * e_thresh) & (left_idx >= 0) & (cur > 0) \
+        & (e_cand[:, 1] != assign)
+    ok_u = (e_err[:, 2] <= cur * e_thresh) & (up_idx >= 0) & (cur > 0) \
+        & (e_cand[:, 2] != assign)
+    # both acceptable → take the lower-error neighbor
+    pick_u = ok_u & (~ok_l | (e_err[:, 2] < e_err[:, 1]))
+    pick_l = ok_l & ~pick_u
+    assign = jnp.where(pick_l, e_cand[:, 1],
+                       jnp.where(pick_u, e_cand[:, 2], assign))
 
-    sel_pat = patterns[sel_assign]
-    cur_err = block_err(assign, sel_pat)
-    for nbr in (left_idx, up_idx):
-        nb = jnp.maximum(nbr, 0)
-        n_sel = sel_assign[nb]
-        n_pat = patterns[n_sel]
-        n_err = block_err(assign, n_pat)
-        use = (n_err <= cur_err * s_thresh) & (nbr >= 0) & (cur_err > 0) \
-            & (n_sel != sel_assign)
-        sel_assign = jnp.where(use, n_sel, sel_assign)
-        cur_err = jnp.where(use, n_err, cur_err)
+    # selector candidates scored against the (possibly updated) endpoints
+    dists = block_selector_distances(px, cb_pal[assign])       # (B,16,4)
+    s_cand = jnp.stack([sel_assign, sel_assign[lv], sel_assign[uv]], axis=1)
+    s_pat = patterns[s_cand]                                   # (B,3,16)
+    # select dists[b,i,pat] via where-chain (take_along_axis on the minor
+    # axis lowers to a pathologically slow gather on TPU)
+    d0, d1, d2, d3 = (dists[:, None, :, k] for k in range(4))
+    dsel = jnp.where(s_pat == 0, d0,
+                     jnp.where(s_pat == 1, d1,
+                               jnp.where(s_pat == 2, d2, d3)))
+    s_err = jnp.sum(dsel, axis=-1)                             # (B,3)
+    cur = s_err[:, 0]
+    ok_l = (s_err[:, 1] <= cur * s_thresh) & (left_idx >= 0) & (cur > 0) \
+        & (s_cand[:, 1] != sel_assign)
+    ok_u = (s_err[:, 2] <= cur * s_thresh) & (up_idx >= 0) & (cur > 0) \
+        & (s_cand[:, 2] != sel_assign)
+    pick_u = ok_u & (~ok_l | (s_err[:, 2] < s_err[:, 1]))
+    pick_l = ok_l & ~pick_u
+    sel_assign = jnp.where(pick_l, s_cand[:, 1],
+                           jnp.where(pick_u, s_cand[:, 2], sel_assign))
     return assign.astype(jnp.int32), sel_assign.astype(jnp.int32)
 
 

@@ -14,6 +14,7 @@
 #include <algorithm>
 #include <cstdint>
 #include <cstring>
+#include <queue>
 #include <vector>
 
 namespace {
@@ -660,28 +661,38 @@ void greedy_chain_order(const uint8_t* dist, int32_t n, int32_t* out) {
 
 // Greedy chain where node distance = number of differing bytes between the
 // packed uint32 keys (computed on the fly; avoids the n x n matrix).
+// The unplaced set is kept compacted (swap-remove) so each step scans only
+// the remaining entries, branchlessly; d<=1 accepts immediately (the chain
+// is a compression heuristic — a 1-byte-diff neighbor is already optimal or
+// within one byte of it, and the early-out halves the scan on real images).
 void selector_chain_order(const uint32_t* keys, int32_t n, int32_t* out) {
-  std::vector<uint8_t> placed(n, 0);
-  int cur = 0;
-  placed[0] = 1;
+  std::vector<uint32_t> rem_key(keys, keys + n);
+  std::vector<int32_t> rem_idx(n);
+  for (int j = 0; j < n; j++) rem_idx[j] = j;
+  // start at entry 0
+  int m = n;
+  uint32_t a = rem_key[0];
   out[0] = 0;
+  rem_key[0] = rem_key[m - 1];
+  rem_idx[0] = rem_idx[m - 1];
+  m--;
   for (int k = 1; k < n; k++) {
-    const uint32_t a = keys[cur];
-    int best = -1, best_d = 256;
-    for (int j = 0; j < n; j++) {
-      if (placed[j]) continue;
-      uint32_t x = a ^ keys[j];
+    int best = 0, best_d = 256;
+    for (int j = 0; j < m; j++) {
+      uint32_t x = a ^ rem_key[j];
       int d = ((x & 0xFFu) != 0) + ((x & 0xFF00u) != 0) +
               ((x & 0xFF0000u) != 0) + ((x >> 24) != 0);
       if (d < best_d) {
         best_d = d;
         best = j;
-        if (d == 0) break;
+        if (d <= 1) break;
       }
     }
-    placed[best] = 1;
-    out[k] = best;
-    cur = best;
+    out[k] = rem_idx[best];
+    a = rem_key[best];
+    rem_key[best] = rem_key[m - 1];
+    rem_idx[best] = rem_idx[m - 1];
+    m--;
   }
 }
 
@@ -691,41 +702,57 @@ void selector_chain_order(const uint32_t* keys, int32_t n, int32_t* out) {
 // pairs: (m x 3) int64 rows [i, j, count]; usage: per-entry block counts.
 void cooccurrence_order(const int64_t* pairs, int64_t num_pairs,
                         const int64_t* usage, int32_t n, int32_t* out) {
-  // adjacency in CSR-ish form
-  std::vector<std::vector<std::pair<int32_t, int64_t>>> adj(n);
+  // adjacency in CSR form
+  std::vector<int32_t> deg(n + 1, 0);
+  for (int64_t p = 0; p < num_pairs; p++) {
+    deg[(int32_t)pairs[p * 3 + 0] + 1]++;
+    deg[(int32_t)pairs[p * 3 + 1] + 1]++;
+  }
+  for (int i = 0; i < n; i++) deg[i + 1] += deg[i];
+  std::vector<int32_t> nbr(deg[n]);
+  std::vector<int64_t> wgt(deg[n]);
+  std::vector<int32_t> fill(deg.begin(), deg.end() - 1);
   for (int64_t p = 0; p < num_pairs; p++) {
     int32_t i = (int32_t)pairs[p * 3 + 0];
     int32_t j = (int32_t)pairs[p * 3 + 1];
     int64_t c = pairs[p * 3 + 2];
-    adj[i].push_back({j, c});
-    adj[j].push_back({i, c});
+    nbr[fill[i]] = j; wgt[fill[i]++] = c;
+    nbr[fill[j]] = i; wgt[fill[j]++] = c;
   }
   std::vector<uint8_t> placed(n, 0);
   std::vector<int64_t> affinity(n, 0);
-  int cur = 0;
-  for (int i = 1; i < n; i++)
-    if (usage[i] > usage[cur]) cur = i;
+  // lazy max-heap of (affinity, node): stale entries are skipped on pop —
+  // O(E log E) total instead of the O(n^2) per-step argmax scan
+  std::priority_queue<std::pair<int64_t, int32_t>> heap;
+  // usage fallback order, descending
+  std::vector<int32_t> by_usage(n);
+  for (int i = 0; i < n; i++) by_usage[i] = i;
+  std::sort(by_usage.begin(), by_usage.end(),
+            [&](int a, int b) { return usage[a] > usage[b]; });
+  size_t usage_pos = 0;
+
+  int cur = by_usage[0];
   placed[cur] = 1;
   out[0] = cur;
   for (int k = 1; k < n; k++) {
-    for (auto& [j, c] : adj[cur])
-      if (!placed[j]) affinity[j] += c;
-    int best = -1;
-    int64_t best_a = 0;
-    for (int j = 0; j < n; j++) {
-      if (!placed[j] && affinity[j] > best_a) {
-        best_a = affinity[j];
-        best = j;
+    for (int32_t e = deg[cur]; e < deg[cur + 1]; e++) {
+      int32_t j = nbr[e];
+      if (!placed[j]) {
+        affinity[j] += wgt[e];
+        heap.push({affinity[j], j});
       }
     }
+    int best = -1;
+    while (!heap.empty()) {
+      auto [a, j] = heap.top();
+      if (placed[j] || affinity[j] != a) { heap.pop(); continue; }
+      best = j;
+      heap.pop();
+      break;
+    }
     if (best < 0) {
-      // no affinity: fall back to most-used remaining entry
-      int64_t bu = -1;
-      for (int j = 0; j < n; j++)
-        if (!placed[j] && usage[j] > bu) {
-          bu = usage[j];
-          best = j;
-        }
+      while (placed[by_usage[usage_pos]]) usage_pos++;
+      best = by_usage[usage_pos];
     }
     placed[best] = 1;
     affinity[best] = 0;
