@@ -491,6 +491,172 @@ def _collect_slice_symbols_native(e_idx, s_idx, num_endpoints, num_selectors):
             pred_freq, delta_freq, sel_freq, rle_freq)
 
 
+def encode_slices_rdo(pixels_list, e_idx_list, s_idx_list,
+                      color5, inten5, selectors,
+                      e_thresh: float, s_thresh: float, comp_level: int):
+    """RDO backend pipeline (basisu_backend.cpp encode_image RDO analog).
+
+    pixels_list: per-slice (B,16,3) uint8 source pixels.
+    e_idx_list/s_idx_list: per-slice (BY,BX) int32 grids (frontend index
+    space). color5 (E,3)/inten5 (E,)/selectors (S,16) uint8 codebooks.
+
+    Runs the native two-pass RDO: pred substitution, explicit-sequence
+    palette sort, delta remap, selector-history RDO. Returns
+    (tables, slice_streams, e_color5, e_inten, sel_cb, e_grids, s_grids)
+    with palettes in final (sorted, pruned) order and grids remapped.
+    """
+    import ctypes
+
+    from ... import native
+    from ...ops.etc1 import ETC1_INTEN_TABLES, color5_to_8
+
+    lib = native.get_lib()
+    assert lib is not None
+
+    num_e = color5.shape[0]
+    num_s = selectors.shape[0]
+    pal_colors = np.clip(
+        color5_to_8(color5.astype(np.int32))[:, None, :]
+        + ETC1_INTEN_TABLES[inten5.astype(np.int32)][:, :, None],
+        0, 255).astype(np.int32)                               # (E,4,3)
+
+    def p(a, t):
+        return a.ctypes.data_as(ctypes.POINTER(t))
+
+    # ---- pass A: pred selection + endpoint substitution (old index space)
+    preds, refs, expl = [], [], []
+    e_grids = [np.ascontiguousarray(e, dtype=np.int32).copy()
+               for e in e_idx_list]
+    s_grids = [np.ascontiguousarray(s, dtype=np.int32).copy()
+               for s in s_idx_list]
+    pal_c = np.ascontiguousarray(pal_colors)
+    for px, e_g, s_g in zip(pixels_list, e_grids, s_grids):
+        by, bx = e_g.shape
+        pxc = np.ascontiguousarray(px, dtype=np.uint8)
+        sel_pat = np.ascontiguousarray(
+            selectors[s_g.ravel()], dtype=np.uint8)            # (B,16)
+        pred = np.zeros(by * bx, dtype=np.uint8)
+        ref = np.zeros(by * bx, dtype=np.uint8)
+        seq = np.zeros(by * bx, dtype=np.int32)
+        n = lib.etc1s_rdo_pred_pass(
+            p(e_g, ctypes.c_int32), by, bx,
+            p(pxc, ctypes.c_uint8), p(sel_pat, ctypes.c_uint8),
+            p(pal_c, ctypes.c_int32), num_e, float(e_thresh),
+            p(pred, ctypes.c_uint8), p(ref, ctypes.c_uint8),
+            p(seq, ctypes.c_int32))
+        preds.append(pred)
+        refs.append(ref)
+        expl.append(seq[:n])
+
+    # ---- endpoint palette sort over the EXPLICIT symbol sequence
+    # (reference sorts with palette_index_reorderer over all_endpoint_indices,
+    # basisu_backend.cpp:195-197) — entries adjacent in the explicit stream
+    # get adjacent indices so explicit deltas concentrate near zero.
+    used = np.zeros(num_e, dtype=bool)
+    for e_g in e_grids:
+        used[np.unique(e_g)] = True
+    pair_src = []
+    usage = np.zeros(num_e, dtype=np.int64)
+    for seq in expl:
+        if seq.size:
+            usage += np.bincount(seq, minlength=num_e)
+        if seq.size >= 2:
+            a, b = seq[:-1], seq[1:]
+            m = a != b
+            pair_src.append(np.stack([a[m], b[m]], axis=1))
+    if pair_src and used.sum() > 2:
+        ab = np.concatenate(pair_src, axis=0).astype(np.int64)
+        lo = np.minimum(ab[:, 0], ab[:, 1])
+        hi = np.maximum(ab[:, 0], ab[:, 1])
+        key = lo * num_e + hi
+        uniq, cnt = np.unique(key, return_counts=True)
+        pairs = np.stack([uniq // num_e, uniq % num_e, cnt], axis=1)
+        order = _cooccurrence_order(pairs, usage, num_e)
+    else:
+        order = np.arange(num_e)
+    # unused entries last, then pruned
+    order = np.asarray(sorted(order, key=lambda i: not used[i]))
+    n_used = int(used.sum())
+    inv = np.empty(num_e, dtype=np.int64)
+    inv[order] = np.arange(num_e)
+    e_color5 = color5[order[:n_used]]
+    e_inten = inten5[order[:n_used]]
+    e_grids = [inv[e_g].astype(np.int32) for e_g in e_grids]
+
+    # ---- selector palette sort (greedy byte-hamming chain, as the
+    # reference's sort_selector_codebook TSP walk, basisu_backend.cpp:246)
+    if num_s > 2:
+        as_bytes = _selector_rows_to_bytes(selectors)
+        a32 = as_bytes.astype(np.uint32) @ np.array(
+            [1, 1 << 8, 1 << 16, 1 << 24], dtype=np.uint32)
+        s_order = _selector_chain(np.ascontiguousarray(a32))
+    else:
+        s_order = np.arange(num_s)
+    inv_s = np.empty(num_s, dtype=np.int64)
+    inv_s[s_order] = np.arange(num_s)
+    sel_cb = selectors[s_order]
+    s_grids = [inv_s[s_g].astype(np.int32) for s_g in s_grids]
+
+    # ---- pass B: symbols with delta remap + selector history RDO
+    pal_colors_new = np.ascontiguousarray(np.clip(
+        color5_to_8(e_color5.astype(np.int32))[:, None, :]
+        + ETC1_INTEN_TABLES[e_inten.astype(np.int32)][:, :, None],
+        0, 255).astype(np.int32))
+    c5_new = np.ascontiguousarray(e_color5, dtype=np.uint8)
+    in_new = np.ascontiguousarray(e_inten, dtype=np.uint8)
+    pat_new = np.ascontiguousarray(sel_cb, dtype=np.uint8)
+
+    all_ops = []
+    pred_freq = np.zeros(ENDPOINT_PRED_TOTAL_SYMBOLS, dtype=np.int64)
+    delta_freq = np.zeros(n_used, dtype=np.int64)
+    sel_freq = np.zeros(num_s + MAX_SELECTOR_HISTORY_BUF_SIZE + 1, dtype=np.int64)
+    rle_freq = np.zeros(SELECTOR_HISTORY_BUF_RLE_COUNT_TOTAL, dtype=np.int64)
+    for px, e_g, s_g, pred, ref in zip(pixels_list, e_grids, s_grids,
+                                       preds, refs):
+        by, bx = e_g.shape
+        e_flat = np.ascontiguousarray(e_g.ravel())
+        s_flat = np.ascontiguousarray(s_g.ravel())
+        pxc = np.ascontiguousarray(px, dtype=np.uint8)
+        cap = 4 * by * bx + 64
+        op_kind = np.zeros(cap, dtype=np.int32)
+        op_val = np.zeros(cap, dtype=np.int32)
+        n = lib.etc1s_rdo_collect_slice_symbols(
+            p(e_flat, ctypes.c_int32), p(s_flat, ctypes.c_int32),
+            p(pred, ctypes.c_uint8), p(ref, ctypes.c_uint8), by, bx,
+            p(pxc, ctypes.c_uint8), p(pal_colors_new, ctypes.c_int32),
+            p(c5_new, ctypes.c_uint8), p(in_new, ctypes.c_uint8),
+            p(pat_new, ctypes.c_uint8),
+            n_used, num_s, float(e_thresh), float(s_thresh), int(comp_level),
+            p(op_kind, ctypes.c_int32), p(op_val, ctypes.c_int32),
+            p(pred_freq, ctypes.c_int64), p(delta_freq, ctypes.c_int64),
+            p(sel_freq, ctypes.c_int64), p(rle_freq, ctypes.c_int64))
+        all_ops.append((op_kind[:n].copy(), op_val[:n].copy()))
+        e_g[:] = e_flat.reshape(by, bx)      # pass B remaps in place
+        s_g[:] = s_flat.reshape(by, bx)
+
+    for f in (pred_freq, delta_freq, sel_freq, rle_freq):
+        if not f.any():
+            f[0] = 1
+    enc_pred = HuffmanEncoder(pred_freq)
+    enc_delta = HuffmanEncoder(delta_freq)
+    enc_sel = HuffmanEncoder(sel_freq)
+    enc_rle = HuffmanEncoder(rle_freq)
+    tw = BitWriter()
+    enc_pred.write_table(tw)
+    enc_delta.write_table(tw)
+    enc_sel.write_table(tw)
+    enc_rle.write_table(tw)
+    tw.put_bits(MAX_SELECTOR_HISTORY_BUF_SIZE, 13)
+    tables = tw.to_bytes()
+
+    streams = []
+    for kinds, vals in all_ops:
+        data = _emit_slice_native(kinds, vals, enc_pred, enc_delta,
+                                  enc_sel, enc_rle)
+        streams.append(data if data else b"\0")
+    return tables, streams, e_color5, e_inten, sel_cb, e_grids, s_grids
+
+
 def encode_slices(e_idx_list, s_idx_list, num_endpoints, num_selectors,
                   video_prev=None):
     """Encode all slices; models are shared across slices (decode_tables is

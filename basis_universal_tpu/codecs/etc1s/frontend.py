@@ -47,9 +47,11 @@ class FrontendOutput:
 def _effort_knobs(effort: int):
     radius = 1 if effort <= 4 else 2
     kmeans_iters = 2 + min(effort, 6)
-    refine_iters = 1 if effort <= 1 else (2 if effort <= 5 else 3)
+    refine_iters = 1 if effort < 1 else (2 if effort <= 5 else 3)
     sel_iters = 2 + min(effort, 4)
-    topk = 4 if effort <= 1 else (8 if effort <= 5 else 16)
+    # exact-reassign shortlist width: the 6D codebook distance misranks
+    # saturated blocks, and the parity grid shows +0.1 dB from 4 -> 16
+    topk = 16 if effort <= 5 else 32
     return radius, kmeans_iters, refine_iters, sel_iters, topk
 
 
@@ -81,11 +83,16 @@ def _init_selector_patterns(opt_sel, num_s: int):
 def _frontend_impl(px, seed, left_idx, up_idx, e_thresh, s_thresh, *,
                    num_e: int, num_s: int, radius: int,
                    kmeans_iters: int, refine_iters: int, sel_iters: int,
-                   topk: int, rdo: bool):
+                   topk: int, rdo: bool, raw_image: bool = False):
     """The full device pipeline: returns (assign, color5, inten, patterns,
     sel_assign) — everything the host needs for dedup + entropy coding."""
-    # callers may ship uint8 pixels (4x smaller host→device transfer);
-    # the cast to f32 runs on-device where it's free
+    # callers ship either (B,16,3) blocks or, with raw_image, the padded
+    # (H,W,3) uint8 image (3x smaller upload over the tunnel); block
+    # extraction is a free device-side reshape/transpose
+    if raw_image:
+        h, w, _ = px.shape
+        px = px.reshape(h // 4, 4, w // 4, 4, 3).transpose(0, 2, 1, 3, 4)
+        px = px.reshape(-1, 16, 3)
     px = px.astype(jnp.float32)
     nblocks = px.shape[0]
     key = jax.random.PRNGKey(seed)
@@ -254,13 +261,20 @@ def compress_batch_iter(pixels, params: FrontendParams,
     array OR a list of N (B, 16, 3) arrays (avoids a host-side stack copy).
     neighbors: optional list of per-image (left_idx, up_idx) arrays (or one
     shared pair)."""
+    import queue
+    import threading
+
     n = len(pixels)
-    nblocks = pixels[0].shape[0]
+    raw = pixels[0].ndim == 3 and pixels[0].shape[1:] != (16, 3)
+    if raw:
+        nblocks = (pixels[0].shape[0] // 4) * (pixels[0].shape[1] // 4)
+    else:
+        nblocks = pixels[0].shape[0]
     if neighbors is not None and isinstance(neighbors, tuple):
         neighbors = [neighbors] * n
     knobs, left0, up0 = _knobs_and_neighbors(
         nblocks, params, neighbors[0] if neighbors else None)
-    fn = _jitted_single(**knobs)
+    fn = _jitted_single(raw_image=raw, **knobs)
     futures = []
     for i in range(n):
         if neighbors:
@@ -272,10 +286,23 @@ def compress_batch_iter(pixels, params: FrontendParams,
             jnp.asarray(pixels[i]), seed + i, left, up,
             float(params.endpoint_rdo_thresh),
             float(params.selector_rdo_thresh)))
+
+    # prefetch thread: the device tunnel executes programs lazily when their
+    # results are demanded, so a dedicated fetcher keeps the chip busy (the
+    # RPC wait releases the GIL) while the caller's host-side entropy coding
+    # runs — this is what actually overlaps device and host work per image.
+    q = queue.Queue(maxsize=3)
+
+    def _fetch():
+        for i in range(n):
+            q.put(np.asarray(jax.device_get(futures[i])))
+
+    th = threading.Thread(target=_fetch, daemon=True)
+    th.start()
     for i in range(n):
-        got = _unpack_result(jax.device_get(futures[i]), nblocks,
-                             knobs["num_e"], knobs["num_s"])
+        got = _unpack_result(q.get(), nblocks, knobs["num_e"], knobs["num_s"])
         yield _host_finalize(*got, knobs["num_e"], knobs["num_s"])
+    th.join()
 
 
 def _host_finalize(assign_np, color5_np, inten_np, pat_np, sel_np,

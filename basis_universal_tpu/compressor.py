@@ -80,8 +80,11 @@ class CompressorParams:
     max_endpoint_clusters: Optional[int] = None   # override quality mapping
     max_selector_clusters: Optional[int] = None
     # ETC1S backend RDO (reference defaults, basisu_comp.h param defaults)
-    endpoint_rdo_thresh: float = 1.5
-    selector_rdo_thresh: float = 1.25
+    # reference defaults are 1.5/1.25 against its PERCEPTUAL error metric;
+    # our RDO evaluates linear-RGB error, recalibrated to land on the same
+    # rate-distortion point (parity grid: testing/reference_parity.py)
+    endpoint_rdo_thresh: float = 1.35
+    selector_rdo_thresh: float = 1.15
     # shared/global codebooks: (color5 (E,3), inten5 (E,), selectors (S,16))
     # — skips codebook training entirely (m_pGlobal_codebooks analog,
     # basisu_comp.h:797; cBASISHeaderFlagUsesGlobalCodebook)
@@ -125,11 +128,16 @@ def _prepare_slices(images: Sequence[np.ndarray], params: CompressorParams):
             # device as-is (4x smaller transfer) and casts to f32 on-chip
             rgb_blocks = np.ascontiguousarray(image_to_blocks(lvl[..., :3]))
             by, bx = rgb_blocks.shape[:2]
+            rgb = lvl[..., :3]
+            if (h % 4) or (w % 4):
+                rgb = np.pad(rgb, ((0, by * 4 - h), (0, bx * 4 - w), (0, 0)),
+                             mode="edge")
             slices.append(dict(
                 image_index=image_index, level_index=level_index,
                 orig_width=w, orig_height=h,
                 num_blocks_x=bx, num_blocks_y=by, alpha=False,
                 blocks=rgb_blocks.reshape(by * bx, 16, 3),
+                padded=np.ascontiguousarray(rgb),
             ))
             if has_alpha:
                 a = lvl[..., 3:4].repeat(3, axis=-1)
@@ -148,14 +156,20 @@ def _frontend_params(params: CompressorParams, total_blocks: int):
         num_e, num_s = params.max_endpoint_clusters, params.max_selector_clusters
     else:
         num_e, num_s = etc1s_quality_to_clusters(params.quality_level, total_blocks)
+    # stream-state RDO (pred substitution, delta remap, selector history)
+    # runs in the native backend (_assemble/encode_slices_rdo); the device
+    # neighbor-copy RDO is only the fallback when the native lib is absent
+    from . import native as native_mod
+
     e_t, s_t = _rdo_thresholds(params)
+    dev_rdo = params.effort >= 1 and not native_mod.available()
     return etc1s_frontend.FrontendParams(
         max_endpoint_clusters=num_e,
         max_selector_clusters=num_s,
         effort=params.effort,
         perceptual=params.perceptual,
-        endpoint_rdo_thresh=e_t if params.effort >= 1 else 1.0,
-        selector_rdo_thresh=s_t if params.effort >= 1 else 1.0,
+        endpoint_rdo_thresh=e_t if dev_rdo else 1.0,
+        selector_rdo_thresh=s_t if dev_rdo else 1.0,
     )
 
 
@@ -226,11 +240,19 @@ def compress_batch(images, params: CompressorParams = CompressorParams()):
         return [compress(img, params) for img in images]
     total_blocks = sum(s["blocks"].shape[0] for s in per_image[0])
     fp = _frontend_params(params, total_blocks)
-    # list of per-image block arrays (no N-way host stack copy)
-    batch = [
-        (sl[0]["blocks"] if len(sl) == 1
-         else np.concatenate([s["blocks"] for s in sl], axis=0))
-        for sl in per_image]
+    # per-image device payload: single-RGB-slice images ship as a padded raw
+    # image (3x smaller tunnel upload; the device extracts blocks), other
+    # layouts ship concatenated block arrays
+    def _payload(sl):
+        # (a 16-px-wide padded image would be shape-ambiguous with a block
+        # array — ship blocks for that corner case)
+        if len(sl) == 1 and "padded" in sl[0] and sl[0]["padded"].shape[1] != 16:
+            return sl[0]["padded"]
+        if len(sl) == 1:
+            return sl[0]["blocks"]
+        return np.concatenate([s["blocks"] for s in sl], axis=0)
+
+    batch = [_payload(sl) for sl in per_image]
     # stream: host entropy/assembly for image i overlaps device compute of
     # images i+1.. (device programs are all dispatched asynchronously)
     nbrs = [_slice_neighbors(sl) for sl in per_image]
@@ -587,28 +609,57 @@ def _compress_uastc_hdr(images, params: CompressorParams) -> CompressorOutput:
         slice_endpoints=[], slice_selectors=[])
 
 
+def _ofs(slices, i):
+    """Flat-index slice of concatenated per-slice block arrays."""
+    start = sum(s["blocks"].shape[0] for s in slices[:i])
+    return slice(start, start + slices[i]["blocks"].shape[0])
+
+
 def _assemble(slices, fe, params: CompressorParams,
               use_global: bool = False) -> CompressorOutput:
-    if use_global:
-        # shared codebooks: indices must reference them verbatim (no reorder)
-        e_color5, e_inten, block_e = (fe.endpoint_color5, fe.endpoint_inten5,
-                                      fe.block_endpoints)
-        sel_cb, block_s = fe.selectors, fe.block_selectors
-    else:
-        # sort palettes for cheap delta coding; remap indices
-        e_color5, e_inten, block_e = etc1s_backend.sort_endpoint_palette(
-            fe.endpoint_color5, fe.endpoint_inten5, fe.block_endpoints)
-        sel_cb, block_s = etc1s_backend.sort_selector_palette(
-            fe.selectors, fe.block_selectors)
+    from . import native as native_mod
 
-    e_grids, s_grids = [], []
-    ofs = 0
-    for s in slices:
-        n = s["blocks"].shape[0]
-        shape = (s["num_blocks_y"], s["num_blocks_x"])
-        e_grids.append(block_e[ofs:ofs + n].reshape(shape))
-        s_grids.append(block_s[ofs:ofs + n].reshape(shape))
-        ofs += n
+    is_video = params.tex_type == BasisTextureType.VIDEO_FRAMES
+    e_t, s_t = _rdo_thresholds(params)
+    use_rdo = (not use_global and not is_video and params.effort >= 1
+               and native_mod.available())
+
+    if use_rdo:
+        # native RDO backend pipeline (pred substitution, explicit-sequence
+        # palette sort, delta remap, selector-history RDO)
+        tables, slice_streams, e_color5, e_inten, sel_cb, e_grids, s_grids = \
+            etc1s_backend.encode_slices_rdo(
+                [s["blocks"] for s in slices],
+                [fe.block_endpoints[_ofs(slices, i)].reshape(
+                    slices[i]["num_blocks_y"], slices[i]["num_blocks_x"])
+                 for i in range(len(slices))],
+                [fe.block_selectors[_ofs(slices, i)].reshape(
+                    slices[i]["num_blocks_y"], slices[i]["num_blocks_x"])
+                 for i in range(len(slices))],
+                fe.endpoint_color5, fe.endpoint_inten5, fe.selectors,
+                e_thresh=e_t, s_thresh=s_t,
+                comp_level=min(params.effort, 6))
+    else:
+        if use_global:
+            # shared codebooks: indices reference them verbatim (no reorder)
+            e_color5, e_inten, block_e = (
+                fe.endpoint_color5, fe.endpoint_inten5, fe.block_endpoints)
+            sel_cb, block_s = fe.selectors, fe.block_selectors
+        else:
+            # sort palettes for cheap delta coding; remap indices
+            e_color5, e_inten, block_e = etc1s_backend.sort_endpoint_palette(
+                fe.endpoint_color5, fe.endpoint_inten5, fe.block_endpoints)
+            sel_cb, block_s = etc1s_backend.sort_selector_palette(
+                fe.selectors, fe.block_selectors)
+
+        e_grids, s_grids = [], []
+        ofs = 0
+        for s in slices:
+            n = s["blocks"].shape[0]
+            shape = (s["num_blocks_y"], s["num_blocks_x"])
+            e_grids.append(block_e[ofs:ofs + n].reshape(shape))
+            s_grids.append(block_s[ofs:ofs + n].reshape(shape))
+            ofs += n
 
     # (global-codebook .basis files omit the palette sections; KTX2 has no
     # shared-codebook concept so its BasisLZ global data embeds them always)
@@ -617,7 +668,6 @@ def _assemble(slices, fe, params: CompressorParams,
 
     # video frames: P-frames use conditional replenishment vs the previous
     # frame's slice of the same (level, alpha) kind
-    is_video = params.tex_type == BasisTextureType.VIDEO_FRAMES
     video_prev = None
     if is_video:
         video_prev = []
@@ -627,9 +677,10 @@ def _assemble(slices, fe, params: CompressorParams,
             video_prev.append(last_by_kind.get(kind))
             last_by_kind[kind] = i
 
-    tables, slice_streams = etc1s_backend.encode_slices(
-        e_grids, s_grids, e_color5.shape[0], sel_cb.shape[0],
-        video_prev=video_prev)
+    if not use_rdo:
+        tables, slice_streams = etc1s_backend.encode_slices(
+            e_grids, s_grids, e_color5.shape[0], sel_cb.shape[0],
+            video_prev=video_prev)
 
     descs = []
     any_alpha = False

@@ -73,6 +73,25 @@ def get_lib():
             u32p, u8p, u32p, u8p, u32p, u8p, u32p, u8p,
             u8p, ctypes.c_int64]
 
+        lib.etc1s_rdo_pred_pass.restype = ctypes.c_int64
+        lib.etc1s_rdo_pred_pass.argtypes = [
+            i32p, ctypes.c_int32, ctypes.c_int32,
+            u8p, u8p, i32p,
+            ctypes.c_int32, ctypes.c_float,
+            u8p, u8p, i32p]
+
+        lib.etc1s_rdo_collect_slice_symbols.restype = ctypes.c_int64
+        lib.etc1s_rdo_collect_slice_symbols.argtypes = [
+            i32p, i32p, u8p, u8p, ctypes.c_int32, ctypes.c_int32,
+            u8p, i32p, u8p, u8p, u8p,
+            ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_float, ctypes.c_float, ctypes.c_int32,
+            i32p, i32p, i64p, i64p, i64p, i64p]
+
+        lib.etc1s_pack_physical.restype = None
+        lib.etc1s_pack_physical.argtypes = [
+            i32p, i32p, ctypes.c_int64, u8p, u8p, u8p, u8p]
+
         lib.huffman_build.restype = ctypes.c_int64
         lib.huffman_build.argtypes = [
             i64p, ctypes.c_int32, ctypes.c_int32,

@@ -121,6 +121,27 @@ def pack_etc1_blocks(endpoint_idx, selector_idx, color5, inten5, selectors):
     """
     endpoint_idx = np.asarray(endpoint_idx)
     by, bx = endpoint_idx.shape
+
+    from .. import native
+    lib = native.get_lib()
+    if lib is not None:
+        import ctypes
+        e = np.ascontiguousarray(endpoint_idx.ravel(), dtype=np.int32)
+        s = np.ascontiguousarray(np.asarray(selector_idx).ravel(), dtype=np.int32)
+        c5c = np.ascontiguousarray(color5, dtype=np.uint8)
+        itc = np.ascontiguousarray(inten5, dtype=np.uint8)
+        pat = np.ascontiguousarray(selectors, dtype=np.uint8)
+        out = np.zeros(by * bx * 8, dtype=np.uint8)
+        lib.etc1s_pack_physical(
+            e.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            s.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            by * bx,
+            c5c.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            itc.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            pat.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+        return out.reshape(by, bx, 8)
+
     c5 = color5[endpoint_idx].astype(np.uint8)             # (BY,BX,3)
     it = inten5[endpoint_idx].astype(np.uint8)             # (BY,BX)
     out = np.zeros((by, bx, 8), dtype=np.uint8)

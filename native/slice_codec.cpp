@@ -13,6 +13,9 @@
 
 #include <algorithm>
 #include <cstdint>
+#if defined(__SSE2__)
+#include <emmintrin.h>
+#endif
 #include <cstring>
 #include <queue>
 #include <vector>
@@ -298,6 +301,431 @@ int64_t etc1s_collect_slice_symbols(
       n++;
     }
   return n;
+}
+
+// ---------------------------------------------------------------------------
+// RDO backend passes (parity with basisu_backend.cpp encode_image RDO,
+// reference lines 460-1160): trade small per-block error increases for a
+// cheaper symbol stream.
+//
+// Pass A (pred pass): per-block endpoint-predictor selection with endpoint
+// SUBSTITUTION — when no neighbor's endpoint matches exactly, copy the
+// lowest-error neighbor endpoint whose full-block error stays within
+// e_thresh x current error (ref :501-585). Outputs pred[], the modified
+// endpoint indices, the referenced-blocks map, and the raster sequence of
+// explicit (pred==3) endpoint indices that drives the palette sort.
+//
+// Pass B (emit pass) extends the plain collector with:
+//  - endpoint delta REMAP (ref :835-998): for explicit blocks, search the
+//    sorted palette ring around prev_endpoint_index for a nearby entry
+//    within threshold, shrinking the delta symbol;
+//  - selector HISTORY RDO (ref :1015-1145): when the selector misses the
+//    MTF history, scan all 64 entries for the lowest-error acceptable
+//    pattern and emit the (cheap) history symbol instead of a raw index.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+// squared RGB distance of one pixel to a palette color
+static inline uint64_t px_dist(const uint8_t* px, const int32_t* c) {
+  int dr = (int)px[0] - c[0], dg = (int)px[1] - c[1], db = (int)px[2] - c[2];
+  return (uint64_t)(dr * dr + dg * dg + db * db);
+}
+
+#if defined(__SSE2__)
+// sum of absolute differences of two 16-byte selector patterns (one psadbw)
+static inline int pat_sad(const uint8_t* a, const uint8_t* b) {
+  __m128i va = _mm_loadu_si128((const __m128i*)a);
+  __m128i vb = _mm_loadu_si128((const __m128i*)b);
+  __m128i sd = _mm_sad_epu8(va, vb);
+  return _mm_cvtsi128_si32(sd) + _mm_extract_epi16(sd, 4);
+}
+#else
+static inline int pat_sad(const uint8_t* a, const uint8_t* b) {
+  int sd = 0;
+  for (int p = 0; p < 16; p++) {
+    int dd = (int)a[p] - (int)b[p];
+    sd += dd < 0 ? -dd : dd;
+  }
+  return sd;
+}
+#endif
+
+// full-block error: pixels (16x3 u8) vs pal colors (4x3 i32) via pattern
+static inline uint64_t block_err(const uint8_t* px, const int32_t* pal,
+                                 const uint8_t* pat, uint64_t early_out) {
+  uint64_t e = 0;
+  for (int i = 0; i < 16; i++) {
+    e += px_dist(px + i * 3, pal + (int)pat[i] * 3);
+    if (e > early_out) return e;
+  }
+  return e;
+}
+
+}  // namespace
+
+// Pass A. e_idx modified in place (old/unsorted index space).
+// sel_pat: per-block 16 selector values (caller gathers patterns[s_idx]).
+// pal_colors: num_e x 4 x 3 int32 clipped block colors.
+// Returns the number of explicit (pred==3) blocks written to explicit_seq.
+int64_t etc1s_rdo_pred_pass(
+    int32_t* e_idx, int32_t by, int32_t bx,
+    const uint8_t* pixels,       // by*bx*48
+    const uint8_t* sel_pat,      // by*bx*16
+    const int32_t* pal_colors,   // num_e*12
+    int32_t num_e, float e_thresh,
+    uint8_t* pred_out, uint8_t* referenced_out, int32_t* explicit_seq) {
+  const int64_t nb = (int64_t)by * bx;
+  memset(referenced_out, 0, (size_t)nb);
+  // dx,dy per pred index: 0=left, 1=up, 2=upper-left
+  const int pdx[3] = {-1, 0, -1}, pdy[3] = {0, -1, -1};
+
+  for (int y = 0; y < by; y++) {
+    for (int x = 0; x < bx; x++) {
+      const int64_t bi = (int64_t)y * bx + x;
+      const int32_t e = e_idx[bi];
+      int best_pred = 4;
+      // exact neighbor match (lowest pred index wins)
+      for (int p = 0; p < 3; p++) {
+        int nx = x + pdx[p], ny = y + pdy[p];
+        if (nx < 0 || ny < 0) continue;
+        if (e_idx[(int64_t)ny * bx + nx] == e) { best_pred = p; break; }
+      }
+      if (best_pred == 4 && e_thresh > 0.0f) {
+        const uint8_t* px = pixels + bi * 48;
+        const uint8_t* pat = sel_pat + bi * 16;
+        uint64_t cur_err = block_err(px, pal_colors + (int64_t)e * 12, pat,
+                                     UINT64_MAX);
+        if (cur_err) {
+          const uint64_t thresh_err =
+              (uint64_t)((double)cur_err * (e_thresh > 1.0f ? e_thresh : 1.0f));
+          uint64_t best_err = UINT64_MAX;
+          int32_t best_e = 0;
+          for (int p = 0; p < 3; p++) {
+            int nx = x + pdx[p], ny = y + pdy[p];
+            if (nx < 0 || ny < 0) continue;
+            int32_t ne = e_idx[(int64_t)ny * bx + nx];
+            uint64_t te = block_err(px, pal_colors + (int64_t)ne * 12, pat,
+                                    thresh_err);
+            if (te <= thresh_err && te < best_err) {
+              best_err = te;
+              best_pred = p;
+              best_e = ne;
+            }
+          }
+          if (best_pred != 4) e_idx[bi] = best_e;
+        }
+      }
+      pred_out[bi] = (uint8_t)(best_pred == 4 ? 3 : best_pred);
+    }
+  }
+  // referenced map + explicit sequence
+  int64_t nexp = 0;
+  for (int y = 0; y < by; y++) {
+    for (int x = 0; x < bx; x++) {
+      const int64_t bi = (int64_t)y * bx + x;
+      switch (pred_out[bi]) {
+        case 0: referenced_out[bi - 1] = 1; break;
+        case 1: referenced_out[bi - bx] = 1; break;
+        case 2: referenced_out[bi - bx - 1] = 1; break;
+        default: explicit_seq[nexp++] = e_idx[bi]; break;
+      }
+    }
+  }
+  return nexp;
+}
+
+// Pass B: symbol collection with delta-remap + selector-history RDO.
+// e_idx/s_idx are in the NEW (sorted) index spaces and are modified in
+// place so the caller can pack the physical blocks afterwards.
+int64_t etc1s_rdo_collect_slice_symbols(
+    int32_t* e_idx, int32_t* s_idx, const uint8_t* pred,
+    const uint8_t* referenced, int32_t by, int32_t bx,
+    const uint8_t* pixels,        // by*bx*48
+    const int32_t* pal_colors,    // num_e*12 (new order)
+    const uint8_t* color5,        // num_e*3  (new order)
+    const uint8_t* inten5,        // num_e    (new order)
+    const uint8_t* patterns,      // num_s*16 (new order)
+    int32_t num_e, int32_t num_s,
+    float e_thresh, float s_thresh, int32_t comp_level,
+    int32_t* op_kind, int32_t* op_val,
+    int64_t* pred_freq, int64_t* delta_freq,
+    int64_t* sel_freq, int64_t* rle_freq) {
+  const int32_t SEL_RLE_SYM = num_s + (int32_t)MAX_SELECTOR_HISTORY_BUF_SIZE;
+  const int gx = (bx + 1) / 2;
+  const int gy = (by + 1) / 2;
+  const int COLOR_DELTA_THRESH = 8;   // ref basisu_backend.cpp:719
+  const int SEL_DIFF_THRESHOLD = 11;  // ref :720
+  const int MAX_ENDPOINT_SEARCH_DIST = (comp_level >= 2) ? 64 : 16;  // ref :851
+
+  // group pred symbols + RLE runs (pred[] is final from pass A)
+  std::vector<int32_t> groups((size_t)gy * gx);
+  for (int g_y = 0; g_y < gy; g_y++) {
+    for (int g_x = 0; g_x < gx; g_x++) {
+      auto pr = [&](int yy, int xx) -> int32_t {
+        if (yy >= by || xx >= bx) return 0;
+        return pred[(int64_t)yy * bx + xx];
+      };
+      int y0 = g_y * 2, x0 = g_x * 2;
+      groups[(size_t)g_y * gx + g_x] =
+          pr(y0, x0) | (pr(y0, x0 + 1) << 2) | (pr(y0 + 1, x0) << 4) |
+          (pr(y0 + 1, x0 + 1) << 6);
+    }
+  }
+  std::vector<int32_t> run_end((size_t)gy * gx);
+  run_end[(size_t)gy * gx - 1] = 1;
+  for (int64_t k = (int64_t)gy * gx - 2; k >= 0; k--)
+    run_end[k] = (groups[k] == groups[k + 1]) ? run_end[k + 1] + 1 : 1;
+
+  // per-block op slots, fixed stride (max 6 ops per block: pred +
+  // pred_rle_vlc + delta + sel + sel_rle + sel_rle_vlc) — avoids 24K
+  // vector allocations per slice
+  const int64_t nb = (int64_t)by * bx;
+  constexpr int kMaxOps = 6;
+  std::vector<int32_t> ops_buf((size_t)nb * kMaxOps * 2);
+  std::vector<uint8_t> ops_cnt((size_t)nb, 0);
+  auto push_op = [&](int64_t b, int32_t kind, int32_t val) {
+    int32_t* slot = &ops_buf[(size_t)(b * kMaxOps + ops_cnt[b]) * 2];
+    slot[0] = kind;
+    slot[1] = val;
+    ops_cnt[b]++;
+  };
+
+  Mtf hist;
+  int32_t prev_group_sym = -1;
+  int32_t group_repeat_left = 0;
+  int64_t pending_sel_run = 0;
+  int64_t run_start_block = 0;
+  int32_t prev_endpoint_index = 0;
+
+  auto flush_sel_run = [&]() {
+    int64_t n = pending_sel_run;
+    pending_sel_run = 0;
+    if (!n) return;
+    if (n < (int64_t)SELECTOR_HISTORY_BUF_RLE_COUNT_THRESH) {
+      for (int64_t k = 0; k < n; k++) {
+        push_op(run_start_block + k, kSel, num_s);
+        sel_freq[num_s]++;
+      }
+    } else {
+      push_op(run_start_block, kSel, SEL_RLE_SYM);
+      sel_freq[SEL_RLE_SYM]++;
+      if (n >= (int64_t)(SELECTOR_HISTORY_BUF_RLE_COUNT_TOTAL - 1 +
+                         SELECTOR_HISTORY_BUF_RLE_COUNT_THRESH)) {
+        int32_t run_sym = SELECTOR_HISTORY_BUF_RLE_COUNT_TOTAL - 1;
+        push_op(run_start_block, kSelRle, run_sym);
+        rle_freq[run_sym]++;
+        push_op(run_start_block, kSelRleVlc,
+                (int32_t)(n - SELECTOR_HISTORY_BUF_RLE_COUNT_THRESH));
+      } else {
+        int32_t run_sym = (int32_t)(n - SELECTOR_HISTORY_BUF_RLE_COUNT_THRESH);
+        push_op(run_start_block, kSelRle, run_sym);
+        rle_freq[run_sym]++;
+      }
+    }
+  };
+
+  // pending selector runs track history-index-0 repeats; substituted
+  // selectors participate exactly like naturally matching ones.
+  for (int y = 0; y < by; y++) {
+    for (int x = 0; x < bx; x++) {
+      const int64_t bi = (int64_t)y * bx + x;
+      if (!(x & 1) && !(y & 1)) {
+        int gi = (y >> 1) * gx + (x >> 1);
+        if (group_repeat_left) {
+          group_repeat_left--;
+        } else {
+          int32_t sym = groups[(size_t)gi];
+          int32_t run = run_end[(size_t)gi];
+          if (sym == prev_group_sym &&
+              run >= (int32_t)ENDPOINT_PRED_MIN_REPEAT_COUNT) {
+            push_op(bi, kPred, (int32_t)ENDPOINT_PRED_REPEAT_LAST_SYMBOL);
+            pred_freq[ENDPOINT_PRED_REPEAT_LAST_SYMBOL]++;
+            push_op(bi, kPredRleVlc,
+                    run - (int32_t)ENDPOINT_PRED_MIN_REPEAT_COUNT);
+            group_repeat_left = run - 1;
+          } else {
+            push_op(bi, kPred, sym);
+            pred_freq[sym]++;
+            prev_group_sym = sym;
+          }
+        }
+      }
+
+      const uint8_t* px = pixels + bi * 48;
+
+      if (pred[bi] == 3) {
+        // endpoint delta remap (ref :835): move this block's endpoint to a
+        // palette entry near prev_endpoint_index when error allows
+        int32_t e = e_idx[bi];
+        int32_t dlt = e - prev_endpoint_index;
+        int adlt = dlt < 0 ? -dlt : dlt;
+        if (e_thresh > 1.0f && adlt > 1 && !referenced[bi]) {
+          const uint8_t* pat = patterns + (int64_t)s_idx[bi] * 16;
+          uint64_t cur_err = block_err(px, pal_colors + (int64_t)e * 12, pat,
+                                       UINT64_MAX);
+          if (cur_err) {
+            const uint64_t thresh_err = (uint64_t)((double)cur_err * e_thresh);
+            const int search_dist =
+                adlt - 1 < MAX_ENDPOINT_SEARCH_DIST ? adlt - 1
+                                                    : MAX_ENDPOINT_SEARCH_DIST;
+            uint64_t best_err = UINT64_MAX;
+            int32_t best_idx = e;
+            const int cur_inten = inten5[e];
+            const uint8_t* cur_c5 = color5 + (int64_t)e * 3;
+            for (int d = -search_dist; d < search_dist; d++) {
+              int32_t t = prev_endpoint_index + d;
+              if (t < 0) t += num_e;
+              else if (t >= num_e) t -= num_e;
+              if (t == e) continue;
+              if (comp_level <= 1) {
+                if (inten5[t] > cur_inten) continue;
+                const uint8_t* tc5 = color5 + (int64_t)t * 3;
+                int cd = 0;
+                for (int c = 0; c < 3; c++) {
+                  int dd = (int)cur_c5[c] - (int)tc5[c];
+                  cd += dd < 0 ? -dd : dd;
+                }
+                if (cd > COLOR_DELTA_THRESH) continue;
+              }
+              uint64_t te = block_err(px, pal_colors + (int64_t)t * 12, pat,
+                                      thresh_err < best_err ? thresh_err
+                                                            : best_err);
+              if (te < best_err && te <= thresh_err) {
+                best_err = te;
+                best_idx = t;
+              }
+            }
+            if (best_idx != e) {
+              e = best_idx;
+              e_idx[bi] = e;
+            }
+          }
+        }
+        int32_t d = e - prev_endpoint_index;
+        if (d < 0) d += num_e;
+        push_op(bi, kDelta, d);
+        delta_freq[d]++;
+      }
+      prev_endpoint_index = e_idx[bi];
+
+      // selector symbol with history RDO
+      int32_t s = s_idx[bi];
+      int hidx = hist.find(s);
+      if (hidx < 0 && s_thresh > 0.0f) {
+        // no exact hit: scan the whole history for an acceptable pattern.
+        // Per-block error table errtab[i*4+k] = dist(pixel i, pal color k)
+        // makes each trial a 16-entry sum; the SAD guard rejects most
+        // entries with one psadbw.
+        const int32_t* pal = pal_colors + (int64_t)e_idx[bi] * 12;
+        const uint8_t* cur_pat = patterns + (int64_t)s * 16;
+        // SAD pre-scan first: most blocks have no history entry within the
+        // selector-difference guard, so the error table is usually skipped
+        int cand[MAX_SELECTOR_HISTORY_BUF_SIZE];
+        int ncand = 0;
+        for (uint32_t j = 0; j < MAX_SELECTOR_HISTORY_BUF_SIZE; j++) {
+          const int32_t t = hist.values[j];
+          if (t < 0 || t >= num_s) continue;
+          if (comp_level <= 1 &&
+              pat_sad(cur_pat, patterns + (int64_t)t * 16) >= SEL_DIFF_THRESHOLD)
+            continue;
+          cand[ncand++] = (int)j;
+        }
+        uint64_t best_err = UINT64_MAX;
+        int best_j = -1;
+        int32_t best_s = 0;
+        if (ncand) {
+          uint32_t errtab[64];
+          for (int i = 0; i < 16; i++)
+            for (int k = 0; k < 4; k++)
+              errtab[i * 4 + k] = (uint32_t)px_dist(px + i * 3, pal + k * 3);
+          uint64_t cur_err = 0;
+          for (int i = 0; i < 16; i++) cur_err += errtab[i * 4 + cur_pat[i]];
+          const uint64_t limit_err = (uint64_t)((double)cur_err *
+                                                (s_thresh > 1.0f ? s_thresh : 1.0f) + 0.999999);
+          for (int c = 0; c < ncand; c++) {
+            const int j = cand[c];
+            const int32_t t = hist.values[j];
+            const uint8_t* tp = patterns + (int64_t)t * 16;
+            const uint64_t cutoff = limit_err < best_err ? limit_err : best_err;
+            uint64_t te = 0;
+            for (int i = 0; i < 16; i++) te += errtab[i * 4 + tp[i]];
+            if (te < best_err && te <= cutoff) {
+              best_err = te;
+              best_j = j;
+              best_s = t;
+            }
+          }
+        }
+        if (best_j >= 0) {
+          s = best_s;
+          s_idx[bi] = s;
+          hidx = best_j;
+        }
+      }
+      if (hidx == 0) {
+        if (!pending_sel_run) run_start_block = bi;
+        pending_sel_run++;
+        continue;
+      }
+      flush_sel_run();
+      if (hidx > 0) {
+        push_op(bi, kSel, num_s + hidx);
+        sel_freq[num_s + hidx]++;
+        hist.use(hidx);
+      } else {
+        push_op(bi, kSel, s);
+        sel_freq[s]++;
+        hist.add(s);
+      }
+    }
+  }
+  flush_sel_run();
+
+  int64_t n = 0;
+  for (int64_t b = 0; b < nb; b++) {
+    const int32_t* slot = &ops_buf[(size_t)b * kMaxOps * 2];
+    for (int c = 0; c < ops_cnt[b]; c++) {
+      op_kind[n] = slot[c * 2];
+      op_val[n] = slot[c * 2 + 1];
+      n++;
+    }
+  }
+  return n;
+}
+
+// Physical ETC1S block pack (differential mode, flip=0, delta=0, selector
+// bit layout per decoder_etc_block::set_selector — parity with the numpy
+// pack in ops/etc1.py pack_etc1_blocks).
+void etc1s_pack_physical(const int32_t* e_idx, const int32_t* s_idx,
+                         int64_t nb, const uint8_t* color5,
+                         const uint8_t* inten5, const uint8_t* patterns,
+                         uint8_t* out) {
+  static const uint8_t SEL2ETC[4] = {3, 2, 0, 1};
+  for (int64_t b = 0; b < nb; b++) {
+    const int32_t e = e_idx[b];
+    const uint8_t* c5 = color5 + (int64_t)e * 3;
+    const uint8_t it = inten5[e];
+    uint8_t* o = out + b * 8;
+    o[0] = (uint8_t)(c5[0] << 3);
+    o[1] = (uint8_t)(c5[1] << 3);
+    o[2] = (uint8_t)(c5[2] << 3);
+    o[3] = (uint8_t)((it << 5) | (it << 2) | 2);
+    const uint8_t* pat = patterns + (int64_t)s_idx[b] * 16;
+    uint32_t lsb = 0, msb = 0;
+    for (int y = 0; y < 4; y++) {
+      for (int x = 0; x < 4; x++) {
+        uint8_t v = SEL2ETC[pat[y * 4 + x]];
+        int bit = x * 4 + y;
+        lsb |= (uint32_t)(v & 1) << bit;
+        msb |= (uint32_t)(v >> 1) << bit;
+      }
+    }
+    o[4] = (uint8_t)(msb >> 8);
+    o[5] = (uint8_t)msb;
+    o[6] = (uint8_t)(lsb >> 8);
+    o[7] = (uint8_t)lsb;
+  }
 }
 
 // Pass 2: emit bits for the collected ops given 4 canonical-code tables.
