@@ -20,6 +20,7 @@ import numpy as np
 
 from ...ops import etc1s_encode as ops
 from ...ops.etc1 import ETC1_INTEN_TABLES
+from ...utils.transfer import device_put_chunked
 
 
 @dataclasses.dataclass
@@ -229,7 +230,10 @@ def compress(pixels: np.ndarray, params: FrontendParams, seed: int = 0,
     assert pixels.ndim == 3 and pixels.shape[1:] == (16, 3)
     knobs, left, up = _knobs_and_neighbors(pixels.shape[0], params, neighbors)
     out = _jitted_single(**knobs)(
-        jnp.asarray(pixels, dtype=jnp.float32), seed, left, up,
+        device_put_chunked(np.asarray(pixels, dtype=np.uint8)
+                           if np.asarray(pixels).dtype == np.uint8
+                           else np.asarray(pixels, dtype=np.float32)),
+        seed, left, up,
         float(params.endpoint_rdo_thresh), float(params.selector_rdo_thresh))
     # single host sync for the whole pipeline
     got = _unpack_result(jax.device_get(out), pixels.shape[0],
@@ -261,9 +265,6 @@ def compress_batch_iter(pixels, params: FrontendParams,
     array OR a list of N (B, 16, 3) arrays (avoids a host-side stack copy).
     neighbors: optional list of per-image (left_idx, up_idx) arrays (or one
     shared pair)."""
-    import queue
-    import threading
-
     n = len(pixels)
     raw = pixels[0].ndim == 3 and pixels[0].shape[1:] != (16, 3)
     if raw:
@@ -283,26 +284,25 @@ def compress_batch_iter(pixels, params: FrontendParams,
         else:
             left, up = left0, up0
         futures.append(fn(
-            jnp.asarray(pixels[i]), seed + i, left, up,
+            device_put_chunked(pixels[i]), seed + i, left, up,
             float(params.endpoint_rdo_thresh),
             float(params.selector_rdo_thresh)))
 
-    # prefetch thread: the device tunnel executes programs lazily when their
-    # results are demanded, so a dedicated fetcher keeps the chip busy (the
-    # RPC wait releases the GIL) while the caller's host-side entropy coding
-    # runs — this is what actually overlaps device and host work per image.
-    q = queue.Queue(maxsize=3)
+    # concurrent fetch pool: the device tunnel charges a ~30 ms round trip
+    # per executed program and fetches serialize on one RPC stream, so a
+    # single prefetch thread pays (RTT + compute) per image. A pool of
+    # fetchers overlaps the round trips (measured: 8 programs fetch in
+    # ~40 ms pooled vs ~270 ms serial) while the caller's host-side entropy
+    # coding overlaps with device compute.
+    import concurrent.futures as cf
 
-    def _fetch():
+    with cf.ThreadPoolExecutor(min(n, 8)) as ex:
+        fetched = [ex.submit(lambda f=f: np.asarray(jax.device_get(f)))
+                   for f in futures]
         for i in range(n):
-            q.put(np.asarray(jax.device_get(futures[i])))
-
-    th = threading.Thread(target=_fetch, daemon=True)
-    th.start()
-    for i in range(n):
-        got = _unpack_result(q.get(), nblocks, knobs["num_e"], knobs["num_s"])
-        yield _host_finalize(*got, knobs["num_e"], knobs["num_s"])
-    th.join()
+            got = _unpack_result(fetched[i].result(), nblocks,
+                                 knobs["num_e"], knobs["num_s"])
+            yield _host_finalize(*got, knobs["num_e"], knobs["num_s"])
 
 
 def _host_finalize(assign_np, color5_np, inten_np, pat_np, sel_np,

@@ -254,14 +254,19 @@ def compress_batch(images, params: CompressorParams = CompressorParams()):
 
     batch = [_payload(sl) for sl in per_image]
     # stream: host entropy/assembly for image i overlaps device compute of
-    # images i+1.. (device programs are all dispatched asynchronously)
+    # images i+1.. (device programs are all dispatched asynchronously), and
+    # assembles run in a small pool — the native entropy/RDO calls release
+    # the GIL, so images assemble concurrently
+    import concurrent.futures as cf
+
     nbrs = [_slice_neighbors(sl) for sl in per_image]
-    outs = []
-    for sl, fe in zip(per_image,
-                      etc1s_frontend.compress_batch_iter(
-                          batch, fp, seed=params.seed, neighbors=nbrs)):
-        outs.append(_assemble(sl, fe, params))
-    return outs
+    with cf.ThreadPoolExecutor(4) as ex:
+        futs = [
+            ex.submit(_assemble, sl, fe, params)
+            for sl, fe in zip(per_image,
+                              etc1s_frontend.compress_batch_iter(
+                                  batch, fp, seed=params.seed, neighbors=nbrs))]
+        return [f.result() for f in futs]
 
 
 def _compress_uastc(images, params: CompressorParams) -> CompressorOutput:

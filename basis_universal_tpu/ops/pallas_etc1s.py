@@ -1,0 +1,178 @@
+"""Pallas TPU kernels for the ETC1S frontend hot path.
+
+The frontend's three "exact rescore" stages (per-block candidate rescore in
+encode_blocks, endpoint-cluster reassignment, per-cluster endpoint
+optimization — the reference's etc1_optimizer / refine_endpoint_clusterization
+loops, encoder/basisu_etc.cpp + bin/ocl_kernels.cl:1013-1090) all reduce to
+one primitive: the exact gamut-clipped ETC1S error of every block against a
+small per-block set of candidate palettes,
+
+    err[b, k] = sum_i min_sel || x[b,i] - pal[b,k,sel] ||^2 .
+
+XLA's broadcast formulation materializes (B, K, 4, 16, 3)-shaped temporaries
+whose minor axes (3 or 4 wide) land on the 128-lane dimension — a ~30-40x
+physical padding blowup in HBM. This kernel keeps the block axis on lanes,
+every operand a (sublane, lane) tile in VMEM, and the k/sel loops fully
+unrolled: one pass, no HBM temporaries.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_LANES = 2048  # blocks per grid step
+
+
+def _errs_kernel(pix_ref, pal_ref, out_ref, *, n_cand: int):
+    """pix_ref: (48, T) f32 — rows [ch*16 + i]; pal_ref: (K*12, T) f32 —
+    rows [((k*4 + sel)*3) + ch]; out_ref: (K, T) f32 exact errors."""
+    r = pix_ref[0:16, :]
+    g = pix_ref[16:32, :]
+    b = pix_ref[32:48, :]
+    for k in range(n_cand):
+        acc = None
+        for sel in range(4):
+            o = (k * 4 + sel) * 3
+            dr = r - pal_ref[o, :][None, :]
+            dg = g - pal_ref[o + 1, :][None, :]
+            db = b - pal_ref[o + 2, :][None, :]
+            dist = dr * dr + dg * dg + db * db            # (16,T)
+            acc = dist if acc is None else jnp.minimum(acc, dist)
+        out_ref[k, :] = jnp.sum(acc, axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def palette_errs(pixels, palettes, interpret: bool = False):
+    """Exact clipped ETC1S candidate errors.
+
+    pixels: (B, 16, 3) f32 in [0,255]; palettes: (B, K, 4, 3) f32.
+    Returns err (B, K) f32 with err[b,k] = sum_i min_sel |x_bi - pal_bks|^2.
+    """
+    b_n, k_n = palettes.shape[0], palettes.shape[1]
+    bp = -(-b_n // _LANES) * _LANES
+    pix_t = pixels.astype(jnp.float32).transpose(2, 1, 0).reshape(48, b_n)
+    pal_t = palettes.astype(jnp.float32).transpose(1, 2, 3, 0).reshape(k_n * 12, b_n)
+    if bp != b_n:
+        pix_t = jnp.pad(pix_t, ((0, 0), (0, bp - b_n)))
+        pal_t = jnp.pad(pal_t, ((0, 0), (0, bp - b_n)))
+    err = pl.pallas_call(
+        functools.partial(_errs_kernel, n_cand=k_n),
+        grid=(bp // _LANES,),
+        in_specs=[
+            pl.BlockSpec((48, _LANES), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k_n * 12, _LANES), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((k_n, _LANES), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((k_n, bp), jnp.float32),
+        interpret=interpret,
+    )(pix_t, pal_t)
+    return err[:, :b_n].T
+
+
+def use_pallas() -> bool:
+    """Pallas kernels run on real TPU backends only (tests force CPU)."""
+    return jax.default_backend() == "tpu"
+
+
+def _fscan_kernel(deltas_ref, mids_ref, tabs_ref, pix_ref, err_ref,
+                  *, n_deltas: int):
+    """Factorized candidate scan, one delta per fori step, all 8 intensity
+    tables vectorized on sublanes.
+
+    Computes the unclipped error decomposition (etc1s_encode._scan_block_errs)
+        err = q - su2/3 + 3 * sum_i min_k (t_k - u_i)^2
+    entirely in VMEM. deltas_ref: (D,3) i32 SMEM; pix_ref: (48,T) f32;
+    err_ref: (D*8, T) f32. mids (8,3) / tabs (8,4) are baked numpy consts.
+    """
+    r = pix_ref[0:16, :]
+    g = pix_ref[16:32, :]
+    b = pix_ref[32:48, :]
+    luma = r + g + b                                     # (16,T)
+    sum_l = jnp.sum(luma, 0, keepdims=True)              # (1,T)
+    sum_l2 = jnp.sum(luma * luma, 0, keepdims=True)
+    sr = jnp.sum(r, 0, keepdims=True)
+    sg = jnp.sum(g, 0, keepdims=True)
+    sb = jnp.sum(b, 0, keepdims=True)
+    sum_x2 = jnp.sum(r * r + g * g + b * b, 0, keepdims=True)
+    s = 31.0 / 255.0
+    b5r = jnp.clip(jnp.round(sr / 16.0 * s), 0.0, 31.0)
+    b5g = jnp.clip(jnp.round(sg / 16.0 * s), 0.0, 31.0)
+    b5b = jnp.clip(jnp.round(sb / 16.0 * s), 0.0, 31.0)
+
+    m0 = mids_ref[:, 0:1]
+    m1 = mids_ref[:, 1:2]
+    m2 = mids_ref[:, 2:3]
+    t0 = tabs_ref[:, 0:1]
+    t1 = tabs_ref[:, 1:2]
+    t2 = tabs_ref[:, 2:3]
+    t3 = tabs_ref[:, 3:4]
+
+    def d_body(d, _):
+        c5r = jnp.clip(b5r + deltas_ref[d, 0].astype(jnp.float32), 0.0, 31.0)
+        c5g = jnp.clip(b5g + deltas_ref[d, 1].astype(jnp.float32), 0.0, 31.0)
+        c5b = jnp.clip(b5b + deltas_ref[d, 2].astype(jnp.float32), 0.0, 31.0)
+        b8r = c5r * 8.0 + jnp.floor(c5r * 0.25)
+        b8g = c5g * 8.0 + jnp.floor(c5g * 0.25)
+        b8b = c5b * 8.0 + jnp.floor(c5b * 0.25)
+        lb = b8r + b8g + b8b                             # (1,T)
+        q = (sum_x2 - 2.0 * (b8r * sr + b8g * sg + b8b * sb)
+             + 16.0 * (b8r * b8r + b8g * b8g + b8b * b8b))
+        su2 = sum_l2 - 2.0 * lb * sum_l + 16.0 * lb * lb
+        const = q - su2 * (1.0 / 3.0)                    # (1,T)
+
+        acc = jnp.zeros((8, luma.shape[1]), jnp.float32)
+        for i in range(16):
+            u = (luma[i:i + 1, :] - lb) * (1.0 / 3.0)    # (1,T)
+            k = ((u > m0).astype(jnp.float32) + (u > m1) + (u > m2))  # (8,T)
+            tk = jnp.where(k == 0.0, t0,
+                           jnp.where(k == 1.0, t1,
+                                     jnp.where(k == 2.0, t2, t3)))
+            dv = tk - u
+            acc = acc + dv * dv
+        err_ref[pl.ds(d * 8, 8), :] = const + 3.0 * acc
+        return 0
+
+    jax.lax.fori_loop(0, n_deltas, d_body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("radius", "interpret"))
+def factorized_scan(pixels, radius: int = 1, interpret: bool = False):
+    """Unclipped factorized candidate errors, (B, D*8) — the Pallas analog
+    of etc1s_encode._scan_block_errs whose XLA broadcast chain materializes
+    lane-padded (D,B,8,16) temporaries. Feeds the existing top-k shortlist +
+    exact clipped rescore (palette_errs)."""
+    from .etc1 import ETC1_INTEN_TABLES
+    from .etc1s_encode import _candidate_deltas
+
+    deltas_np = _candidate_deltas(radius)
+    n_deltas = int(deltas_np.shape[0])
+    mids = (ETC1_INTEN_TABLES[:, :-1] + ETC1_INTEN_TABLES[:, 1:]) / 2.0
+    b_n = pixels.shape[0]
+    bp = -(-b_n // _LANES) * _LANES
+    pix_t = pixels.astype(jnp.float32).transpose(2, 1, 0).reshape(48, b_n)
+    if bp != b_n:
+        pix_t = jnp.pad(pix_t, ((0, 0), (0, bp - b_n)))
+    err = pl.pallas_call(
+        functools.partial(_fscan_kernel, n_deltas=n_deltas),
+        grid=(bp // _LANES,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((8, 3), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, 4), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((48, _LANES), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((n_deltas * 8, _LANES), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_deltas * 8, bp), jnp.float32),
+        interpret=interpret,
+    )(jnp.asarray(deltas_np),
+      jnp.asarray(mids, jnp.float32),
+      jnp.asarray(ETC1_INTEN_TABLES, jnp.float32),
+      pix_t)
+    return err[:, :b_n].T                                # (B, D*8)
