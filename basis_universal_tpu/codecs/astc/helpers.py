@@ -534,6 +534,11 @@ def decode_block(blk: LogBlock, bw: int = 4, bh: int = 4, srgb: bool = False):
         elif cem == 11:  # HDR RGB direct
             e0, e1 = _decode_mode11_qlog12(vals)
             hdr = True
+        elif cem in (1, 5, 9, 10, 13):  # remaining LDR CEMs (base+ofs etc.)
+            from .xuastc_cems import decode_endpoint_ise20
+
+            e0, e1 = decode_endpoint_ise20(cem, vals)
+            hdr = False
         else:
             raise NotImplementedError(f"CEM {cem} not supported yet")
         sub_eps.append((e0, e1, hdr))
@@ -571,7 +576,9 @@ def decode_block(blk: LogBlock, bw: int = 4, bh: int = 4, srgb: bool = False):
                         out[y, x, c] = hf
                 else:
                     le, he = e0[c], e1[c]
-                    if srgb and c < 3:
+                    if srgb:
+                        # sRGB decode expands ALL channels (incl. alpha) as
+                        # (v<<8)|0x80 (basisu_astc_helpers.h:3602)
                         l16 = (le << 8) | 0x80
                         h16 = (he << 8) | 0x80
                     else:

@@ -33,9 +33,9 @@ _STREAM_NAMES = [
     "weight4_bits", "weight8_bytes",
 ]
 
-# g_astc_block_sizes order (astc_helpers::NUM_ASTC_BLOCK_SIZES = 14)
+# g_astc_block_sizes order (basisu_astc_helpers.h:633)
 ASTC_BLOCK_SIZES = [(4, 4), (5, 4), (5, 5), (6, 5), (6, 6), (8, 5), (8, 6),
-                    (8, 8), (10, 5), (10, 6), (10, 8), (10, 10), (12, 10),
+                    (10, 5), (10, 6), (8, 8), (10, 8), (10, 10), (12, 10),
                     (12, 12)]
 
 
@@ -136,10 +136,444 @@ def parse_container(data: bytes) -> XuastcContainer:
         streams=streams)
 
 
-def decode(data: bytes):
-    """Full decode → pixels (round 2: per-block command loop, endpoint
-    DPCM, DCT weight grids — basisu_transcoder.cpp:27800+)."""
+class _SimpleBits:
+    """simplified_bitwise_decoder analog: LSB-first within each byte, codes
+    never cross byte boundaries (basisu_transcoder_internal.h:753)."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.buf = 1
+
+    def get(self, n: int) -> int:
+        if self.buf <= 1:
+            b = self.data[self.pos] if self.pos < len(self.data) else 0
+            self.pos += 1
+            self.buf = 256 | b
+        res = self.buf & ((1 << n) - 1)
+        self.buf >>= n
+        return res
+
+
+class _RawBits(_LsbReader):
+    """bitwise_decoder analog with truncated-binary decode."""
+
+    def decode_truncated_binary(self, n: int) -> int:
+        k = n.bit_length() - 1
+        u = (1 << (k + 1)) - n
+        result = self.get(k)
+        if result >= u:
+            result = ((result << 1) | self.get(1)) - u
+        return result
+
+
+# xuastc_zstd_mode (basisu_transcoder_internal.h:2166)
+_MODE_BYTE_IS_BASE_OFS = 1 << 3
+_MODE_BYTE_PART_HASH_HIT = 1 << 4
+_MODE_BYTE_DPCM_ENDPOINTS = 1 << 5
+_MODE_BYTE_TM_HASH_HIT = 1 << 6
+_MODE_BYTE_USE_DCT = 1 << 7
+
+
+def decode_log_blocks(data: bytes):
+    """Full-zstd XUASTC LDR decode → (container, list-of-LogBlock in raster
+    order). Parity: xuastc_ldr_decompress_image_full_zstd
+    (transcoder/basisu_transcoder.cpp:27633-28530).
+
+    The command-stream decode is inherently serial (left/up/diag block
+    dependencies) and runs on the host; the downstream block->pixel stage
+    (helpers.decode_blocks_rgba8) is batched.
+    """
+    import dataclasses as _dc
+
+    from . import helpers as ah
+    from . import xuastc_cems as XC
+    from . import xuastc_dct as XD
+    from . import xuastc_tables as XT
+    from .hdr6x6_tables import REUSE_XY_DELTAS
+
     c = parse_container(data)
-    raise NotImplementedError(
-        f"XUASTC LDR {c.block_w}x{c.block_h} block decode not implemented "
-        "yet (container parses cleanly)")
+    bsi = XT.ASTC_BLOCK_SIZES.index((c.block_w, c.block_h))
+    trial_modes = XT.encoder_trial_modes(bsi)
+    nbx = (c.width + c.block_w - 1) // c.block_w
+    nby = (c.height + c.block_h - 1) // c.block_h
+
+    raw = _RawBits(c.raw_bits)
+    if raw.get(5) != 0x01:
+        raise ValueError("bad XUASTC marker")
+    # bsi(4) + srgb(1) + w(16) + h(16) + alpha(1) + use_dct(1): already
+    # parsed by parse_container
+    raw.get(4 + 1 + 16 + 16 + 1 + 1)
+    if c.use_dct:
+        raw.get(8)
+
+    s = c.streams
+    mode_dec = _SimpleBits(s["mode_bytes"])
+    solid_dec = _SimpleBits(s["solid_dpcm_bytes"])
+    reuse_dec = _SimpleBits(s["endpoint_dpcm_reuse_indices"])
+    use_bc_dec = _SimpleBits(s["use_bc_bits"])
+    dpcm_decs = {3: _SimpleBits(s["endpoint_dpcm_3bit"]),
+                 4: _SimpleBits(s["endpoint_dpcm_4bit"]),
+                 5: _SimpleBits(s["endpoint_dpcm_5bit"]),
+                 6: _SimpleBits(s["endpoint_dpcm_6bit"]),
+                 7: _SimpleBits(s["endpoint_dpcm_7bit"]),
+                 8: _SimpleBits(s["endpoint_dpcm_8bit"])}
+    mean0 = _SimpleBits(s["mean0_bits"])
+    mean1 = _SimpleBits(s["mean1_bytes"])
+    run_bytes = _SimpleBits(s["run_bytes"])
+    coeff_bytes = _SimpleBits(s["coeff_bytes"])
+    sign_bits = _SimpleBits(s["sign_bits"])
+    w2 = _SimpleBits(s["weight2_bits"])
+    w3 = _SimpleBits(s["weight3_bits"])
+    w4 = _SimpleBits(s["weight4_bits"])
+    w8 = _SimpleBits(s["weight8_bytes"])
+
+    # ring state: log blocks for the last 8 rows, tm_index for last 2 rows
+    log_ring = [[None] * nbx for _ in range(8)]
+    tm_ring = [[-1] * nbx for _ in range(2)]
+    part2_hash = [-1] * XT.PART_HASH_SIZE
+    part3_hash = [-1] * XT.PART_HASH_SIZE
+    tm_hash = [-1] * XT.TM_HASH_SIZE
+
+    out = []
+    cur_run_len = 0
+
+    def emit(bx, by, blk):
+        out.append(blk)
+        log_ring[by & 7][bx] = blk
+
+    for by in range(nby):
+        for bx in range(nbx):
+            left_tm = tm_ring[by & 1][bx - 1] if bx else None
+            up_tm = tm_ring[(by - 1) & 1][bx] if by else None
+            diag_tm = tm_ring[(by - 1) & 1][bx - 1] if (bx and by) else None
+
+            if cur_run_len:
+                prev_blk = log_ring[by & 7][bx - 1] if bx \
+                    else log_ring[(by - 1) & 7][bx]
+                emit(bx, by, prev_blk)
+                tm_ring[by & 1][bx] = left_tm if bx else up_tm
+                cur_run_len -= 1
+                continue
+
+            mode_byte = mode_dec.get(8)
+
+            if (mode_byte & 3) == 0b01:                     # RUN
+                cur_run_len = 1 + (mode_byte >> 2)
+                if not bx and not by:
+                    raise ValueError("XUASTC run at origin")
+                if cur_run_len > nbx - bx:
+                    raise ValueError("XUASTC run too long")
+                prev_blk = log_ring[by & 7][bx - 1] if bx \
+                    else log_ring[(by - 1) & 7][bx]
+                emit(bx, by, prev_blk)
+                tm_ring[by & 1][bx] = left_tm if bx else up_tm
+                cur_run_len -= 1
+                continue
+
+            if (mode_byte & 15) == 0b0011:                  # SOLID
+                prev_blk = (log_ring[by & 7][bx - 1] if bx else
+                            (log_ring[(by - 1) & 7][bx] if by else None))
+                prev_c = [0, 0, 0, 0]
+                if prev_blk is not None:
+                    if prev_blk.solid_ldr:
+                        prev_c = [v >> 8 for v in prev_blk.solid_color]
+                    else:
+                        pl, ph = XC.decode_endpoints(
+                            prev_blk.cems[0], prev_blk.endpoints,
+                            prev_blk.endpoint_ise_range)
+                        prev_c = [(pl[i] + ph[i] + 1) >> 1 for i in range(4)]
+                dr = solid_dec.get(8)
+                dg = solid_dec.get(8)
+                db = solid_dec.get(8)
+                da = solid_dec.get(8) if c.has_alpha else 0
+                r = (prev_c[0] + dr) & 0xFF
+                g = (prev_c[1] + dg) & 0xFF
+                b = (prev_c[2] + db) & 0xFF
+                a = (prev_c[3] + da) & 0xFF if c.has_alpha else 255
+                blk = ah.LogBlock(
+                    solid_ldr=True,
+                    solid_color=(r | (r << 8), g | (g << 8),
+                                 b | (b << 8), a | (a << 8)))
+                emit(bx, by, blk)
+                tm_ring[by & 1][bx] = -1
+                continue
+
+            blk = ah.LogBlock()
+            tm_index = 0
+            actual_cem = 0
+
+            if (mode_byte & 1) == 0:                        # RAW
+                cfg_reuse = (mode_byte >> 1) & 3
+                if cfg_reuse < 3:
+                    if cfg_reuse == 0:
+                        cfg_blk = log_ring[by & 7][bx - 1] if bx else None
+                        tm_index = left_tm if left_tm is not None else -1
+                    elif cfg_reuse == 1:
+                        cfg_blk = log_ring[(by - 1) & 7][bx] if by else None
+                        tm_index = up_tm if up_tm is not None else -1
+                    else:
+                        cfg_blk = (log_ring[(by - 1) & 7][bx - 1]
+                                   if (bx and by) else None)
+                        tm_index = diag_tm if diag_tm is not None else -1
+                    if cfg_blk is None or tm_index is None or tm_index < 0:
+                        raise ValueError("XUASTC invalid config reuse")
+                    blk.partition_id = cfg_blk.partition_id
+                    actual_cem = cfg_blk.cems[0]
+                else:
+                    if mode_byte & _MODE_BYTE_TM_HASH_HIT:
+                        tm_index = tm_hash[raw.get(XT.TM_HASH_BITS)]
+                    else:
+                        tm_index = raw.decode_truncated_binary(
+                            len(trial_modes))
+                        tm_hash[XT.tm_hash_index(tm_index)] = tm_index
+                    if not (0 <= tm_index < len(trial_modes)):
+                        raise ValueError("XUASTC invalid tm_index")
+                    tm = trial_modes[tm_index]
+                    actual_cem = tm.cem
+                    if tm.cem in (XT.CEM_LDR_RGB_DIRECT,
+                                  XT.CEM_LDR_RGBA_DIRECT):
+                        if mode_byte & _MODE_BYTE_IS_BASE_OFS:
+                            actual_cem = tm.cem + 1
+                    if tm.num_parts > 1:
+                        total_unique = XT.get_total_unique_patterns(
+                            bsi, tm.num_parts)
+                        phash = part2_hash if tm.num_parts == 2 else part3_hash
+                        if mode_byte & _MODE_BYTE_PART_HASH_HIT:
+                            upi = phash[raw.get(XT.PART_HASH_BITS)]
+                        else:
+                            upi = raw.decode_truncated_binary(total_unique)
+                            phash[XT.part_hash_index(upi)] = upi
+                        if not (0 <= upi < total_unique):
+                            raise ValueError("XUASTC invalid pattern index")
+                        blk.partition_id = XT.unique_pat_index_to_part_seed(
+                            bsi, tm.num_parts, upi)
+
+                tm = trial_modes[tm_index]
+                total_vals = XT.cem_num_values(actual_cem)
+                blk.cems = (actual_cem,) * tm.num_parts
+                blk.num_partitions = tm.num_parts
+                blk.dual_plane = tm.ccs_index >= 0
+                blk.ccs = tm.ccs_index if blk.dual_plane else 0
+                blk.weight_ise_range = tm.weight_ise_range
+                blk.endpoint_ise_range = tm.endpoint_ise_range
+                blk.grid_width = tm.grid_width
+                blk.grid_height = tm.grid_height
+
+                if mode_byte & _MODE_BYTE_DPCM_ENDPOINTS:
+                    etab = XT.endpoint_tab(blk.endpoint_ise_range)
+                    n_levels = etab.ise_to_val.shape[0]
+                    ridx = reuse_dec.get(8)
+                    if ridx >= len(REUSE_XY_DELTAS):
+                        raise ValueError("XUASTC invalid reuse delta")
+                    dx, dy = REUSE_XY_DELTAS[ridx]
+                    rbx, rby = bx + dx, by + dy
+                    if not (0 <= rbx < nbx and 0 <= rby < nby):
+                        raise ValueError("XUASTC reuse delta out of range")
+                    pred_blk = log_ring[rby & 7][rbx]
+                    if pred_blk is None or pred_blk.solid_ldr:
+                        raise ValueError("XUASTC reuse of solid block")
+                    use_bc = [False] * blk.num_partitions
+                    if actual_cem in XT.CEMS_SUPPORT_BC:
+                        for p in range(blk.num_partitions):
+                            use_bc[p] = use_bc_dec.get(1) != 0
+                    # bits per DPCM delta by level count
+                    if n_levels <= 8:
+                        dec, nb = dpcm_decs[3], 4
+                    elif n_levels <= 16:
+                        dec, nb = dpcm_decs[4], 4
+                    elif n_levels <= 32:
+                        dec, nb = dpcm_decs[5], 8
+                    elif n_levels <= 64:
+                        dec, nb = dpcm_decs[6], 8
+                    elif n_levels <= 128:
+                        dec, nb = dpcm_decs[7], 8
+                    else:
+                        dec, nb = dpcm_decs[8], 8
+                    blk.endpoints = [0] * (blk.num_partitions * total_vals)
+                    for p in range(blk.num_partitions):
+                        pred, _bc, _bo = XC.convert_endpoints_across_cems(
+                            pred_blk.cems[0], pred_blk.endpoint_ise_range,
+                            pred_blk.endpoints,
+                            actual_cem, blk.endpoint_ise_range,
+                            False, use_bc[p], False)
+                        for v in range(total_vals):
+                            delta = dec.get(nb)
+                            e_val = (delta + int(etab.ise_to_rank[pred[v]])) \
+                                % n_levels
+                            blk.endpoints[p * total_vals + v] = int(
+                                etab.rank_to_ise[e_val])
+                else:
+                    blk.endpoints = _decode_values(
+                        raw, tm.num_parts * total_vals,
+                        blk.endpoint_ise_range)
+            elif (mode_byte & 15) >= 0b0111:                # REUSE CFG+EP
+                reuse_index = ((mode_byte >> 2) & 3) - 1
+                if reuse_index == 0:
+                    cfg_blk = log_ring[by & 7][bx - 1] if bx else None
+                    tm_index = left_tm if left_tm is not None else -1
+                elif reuse_index == 1:
+                    cfg_blk = log_ring[(by - 1) & 7][bx] if by else None
+                    tm_index = up_tm if up_tm is not None else -1
+                else:
+                    cfg_blk = (log_ring[(by - 1) & 7][bx - 1]
+                               if (bx and by) else None)
+                    tm_index = diag_tm if diag_tm is not None else -1
+                if cfg_blk is None or tm_index is None or tm_index < 0:
+                    raise ValueError("XUASTC invalid cfg+endpoint reuse")
+                actual_cem = cfg_blk.cems[0]
+                blk.cems = (actual_cem,) * cfg_blk.num_partitions
+                blk.dual_plane = cfg_blk.dual_plane
+                blk.ccs = cfg_blk.ccs
+                blk.num_partitions = cfg_blk.num_partitions
+                blk.partition_id = cfg_blk.partition_id
+                blk.endpoint_ise_range = cfg_blk.endpoint_ise_range
+                blk.weight_ise_range = cfg_blk.weight_ise_range
+                blk.grid_width = cfg_blk.grid_width
+                blk.grid_height = cfg_blk.grid_height
+                total_vals = XT.cem_num_values(actual_cem)
+                blk.endpoints = list(
+                    cfg_blk.endpoints[:total_vals * blk.num_partitions])
+            else:
+                raise ValueError("XUASTC invalid mode byte")
+
+            # --- weights
+            tm = trial_modes[tm_index]
+            total_planes = 2 if tm.ccs_index >= 0 else 1
+            total_weights = tm.grid_width * tm.grid_height
+            blk.weights = [0] * (total_weights * total_planes)
+
+            block_used_dct = bool(c.use_dct
+                                  and (mode_byte & _MODE_BYTE_USE_DCT))
+            if block_used_dct:
+                num_dc_levels = XD.get_num_weight_dc_levels(
+                    blk.weight_ise_range)
+                spans = XD.get_max_span_len(blk, XC)
+                for plane in range(total_planes):
+                    if num_dc_levels == XD.DCT_MEAN_LEVELS1:
+                        dc_sym = mean1.get(8)
+                    else:
+                        dc_sym = mean0.get(4)
+                    coeffs = []
+                    cur_zig = 1
+                    while cur_zig < total_weights:
+                        run_len = run_bytes.get(8)
+                        if run_len == XD.DCT_RUN_LEN_EOB_SYM_INDEX:
+                            break
+                        cur_zig += run_len
+                        if cur_zig >= total_weights:
+                            raise ValueError("XUASTC DCT decode error")
+                        sign = sign_bits.get(1)
+                        coeff = coeff_bytes.get(8) + 1
+                        if sign:
+                            coeff = -coeff
+                        coeffs.append((run_len, coeff))
+                        cur_zig += 1
+                    XD.decode_block_weights_from_syms(
+                        c.dct_q, plane, blk, c.block_w, c.block_h,
+                        dc_sym, coeffs, spans[plane])
+            else:
+                wtab = XT.weight_tab(blk.weight_ise_range)
+                n_levels = int(wtab.ise_to_val.shape[0])
+                for plane in range(total_planes):
+                    prev_w = n_levels // 2
+                    if n_levels < 4:
+                        rd, nb, mask = w2, 2, None
+                    elif n_levels == 4:
+                        rd, nb, mask = w2, 2, 3
+                    elif n_levels < 8:
+                        rd, nb, mask = w3, 4, None
+                    elif n_levels == 8:
+                        rd, nb, mask = w3, 4, 7
+                    elif n_levels < 16:
+                        rd, nb, mask = w4, 4, None
+                    elif n_levels == 16:
+                        rd, nb, mask = w4, 4, 15
+                    else:
+                        rd, nb, mask = w8, 8, None
+                    for wi in range(total_weights):
+                        r = rd.get(nb)
+                        if mask is None:
+                            w = (prev_w + r) % n_levels
+                        else:
+                            w = (prev_w + r) & mask
+                        prev_w = w
+                        blk.weights[plane + wi * total_planes] = int(
+                            wtab.rank_to_ise[w])
+
+            emit(bx, by, blk)
+            tm_ring[by & 1][bx] = tm_index
+
+    if raw.get(8) != 0xAF:          # FINAL_SYNC_MARKER
+        raise ValueError("XUASTC final sync check failed")
+    return c, out
+
+
+def _decode_values(raw, total_values: int, ise_range: int):
+    """BISE value decode from the raw-bits stream (decode_values,
+    transcoder/basisu_transcoder.cpp:23287)."""
+    from ..uastc.tables import BISE_RANGE_TABLE
+
+    bits, trits, quints = BISE_RANGE_TABLE[ise_range]
+    total_tqs = 0
+    bundle = mul = 0
+    if trits:
+        total_tqs = (total_values + 4) // 5
+        bundle, mul = 5, 3
+    elif quints:
+        total_tqs = (total_values + 2) // 3
+        bundle, mul = 3, 5
+    tq = []
+    for i in range(total_tqs):
+        nb = 8 if trits else 7
+        if i == total_tqs - 1:
+            rem = total_values - (total_tqs - 1) * bundle
+            if trits:
+                nb = {1: 2, 2: 4, 3: 5, 4: 7}.get(rem, nb)
+            else:
+                nb = {1: 3, 2: 5}.get(rem, nb)
+        tq.append(raw.get(nb))
+    out = []
+    accum = 0
+    accum_rem = 0
+    next_tq = 0
+    for _ in range(total_values):
+        value = raw.get(bits)
+        if total_tqs:
+            if not accum_rem:
+                accum = tq[next_tq]
+                next_tq += 1
+                accum_rem = bundle
+            value |= (accum % mul) << bits
+            accum //= mul
+            accum_rem -= 1
+        out.append(value)
+    return out
+
+
+def decode_rgba(data: bytes):
+    """Full-zstd XUASTC LDR → (H, W, 4) uint8 RGBA."""
+    import numpy as np
+
+    from . import helpers as ah
+
+    c, blocks = decode_log_blocks(data)
+    nbx = (c.width + c.block_w - 1) // c.block_w
+    nby = (c.height + c.block_h - 1) // c.block_h
+    out = np.zeros((nby * c.block_h, nbx * c.block_w, 4), dtype=np.uint8)
+    for i, blk in enumerate(blocks):
+        by, bx = divmod(i, nbx)
+        px = ah.decode_block(blk, c.block_w, c.block_h,
+                             srgb=c.srgb_decode)
+        out[by * c.block_h:(by + 1) * c.block_h,
+            bx * c.block_w:(bx + 1) * c.block_w] = np.asarray(
+                px, dtype=np.uint8).reshape(c.block_h, c.block_w, 4)
+    return c, out[:c.height, :c.width]
+
+
+def decode_astc_physical(data: bytes):
+    """Full-zstd XUASTC LDR → (N, 16) uint8 physical ASTC blocks."""
+    from .hdr6x6_decode import pack_log_blocks
+
+    c, blocks = decode_log_blocks(data)
+    return c, pack_log_blocks(blocks)

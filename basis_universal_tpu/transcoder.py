@@ -372,6 +372,46 @@ class Hdr6x6IntermediateEngine:
             f"UASTC HDR 6x6i transcode target {fmt!r} not implemented yet")
 
 
+class XuastcLdrTranscodeEngine:
+    """XUASTC LDR (supercompressed ASTC): decodes the latent stream once per
+    level (codecs/astc/xuastc_ldr.decode_log_blocks, parity
+    basisu_transcoder.cpp:27633), then serves every target through the
+    standard ASTC engine on the reconstructed physical blocks."""
+
+    def __init__(self, srgb: bool):
+        self.srgb = srgb
+        self.bw = self.bh = 4
+        self._cache = {}
+
+    def physical_blocks(self, data: bytes):
+        key = id(data) if not isinstance(data, bytes) else hash(data)
+        if key not in self._cache:
+            from .codecs.astc import xuastc_ldr
+
+            c, blocks = xuastc_ldr.decode_astc_physical(data)
+            self.bw, self.bh = c.block_w, c.block_h
+            self._cache[key] = (c, blocks)
+        return self._cache[key]
+
+    def convert(self, fmt: TF, data: bytes, nbx: int, nby: int,
+                orig_width: int, orig_height: int) -> np.ndarray:
+        c, blocks = self.physical_blocks(data)
+        eng = AstcLdrTranscodeEngine(c.block_w, c.block_h,
+                                     srgb=c.srgb_decode)
+        return eng.convert(fmt, blocks, nbx, nby, orig_width, orig_height)
+
+
+XUASTC_LDR_FORMATS = {
+    BasisTexFormat.XUASTC_LDR_4x4, BasisTexFormat.XUASTC_LDR_5x4,
+    BasisTexFormat.XUASTC_LDR_5x5, BasisTexFormat.XUASTC_LDR_6x5,
+    BasisTexFormat.XUASTC_LDR_6x6, BasisTexFormat.XUASTC_LDR_8x5,
+    BasisTexFormat.XUASTC_LDR_8x6, BasisTexFormat.XUASTC_LDR_10x5,
+    BasisTexFormat.XUASTC_LDR_10x6, BasisTexFormat.XUASTC_LDR_8x8,
+    BasisTexFormat.XUASTC_LDR_10x8, BasisTexFormat.XUASTC_LDR_10x10,
+    BasisTexFormat.XUASTC_LDR_12x10, BasisTexFormat.XUASTC_LDR_12x12,
+}
+
+
 ASTC_LDR_BLOCK_SIZES = {
     BasisTexFormat.ASTC_LDR_4x4: (4, 4), BasisTexFormat.ASTC_LDR_5x4: (5, 4),
     BasisTexFormat.ASTC_LDR_5x5: (5, 5), BasisTexFormat.ASTC_LDR_6x5: (6, 5),
@@ -606,6 +646,9 @@ class Ktx2Transcoder:
                 bw, bh = ASTC_LDR_BLOCK_SIZES[fmt]
                 self._engine = AstcLdrTranscodeEngine(
                     bw, bh, srgb=bool(self.file.is_srgb))
+            elif fmt in XUASTC_LDR_FORMATS:
+                self._engine = XuastcLdrTranscodeEngine(
+                    srgb=bool(self.file.is_srgb))
             else:
                 raise NotImplementedError(
                     f"KTX2 decode for {fmt!r} not implemented yet")
@@ -625,6 +668,15 @@ class Ktx2Transcoder:
         if isinstance(self._engine, Hdr6x6IntermediateEngine):
             return self._engine.convert(
                 fmt, self.file.level_data(level), nbx, nby, w, h)
+        if isinstance(self._engine, XuastcLdrTranscodeEngine):
+            if layer or face:
+                raise NotImplementedError(
+                    "XUASTC KTX2 layers/faces not implemented yet")
+            data = self.file.level_data(level)
+            c, _ = self._engine.physical_blocks(data)
+            nbx = -(-w // c.block_w)
+            nby = -(-h // c.block_h)
+            return self._engine.convert(fmt, data, nbx, nby, w, h)
         if isinstance(self._engine, (UastcTranscodeEngine,
                                      AstcHdrTranscodeEngine,
                                      AstcLdrTranscodeEngine)):

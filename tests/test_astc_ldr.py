@@ -167,5 +167,6 @@ def test_xuastc_container_parse(golden_dir, oracle, test_files):
     assert (c.width, c.height) == (144, 96)
     assert c.syntax == xuastc_ldr.SYNTAX_FULL_ZSTD
     assert c.streams["mode_bytes"]
-    with pytest.raises(NotImplementedError):
-        xuastc_ldr.decode(f.slice_data(0))
+    # full decode (round 2): pixel dimensions survive the round trip
+    _, rgba = xuastc_ldr.decode_rgba(f.slice_data(0))
+    assert rgba.shape == (96, 144, 4)

@@ -1,0 +1,111 @@
+"""XUASTC LDR decode conformance vs the reference oracle.
+
+Drives the full-zstd syntax across block sizes, DCT quality, alpha and the
+shipped golden file; every decode must be pixel-exact against the oracle's
+own unpack (the XUASTC spec demands deterministic decode)."""
+
+import pathlib
+import struct
+import subprocess
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from basis_universal_tpu.codecs.astc import xuastc_ldr
+from basis_universal_tpu.formats import ktx2 as K
+
+TEST_FILES = pathlib.Path("/root/reference/test_files")
+
+
+def _oracle_xuastc(golden_dir, oracle, src: str, mode: str, name: str,
+                   extra=()):
+    out = golden_dir / f"{name}.ktx2"
+    if not out.exists():
+        subprocess.run(
+            [str(oracle), mode, "-xuastc_zstd", *extra, str(TEST_FILES / src),
+             "-ktx2", "-output_file", str(out)],
+            check=True, capture_output=True, timeout=1200)
+        subprocess.run([str(oracle), "-unpack", str(out)],
+                       cwd=golden_dir, check=True, capture_output=True,
+                       timeout=1200)
+    return out
+
+
+def _ref_unpack_rgba(golden_dir, name: str):
+    cands = sorted(golden_dir.glob(f"{name}_unpacked_rgba_ASTC*.png")) or \
+        sorted(golden_dir.glob(f"{name}_unpacked_rgb_ASTC*.png"))
+    return np.asarray(Image.open(cands[0]).convert("RGBA"))
+
+
+def _ref_astc_payload(golden_dir, name: str):
+    ktx = sorted(golden_dir.glob(f"{name}_transcoded_ASTC*.ktx"))[0]
+    raw = ktx.read_bytes()
+    kv = struct.unpack_from("<I", raw, 60)[0]
+    imgsize = struct.unpack_from("<I", raw, 64 + kv)[0]
+    return np.frombuffer(raw, np.uint8, imgsize, 64 + kv + 4).reshape(-1, 16)
+
+
+CASES = [
+    ("kodim23.png", "-ldr_4x4i", (), "xu_k23_4x4"),
+    ("kodim23.png", "-ldr_6x6i", (), "xu_k23_6x6"),
+    ("kodim23.png", "-ldr_4x4i", ("-quality", "60"), "xu_k23_4x4_q60"),
+    ("kodim23.png", "-ldr_6x6i", ("-quality", "40"), "xu_k23_6x6_q40"),
+    ("alpha0.png", "-ldr_8x8i", (), "xu_a0_8x8"),
+    ("kodim23.png", "-ldr_12x12i", (), "xu_k23_12x12"),
+]
+
+
+@pytest.mark.parametrize("src,mode,extra,name", CASES)
+def test_decode_pixel_exact(golden_dir, oracle, src, mode, extra, name):
+    _oracle_xuastc(golden_dir, oracle, src, mode, name, extra)
+    data = K.Ktx2File((golden_dir / f"{name}.ktx2").read_bytes()).level_data(0)
+    c, rgba = xuastc_ldr.decode_rgba(data)
+    ref = _ref_unpack_rgba(golden_dir, name)
+    if not c.has_alpha:
+        ref = ref.copy()
+        ref[..., 3] = 255
+    np.testing.assert_array_equal(rgba, ref)
+
+
+def test_shipped_golden_zstd(golden_dir, oracle):
+    src = TEST_FILES / "base_xuastc_zstd.ktx2"
+    dst = golden_dir / "base_xuastc_zstd.ktx2"
+    if not dst.exists():
+        dst.write_bytes(src.read_bytes())
+        subprocess.run([str(oracle), "-unpack", str(dst)], cwd=golden_dir,
+                       check=True, capture_output=True, timeout=1200)
+    data = K.Ktx2File(dst.read_bytes()).level_data(0)
+    c, rgba = xuastc_ldr.decode_rgba(data)
+    assert (c.block_w, c.block_h) == (5, 4)
+    assert c.use_dct
+    ref = _ref_unpack_rgba(golden_dir, "base_xuastc_zstd").copy()
+    ref[..., 3] = 255
+    np.testing.assert_array_equal(rgba, ref)
+
+
+def test_physical_astc_alpha_byte_exact(golden_dir, oracle):
+    """Alpha file's reconstructed physical ASTC matches the oracle's
+    transcoded payload byte-for-byte."""
+    _oracle_xuastc(golden_dir, oracle, "alpha0.png", "-ldr_8x8i", "xu_a0_8x8")
+    data = K.Ktx2File(
+        (golden_dir / "xu_a0_8x8.ktx2").read_bytes()).level_data(0)
+    _, ours = xuastc_ldr.decode_astc_physical(data)
+    ref = _ref_astc_payload(golden_dir, "xu_a0_8x8")
+    assert (ours == ref).all()
+
+
+def test_ktx2_transcoder_xuastc_path(golden_dir, oracle):
+    from basis_universal_tpu.formats.constants import (
+        TranscoderTextureFormat as TF)
+    from basis_universal_tpu.transcoder import Ktx2Transcoder
+
+    _oracle_xuastc(golden_dir, oracle, "kodim23.png", "-ldr_6x6i",
+                   "xu_k23_6x6")
+    t = Ktx2Transcoder((golden_dir / "xu_k23_6x6.ktx2").read_bytes())
+    fmt = t.get_basis_tex_format()
+    assert fmt is not None and fmt.name == "XUASTC_LDR_6x6"
+    rgba = t.transcode_image_level(0, 0, 0, TF.RGBA32)
+    ref = _ref_unpack_rgba(golden_dir, "xu_k23_6x6").copy()
+    ref[..., 3] = 255
+    np.testing.assert_array_equal(rgba, ref)
