@@ -37,7 +37,9 @@ def cmd_compress(args):
         img = _load_image(src)
         if args.output_path:
             pathlib.Path(args.output_path).mkdir(parents=True, exist_ok=True)
-        if args.ldr_size:
+        if args.xuastc_size:
+            fmt = getattr(BasisTexFormat, f"XUASTC_LDR_{args.xuastc_size}")
+        elif args.ldr_size:
             fmt = getattr(BasisTexFormat, f"ASTC_LDR_{args.ldr_size}")
         elif args.uastc:
             fmt = BasisTexFormat.UASTC_LDR_4x4
@@ -178,7 +180,10 @@ def main(argv=None):
         ap.add_argument(f"-ldr_{s}", f"-astc_ldr_{s}", dest="ldr_size",
                         action="store_const", const=s,
                         help=argparse.SUPPRESS)
-    ap.set_defaults(ldr_size=None)
+        ap.add_argument(f"-ldr_{s}i", f"-xuastc_ldr_{s}", dest="xuastc_size",
+                        action="store_const", const=s,
+                        help=argparse.SUPPRESS)
+    ap.set_defaults(ldr_size=None, xuastc_size=None)
     ap.add_argument("-q", type=int, default=128, help="ETC1S quality 1-255")
     ap.add_argument("-effort", "-comp_level", type=int, default=1, dest="effort")
     ap.add_argument("-mipmap", action="store_true")

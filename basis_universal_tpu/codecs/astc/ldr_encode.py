@@ -69,9 +69,20 @@ def _quant_tables(rng: int):
     return inv.astype(np.int64), unq
 
 
-def encode_blocks_ldr(px: np.ndarray, bw: int, bh: int,
-                      has_alpha: bool, effort: int = 1) -> np.ndarray:
-    """(B, bh*bw, 4) uint8 RGBA → (B, 16) ASTC LDR blocks."""
+def encode_blocks_plan(px: np.ndarray, bw: int, bh: int,
+                       has_alpha: bool, effort: int = 1) -> dict:
+    """Candidate search only: returns the per-block encode decisions
+    without packing, shared by the physical-ASTC writer and the XUASTC
+    entropy layer. Keys: config (B,) index into configs;
+    configs [(gw, gh, weight_rng, weight_bits, ep_rng)]; endpoints (list
+    of per-block CEM-ordered ISE values, s0<=s1 ordering applied);
+    codes (list of per-block weight ISE symbols, inverted on swap)."""
+    plan = _encode_blocks_core(px, bw, bh, has_alpha, effort)
+    return plan
+
+
+def _encode_blocks_core(px: np.ndarray, bw: int, bh: int,
+                        has_alpha: bool, effort: int = 1) -> dict:
     b = px.shape[0]
     nt = bw * bh
     pxf = px.astype(np.float64)
@@ -121,34 +132,53 @@ def encode_blocks_ldr(px: np.ndarray, bw: int, bh: int,
         cand.append((err, codes, lo_c, hi_c, ep_rng))
     best = np.argmin(np.stack([cc[0] for cc in cand], 1), axis=1)
 
-    out = np.zeros((b, 16), dtype=np.uint8)
+    endpoints = [None] * b
+    out_codes = [None] * b
+    cfg_list = []
     for ci, (gw, gh, rng, wb) in enumerate(configs):
+        err, codes, lo_c, hi_c, ep_rng = cand[ci]
+        cfg_list.append((gw, gh, rng, wb, ep_rng))
         idx = np.flatnonzero(best == ci)
         if not idx.size:
             continue
-        err, codes, lo_c, hi_c, ep_rng = cand[ci]
         _, unq = _quant_tables(ep_rng)
+        wmax = (1 << wb) - 1
         for i in idx:
-            out[i] = _pack_ldr_block(
-                cem, gw, gh, rng, wb, ep_rng,
-                lo_c[i], hi_c[i], unq, codes[i])
+            lc, hc, cd = lo_c[i], hi_c[i], codes[i]
+            s0 = int(unq[lc[0]] + unq[lc[1]] + unq[lc[2]])
+            s1 = int(unq[hc[0]] + unq[hc[1]] + unq[hc[2]])
+            if s0 > s1:
+                lc, hc = hc, lc
+                cd = wmax - cd
+            vals = []
+            for comp in range(3):
+                vals += [int(lc[comp]), int(hc[comp])]
+            if cem == 12:
+                vals += [int(lc[3]), int(hc[3])]
+            endpoints[i] = vals
+            out_codes[i] = cd
+    return dict(config=best, configs=cfg_list, endpoints=endpoints,
+                codes=out_codes, cem=cem)
+
+
+def encode_blocks_ldr(px: np.ndarray, bw: int, bh: int,
+                      has_alpha: bool, effort: int = 1) -> np.ndarray:
+    """(B, bh*bw, 4) uint8 RGBA → (B, 16) ASTC LDR blocks."""
+    plan = _encode_blocks_core(px, bw, bh, has_alpha, effort)
+    b = px.shape[0]
+    out = np.zeros((b, 16), dtype=np.uint8)
+    for i in range(b):
+        gw, gh, rng, wb, ep_rng = plan["configs"][plan["config"][i]]
+        out[i] = _pack_ldr_block(
+            plan["cem"], gw, gh, rng, wb, ep_rng,
+            plan["endpoints"][i], plan["codes"][i])
     return out
 
 
-def _pack_ldr_block(cem, gw, gh, rng, wb, ep_rng, lo_c, hi_c, unq, codes):
-    """One CEM 8/12 single-partition block (handles the s0<=s1 ordering so
-    the decoder's blue-contract path stays off)."""
-    s0 = int(unq[lo_c[0]] + unq[lo_c[1]] + unq[lo_c[2]])
-    s1 = int(unq[hi_c[0]] + unq[hi_c[1]] + unq[hi_c[2]])
+def _pack_ldr_block(cem, gw, gh, rng, wb, ep_rng, vals, codes):
+    """One CEM 8/12 single-partition block (endpoint ordering already
+    applied by the plan so the decoder's blue-contract path stays off)."""
     wmax = (1 << wb) - 1
-    if s0 > s1:
-        lo_c, hi_c = hi_c, lo_c
-        codes = wmax - codes
-    vals = []
-    for comp in range(3):
-        vals += [int(lo_c[comp]), int(hi_c[comp])]
-    if cem == 12:
-        vals += [int(lo_c[3]), int(hi_c[3])]
 
     w = astc_pack._BlockWriter()
     w.put(_find_block_mode(gw, gh, rng), 11)

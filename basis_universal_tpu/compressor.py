@@ -199,10 +199,13 @@ def compress(images, params: CompressorParams = CompressorParams()) -> Compresso
         return _compress_uastc(images, params)
     if params.tex_format == BasisTexFormat.UASTC_HDR_4x4:
         return _compress_uastc_hdr(images, params)
-    from .transcoder import ASTC_LDR_BLOCK_SIZES
+    from .transcoder import ASTC_LDR_BLOCK_SIZES, XUASTC_LDR_FORMATS
     if params.tex_format in ASTC_LDR_BLOCK_SIZES:
         return _compress_astc_ldr(images, params,
                                   *ASTC_LDR_BLOCK_SIZES[params.tex_format])
+    if params.tex_format in XUASTC_LDR_FORMATS:
+        bw, bh = map(int, params.tex_format.name.split("_")[-1].split("x"))
+        return _compress_xuastc_ldr(images, params, bw, bh)
     if params.tex_format == BasisTexFormat.ASTC_HDR_6x6:
         return _compress_astc_hdr_6x6(images, params)
     if params.tex_format == BasisTexFormat.UASTC_HDR_6x6_INTERMEDIATE:
@@ -457,6 +460,50 @@ def _compress_astc_ldr(images, params: CompressorParams,
         face_count=face_count,
         slice_blocks=[s["data"] for s in slices],
         slice_info=info,
+        block_w=bw, block_h=bh, srgb=params.perceptual)
+    return CompressorOutput(
+        basis_data=data, ktx2_data=ktx2_data,
+        num_endpoints=0, num_selectors=0,
+        slice_endpoints=[], slice_selectors=[])
+
+
+def _compress_xuastc_ldr(images, params: CompressorParams,
+                         bw: int, bh: int) -> CompressorOutput:
+    """XUASTC LDR (supercompressed ASTC): the direct ASTC candidate search
+    plus the XUASTC entropy layer (codecs/astc/xuastc_encode.py, parity:
+    the reference's astc_ldr_t encoder, encoder/basisu_astc_ldr_encode.cpp).
+    v1: single image/level, full-zstd syntax, no DCT."""
+    from .codecs.astc import xuastc_encode
+
+    assert len(images) == 1, "XUASTC LDR: one image per file (v1)"
+    img = np.asarray(images[0])
+    if img.ndim == 2:
+        img = img[..., None].repeat(3, axis=-1)
+    if img.shape[-1] == 3:
+        img = np.concatenate(
+            [img, np.full(img.shape[:2] + (1,), 255, np.uint8)], axis=-1)
+    has_alpha = bool((img[..., 3] != 255).any())
+    stream = xuastc_encode.encode_image(
+        img, bw, bh, has_alpha=has_alpha, srgb=params.perceptual,
+        effort=params.effort)
+    h, w = img.shape[:2]
+    desc = basis_file.SliceDesc(
+        image_index=0, level_index=0,
+        flags=int(SliceDescFlags.HAS_ALPHA) if has_alpha else 0,
+        orig_width=w, orig_height=h,
+        num_blocks_x=-(-w // bw), num_blocks_y=-(-h // bh),
+        slice_data_crc16=crc16(stream))
+    flags = 0
+    if params.perceptual:
+        flags |= HeaderFlags.SRGB
+    if has_alpha:
+        flags |= HeaderFlags.HAS_ALPHA_SLICES
+    data = basis_file.write_basis_file(
+        params.tex_format, [desc], [stream],
+        tex_type=params.tex_type, flags=int(flags),
+        userdata0=params.userdata0, userdata1=params.userdata1)
+    ktx2_data = ktx2.write_ktx2_xuastc(
+        base_width=w, base_height=h, stream=stream,
         block_w=bw, block_h=bh, srgb=params.perceptual)
     return CompressorOutput(
         basis_data=data, ktx2_data=ktx2_data,

@@ -187,6 +187,34 @@ def write_ktx2_uastc_hdr_6x6i(
         scheme_override=4, sgd=sgd)
 
 
+def xuastc_ldr_dfd(srgb: bool, block_w: int, block_h: int) -> bytes:
+    """XUASTC LDR DFD (model 169, one 128-bit sample, channelType 0) —
+    byte-exact vs the reference's -ldr_*i KTX2 output."""
+    channels = [(0, 127, 0x00, 0, 0xFFFFFFFF)]
+    return make_dfd(KDF_MODEL_XUASTC_LDR, block_w=block_w, block_h=block_h,
+                    bytes_per_block=16, srgb=srgb, channels=channels)
+
+
+def write_ktx2_xuastc(
+    *, base_width: int, base_height: int, stream: bytes,
+    block_w: int, block_h: int, srgb: bool = True,
+    key_values: Optional[Dict[str, bytes]] = None,
+) -> bytes:
+    """XUASTC LDR KTX2: vk_format 0, supercompression scheme 5, SGD =
+    one (offset, length, first-u16-signature) slice desc."""
+    sig = struct.unpack_from("<H", stream, 0)[0]
+    sgd = struct.pack("<3I", 0, len(stream), sig)
+    return _write_ktx2_blocks(
+        base_width=base_width, base_height=base_height,
+        level_count=1, layer_count=1, face_count=1,
+        slice_blocks=[stream],
+        slice_info=[dict(level=0, layer=0, face=0)],
+        dfd=xuastc_ldr_dfd(srgb, block_w, block_h), vk_format=0,
+        zstd_level=0, supercompression=False,
+        key_values=key_values, block_w=block_w, block_h=block_h,
+        scheme_override=5, sgd=sgd)
+
+
 def write_ktx2_uastc_hdr(
     *, base_width: int, base_height: int, level_count: int,
     layer_count: int, face_count: int,

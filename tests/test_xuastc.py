@@ -95,6 +95,47 @@ def test_physical_astc_alpha_byte_exact(golden_dir, oracle):
     assert (ours == ref).all()
 
 
+def test_encode_oracle_conformance(golden_dir, oracle):
+    """Our XUASTC encoder's KTX2 is accepted by the reference transcoder and
+    decodes to exactly the pixels our own decoder produces."""
+    from basis_universal_tpu import compressor
+    from basis_universal_tpu.formats.constants import BasisTexFormat
+
+    img = np.asarray(
+        Image.open(TEST_FILES / "kodim23.png").convert("RGBA"))[:128, :160]
+    params = compressor.CompressorParams(
+        tex_format=BasisTexFormat.XUASTC_LDR_4x4)
+    out = compressor.compress(img, params)
+    p = golden_dir / "ours_xu_k23crop.ktx2"
+    p.write_bytes(out.ktx2_data)
+    subprocess.run([str(oracle), "-unpack", str(p)], cwd=golden_dir,
+                   check=True, capture_output=True, timeout=1200)
+    ref = _ref_unpack_rgba(golden_dir, "ours_xu_k23crop").copy()
+    ref[..., 3] = 255
+    data = K.Ktx2File(out.ktx2_data).level_data(0)
+    c, ours = xuastc_ldr.decode_rgba(data)
+    np.testing.assert_array_equal(ours, ref)
+    # README envelope: lossless supercompression beats raw 8 bpp ASTC
+    assert len(out.ktx2_data) * 8 / (128 * 160) < 8.0
+
+
+def test_encode_solid_and_runs_roundtrip():
+    """Synthetic image exercising SOLID blocks and RUN coding."""
+    from basis_universal_tpu.codecs.astc import xuastc_encode
+
+    img = np.zeros((64, 64, 4), dtype=np.uint8)
+    img[..., :3] = 40
+    img[..., 3] = 255
+    img[20:40, 8:56, 0] = 200            # a band of non-solid content
+    img[20:40, 8:56, 1] = np.arange(48, dtype=np.uint8)[None, :] * 3
+    stream = xuastc_encode.encode_image(img, 4, 4, has_alpha=False,
+                                        srgb=False)
+    c, rgba = xuastc_ldr.decode_rgba(stream)
+    assert c.width == 64 and not c.has_alpha
+    # solid regions must round-trip exactly
+    np.testing.assert_array_equal(rgba[:16, :, :3], img[:16, :, :3])
+
+
 def test_ktx2_transcoder_xuastc_path(golden_dir, oracle):
     from basis_universal_tpu.formats.constants import (
         TranscoderTextureFormat as TF)
