@@ -551,13 +551,556 @@ def _decode_values(raw, total_values: int, ise_range: int):
     return out
 
 
+def decode_log_blocks_arith(data: bytes):
+    """FullArith / HybridArithZstd XUASTC LDR decode → (container-like,
+    LogBlock list). Parity: xuastc_ldr_decompress_image
+    (transcoder/basisu_transcoder.cpp:28536-29750): adaptive
+    bit/data-model coding of modes, configs (grouped trial-mode buckets),
+    endpoints and (FullArith) weights."""
+    import struct
+
+    import zstandard
+
+    from ...entropy import arith
+    from . import helpers as ah
+    from . import xuastc_cems as XC
+    from . import xuastc_dct as XD
+    from . import xuastc_tables as XT
+    from .hdr6x6_tables import REUSE_XY_DELTAS
+
+    syntax = data[0] & 3
+    fast = syntax == SYNTAX_HYBRID_ARITH_ZSTD
+    if fast:
+        lens = struct.unpack_from("<11I", data, 1)
+        pos = 1 + 11 * 4
+        arith_bytes = data[pos:pos + lens[0]]
+        pos += lens[0]
+        dctx = zstandard.ZstdDecompressor()
+        side = []
+        for i, ln in enumerate(lens[1:10]):
+            raw_stream = data[pos:pos + ln]
+            pos += ln
+            if i == 4:                          # sign_bits stored raw
+                side.append(raw_stream)
+            else:
+                side.append(dctx.decompress(raw_stream,
+                                            max_output_size=1 << 28)
+                            if ln else b"")
+        (mean0_b, mean1_b, run_b, coeff_b, sign_b,
+         w2_b, w3_b, w4_b, w8_b) = side
+        mean0 = _SimpleBits(mean0_b)
+        mean1 = _SimpleBits(mean1_b)
+        run_bytes = _SimpleBits(run_b)
+        coeff_bytes = _SimpleBits(coeff_b)
+        sign_bits = _SimpleBits(sign_b)
+        w2 = _SimpleBits(w2_b)
+        w3 = _SimpleBits(w3_b)
+        w4 = _SimpleBits(w4_b)
+        w8 = _SimpleBits(w8_b)
+    else:
+        arith_bytes = data[1:]
+
+    dec = arith.ArithDecoder(arith_bytes)
+    if dec.get_bits(5) != 0x01:                 # ARITH_HEADER_MARKER
+        raise ValueError("bad XUASTC arith marker")
+    bsi = dec.get_bits(4)
+    bw, bh = XT.ASTC_BLOCK_SIZES[bsi]
+    srgb = bool(dec.get_bit())
+    width = dec.get_bits(16)
+    height = dec.get_bits(16)
+    has_alpha = bool(dec.get_bit())
+    use_dct = bool(dec.get_bits(1))
+    int_q = dec.get_bits(8) if use_dct else 0
+    dct_q = int_q / 2.0
+    if use_dct and not (0.0 < dct_q <= 100.0):
+        raise ValueError("invalid XUASTC DCT quality")
+
+    trial_modes = XT.encoder_trial_modes(bsi)
+    groups = _grouped_trial_modes(bsi)
+    nbx = (width + bw - 1) // bw
+    nby = (height + bh - 1) // bh
+
+    # models
+    mode_model = arith.DataModel(6)
+    solid_dpcm = [arith.DataModel(256, faster_update=True) for _ in range(4)]
+    raw_ep_models = [arith.DataModel(ah.ise_levels(r))
+                     for r in range(4, 21)]
+    dpcm_ep_models = [arith.DataModel(ah.ise_levels(r))
+                      for r in range(4, 21)]
+    is_base_ofs_model = arith.BitModel()
+    use_dct_models = [arith.BitModel() for _ in range(4)]
+    use_dpcm_model = arith.BitModel()
+    cem_index_models = [arith.DataModel(14) for _ in range(8)]
+    subset_models = [arith.DataModel(3) for _ in range(3)]
+    ccs_models = [arith.DataModel(5) for _ in range(5)]
+    grid_size_models = [arith.DataModel(2) for _ in range(2)]
+    grid_aniso_models = [arith.DataModel(3) for _ in range(3)]
+    submode_models = {}
+    bc_models = [arith.BitModel() for _ in range(4)]
+    ep_reuse_model = arith.DataModel(len(REUSE_XY_DELTAS))
+    cfg_reuse_models = [arith.DataModel(4) for _ in range(4)]
+    run_ctxs = arith.GammaContexts()
+    use_part_hash_models = [arith.BitModel() for _ in range(4)]
+    part2_hash_model = arith.DataModel(XT.PART_HASH_SIZE, faster_update=True)
+    part3_hash_model = arith.DataModel(XT.PART_HASH_SIZE, faster_update=True)
+    if not fast:
+        dct_run_model = arith.DataModel(65)
+        dct_coeff_model = arith.DataModel(255)
+        mean_models = [arith.DataModel(XD.DCT_MEAN_LEVELS0),
+                       arith.DataModel(XD.DCT_MEAN_LEVELS1)]
+        raw_weight_models = [arith.DataModel(ah.ise_levels(r))
+                             for r in range(0, 12)]
+
+    part2_hash = [-1] * XT.PART_HASH_SIZE
+    part3_hash = [-1] * XT.PART_HASH_SIZE
+
+    _CEM_TO_LDRCEM = {0: 0, 4: 1, 6: 2, 8: 3, 9: 4, 10: 5, 12: 6, 13: 7}
+
+    class _State:
+        __slots__ = ("was_solid", "used_dct", "uses_bc", "reused_cfg",
+                     "used_part_hash", "tm_index", "base_cem", "subset",
+                     "ccs", "grid_size", "grid_aniso")
+
+        def __init__(self):
+            self.was_solid = False
+            self.used_dct = False
+            self.uses_bc = False
+            self.reused_cfg = False
+            self.used_part_hash = False
+            self.tm_index = 0
+            self.base_cem = 0
+            self.subset = 0
+            self.ccs = 0
+            self.grid_size = 0
+            self.grid_aniso = 0
+
+    log_ring = [[None] * nbx for _ in range(8)]
+    st_ring = [[None] * nbx for _ in range(2)]
+    out = []
+    cur_run_len = 0
+
+    def emit(bx, by, blk):
+        out.append(blk)
+        log_ring[by & 7][bx] = blk
+
+    for by in range(nby):
+        for bx in range(nbx):
+            left = st_ring[by & 1][bx - 1] if bx else None
+            up = st_ring[(by - 1) & 1][bx] if by else None
+            diag = st_ring[(by - 1) & 1][bx - 1] if (bx and by) else None
+            pred = left if left is not None else up
+            ns = _State()
+            st_ring[by & 1][bx] = ns
+
+            if cur_run_len:
+                prev_blk = log_ring[by & 7][bx - 1] if bx \
+                    else log_ring[(by - 1) & 7][bx]
+                prev_st = left if left is not None else up
+                emit(bx, by, prev_blk)
+                _copy_state(ns, prev_st, reused=True)
+                cur_run_len -= 1
+                continue
+
+            mode_index = dec.decode_sym(mode_model)
+
+            if mode_index == 0:                           # SOLID
+                prev_blk = (log_ring[by & 7][bx - 1] if bx else
+                            (log_ring[(by - 1) & 7][bx] if by else None))
+                prev_c = [0, 0, 0, 0]
+                if prev_blk is not None:
+                    if prev_blk.solid_ldr:
+                        prev_c = [v >> 8 for v in prev_blk.solid_color]
+                    else:
+                        pl, ph = XC.decode_endpoints(
+                            prev_blk.cems[0], prev_blk.endpoints,
+                            prev_blk.endpoint_ise_range)
+                        prev_c = [(pl[i] + ph[i] + 1) >> 1 for i in range(4)]
+                r = (prev_c[0] + dec.decode_sym(solid_dpcm[0])) & 0xFF
+                g = (prev_c[1] + dec.decode_sym(solid_dpcm[1])) & 0xFF
+                b = (prev_c[2] + dec.decode_sym(solid_dpcm[2])) & 0xFF
+                a = 255
+                if has_alpha:
+                    a = (prev_c[3] + dec.decode_sym(solid_dpcm[3])) & 0xFF
+                blk = ah.LogBlock(
+                    solid_ldr=True,
+                    solid_color=(r | (r << 8), g | (g << 8),
+                                 b | (b << 8), a | (a << 8)))
+                emit(bx, by, blk)
+                ns.used_dct = bool(use_dct)
+                ns.uses_bc = True
+                ns.was_solid = True
+                ns.tm_index = -1
+                ns.base_cem = 8
+                ns.used_part_hash = True
+                continue
+
+            if mode_index == 5:                           # RUN
+                if not bx and not by:
+                    raise ValueError("XUASTC arith run at origin")
+                cur_run_len = dec.decode_gamma(run_ctxs)
+                if not cur_run_len or cur_run_len > nbx - bx:
+                    raise ValueError("XUASTC arith invalid run")
+                prev_blk = log_ring[by & 7][bx - 1] if bx \
+                    else log_ring[(by - 1) & 7][bx]
+                prev_st = left if left is not None else up
+                emit(bx, by, prev_blk)
+                _copy_state(ns, prev_st, reused=True)
+                cur_run_len -= 1
+                continue
+
+            blk = ah.LogBlock()
+            tm_index = 0
+            actual_cem = 0
+
+            if mode_index != 1:                           # REUSE CFG+EP
+                cfg_st, cfg_blk = _neighbor(mode_index - 2, bx, by,
+                                            left, up, diag, log_ring, nbx)
+                if cfg_st is None or cfg_st.tm_index < 0:
+                    raise ValueError("XUASTC arith invalid reuse")
+                tm_index = cfg_st.tm_index
+                actual_cem = cfg_blk.cems[0]
+                blk.cems = (actual_cem,) * cfg_blk.num_partitions
+                blk.dual_plane = cfg_blk.dual_plane
+                blk.ccs = cfg_blk.ccs
+                blk.num_partitions = cfg_blk.num_partitions
+                blk.partition_id = cfg_blk.partition_id
+                blk.endpoint_ise_range = cfg_blk.endpoint_ise_range
+                blk.weight_ise_range = cfg_blk.weight_ise_range
+                blk.grid_width = cfg_blk.grid_width
+                blk.grid_height = cfg_blk.grid_height
+                nvals = XT.cem_num_values(actual_cem)
+                blk.endpoints = list(
+                    cfg_blk.endpoints[:nvals * blk.num_partitions])
+                _copy_cfg_state(ns, cfg_st)
+                if actual_cem in XT.CEMS_SUPPORT_BC:
+                    ns.uses_bc = XC.used_blue_contraction(
+                        actual_cem, blk.endpoints, blk.endpoint_ise_range)
+            else:                                         # RAW
+                ridx = (1 if left is None else int(left.reused_cfg)) \
+                    | ((1 if up is None else int(up.reused_cfg)) << 1)
+                cfg_reuse = dec.decode_sym(cfg_reuse_models[ridx])
+                if cfg_reuse < 3:
+                    cfg_st, cfg_blk = _neighbor(cfg_reuse, bx, by,
+                                                left, up, diag, log_ring,
+                                                nbx)
+                    if cfg_st is None or cfg_st.tm_index < 0:
+                        raise ValueError("XUASTC arith invalid cfg reuse")
+                    tm_index = cfg_st.tm_index
+                    blk.partition_id = cfg_blk.partition_id
+                    actual_cem = cfg_blk.cems[0]
+                    _copy_cfg_state(ns, cfg_st)
+                else:
+                    prev_cem, prev_sub, prev_ccs = 8, 0, 0
+                    prev_gs, prev_ga = 0, 0
+                    if pred is not None:
+                        prev_cem = pred.base_cem
+                        prev_sub = pred.subset
+                        prev_ccs = pred.ccs
+                        prev_gs = pred.grid_size
+                        prev_ga = pred.grid_aniso
+                    ldrcem = _CEM_TO_LDRCEM[prev_cem]
+                    cem_index = dec.decode_sym(cem_index_models[ldrcem])
+                    subset_index = dec.decode_sym(subset_models[prev_sub])
+                    ccs_index = dec.decode_sym(ccs_models[prev_ccs])
+                    gs_index = dec.decode_sym(grid_size_models[prev_gs])
+                    ga_index = dec.decode_sym(grid_aniso_models[prev_ga])
+                    modes = groups.get(
+                        (cem_index, subset_index, ccs_index, gs_index,
+                         ga_index), [])
+                    submode = 0
+                    if len(modes) > 1:
+                        key = (cem_index, subset_index, ccs_index,
+                               gs_index, ga_index)
+                        sm = submode_models.get(key)
+                        if sm is None:
+                            sm = arith.DataModel(len(modes),
+                                                 faster_update=True)
+                            submode_models[key] = sm
+                        submode = dec.decode_sym(sm)
+                    if submode >= len(modes):
+                        raise ValueError("XUASTC arith invalid submode")
+                    tm_index = modes[submode]
+                    ns.tm_index = tm_index
+                    ns.base_cem = cem_index
+                    ns.subset = subset_index
+                    ns.ccs = ccs_index
+                    ns.grid_size = gs_index
+                    ns.grid_aniso = ga_index
+                    ns.reused_cfg = False
+
+                    tm = trial_modes[tm_index]
+                    actual_cem = tm.cem
+                    if tm.cem in (8, 12):
+                        if dec.decode_bit(is_base_ofs_model):
+                            actual_cem = tm.cem + 1
+                    if tm.num_parts > 1:
+                        total_unique = XT.get_total_unique_patterns(
+                            bsi, tm.num_parts)
+                        pidx = (1 if left is None else
+                                int(left.used_part_hash)) \
+                            | ((1 if up is None else
+                                int(up.used_part_hash)) << 1)
+                        phash = part2_hash if tm.num_parts == 2 \
+                            else part3_hash
+                        if not dec.decode_bit(use_part_hash_models[pidx]):
+                            upi = dec.decode_truncated_binary(total_unique)
+                            phash[XT.part_hash_index(upi)] = upi
+                            ns.used_part_hash = False
+                        else:
+                            hidx = dec.decode_sym(
+                                part2_hash_model if tm.num_parts == 2
+                                else part3_hash_model)
+                            upi = phash[hidx]
+                            if upi < 0:
+                                raise ValueError(
+                                    "XUASTC arith invalid part hash")
+                            ns.used_part_hash = True
+                        if upi >= total_unique:
+                            raise ValueError("XUASTC arith bad pattern")
+                        blk.partition_id = \
+                            XT.unique_pat_index_to_part_seed(
+                                bsi, tm.num_parts, upi)
+                    else:
+                        ns.used_part_hash = True
+
+                tm = trial_modes[tm_index]
+                total_vals = XT.cem_num_values(actual_cem)
+                blk.cems = (actual_cem,) * tm.num_parts
+                blk.num_partitions = tm.num_parts
+                blk.dual_plane = tm.ccs_index >= 0
+                blk.ccs = tm.ccs_index if blk.dual_plane else 0
+                blk.weight_ise_range = tm.weight_ise_range
+                blk.endpoint_ise_range = tm.endpoint_ise_range
+                blk.grid_width = tm.grid_width
+                blk.grid_height = tm.grid_height
+
+                if not dec.decode_bit(use_dpcm_model):
+                    rm = raw_ep_models[blk.endpoint_ise_range - 4]
+                    blk.endpoints = [dec.decode_sym(rm)
+                                     for _ in range(tm.num_parts * total_vals)]
+                else:
+                    etab = XT.endpoint_tab(blk.endpoint_ise_range)
+                    n_levels = etab.ise_to_val.shape[0]
+                    ridx2 = dec.decode_sym(ep_reuse_model)
+                    dx, dy = REUSE_XY_DELTAS[ridx2]
+                    rbx, rby = bx + dx, by + dy
+                    if not (0 <= rbx < nbx and 0 <= rby < nby):
+                        raise ValueError("XUASTC arith bad reuse delta")
+                    pred_blk = log_ring[rby & 7][rbx]
+                    if pred_blk is None or pred_blk.solid_ldr:
+                        raise ValueError("XUASTC arith reuse of solid")
+                    bcidx = (1 if left is None else int(left.uses_bc)) \
+                        | ((1 if up is None else int(up.uses_bc)) << 1)
+                    use_bc = [False] * blk.num_partitions
+                    if actual_cem in XT.CEMS_SUPPORT_BC:
+                        for p in range(blk.num_partitions):
+                            use_bc[p] = bool(
+                                dec.decode_bit(bc_models[bcidx]))
+                    dm = dpcm_ep_models[blk.endpoint_ise_range - 4]
+                    blk.endpoints = [0] * (blk.num_partitions * total_vals)
+                    for p in range(blk.num_partitions):
+                        pv, _bc, _bo = XC.convert_endpoints_across_cems(
+                            pred_blk.cems[0], pred_blk.endpoint_ise_range,
+                            pred_blk.endpoints,
+                            actual_cem, blk.endpoint_ise_range,
+                            False, use_bc[p], False)
+                        for v in range(total_vals):
+                            delta = dec.decode_sym(dm)
+                            e_val = (delta
+                                     + int(etab.ise_to_rank[pv[v]])) \
+                                % n_levels
+                            blk.endpoints[p * total_vals + v] = int(
+                                etab.rank_to_ise[e_val])
+                if actual_cem in XT.CEMS_SUPPORT_BC:
+                    ns.uses_bc = XC.used_blue_contraction(
+                        actual_cem, blk.endpoints, blk.endpoint_ise_range)
+
+            # --- weights
+            tm = trial_modes[tm_index]
+            total_planes = 2 if tm.ccs_index >= 0 else 1
+            total_weights = tm.grid_width * tm.grid_height
+            blk.weights = [0] * (total_weights * total_planes)
+
+            didx = 0
+            if use_dct:
+                didx = (1 if left is None else int(left.used_dct)) \
+                    | ((1 if up is None else int(up.used_dct)) << 1)
+            block_used_dct = bool(use_dct
+                                  and dec.decode_bit(use_dct_models[didx]))
+            if block_used_dct:
+                ns.used_dct = True
+                num_dc_levels = XD.get_num_weight_dc_levels(
+                    blk.weight_ise_range)
+                spans = XD.get_max_span_len(blk, XC)
+                for plane in range(total_planes):
+                    if fast:
+                        if num_dc_levels == XD.DCT_MEAN_LEVELS1:
+                            dc_sym = mean1.get(8)
+                        else:
+                            dc_sym = mean0.get(4)
+                    else:
+                        dc_sym = dec.decode_sym(
+                            mean_models[1 if num_dc_levels
+                                        == XD.DCT_MEAN_LEVELS1 else 0])
+                    coeffs = []
+                    cur_zig = 1
+                    while cur_zig < total_weights:
+                        if fast:
+                            run_len = run_bytes.get(8)
+                        else:
+                            run_len = dec.decode_sym(dct_run_model)
+                        if run_len == XD.DCT_RUN_LEN_EOB_SYM_INDEX:
+                            break
+                        cur_zig += run_len
+                        if cur_zig >= total_weights:
+                            raise ValueError("XUASTC arith DCT error")
+                        if fast:
+                            sign = sign_bits.get(1)
+                            coeff = coeff_bytes.get(8) + 1
+                        else:
+                            sign = dec.get_bit()
+                            coeff = dec.decode_sym(dct_coeff_model) + 1
+                        if sign:
+                            coeff = -coeff
+                        coeffs.append((run_len, coeff))
+                        cur_zig += 1
+                    XD.decode_block_weights_from_syms(
+                        dct_q, plane, blk, bw, bh, dc_sym, coeffs,
+                        spans[plane])
+            else:
+                wtab = XT.weight_tab(blk.weight_ise_range)
+                n_levels = int(wtab.ise_to_val.shape[0])
+                for plane in range(total_planes):
+                    prev_w = n_levels // 2
+                    for _wi in range(total_weights):
+                        if fast:
+                            if n_levels <= 4:
+                                r = w2.get(2)
+                            elif n_levels <= 8:
+                                r = w3.get(4)
+                            elif n_levels <= 16:
+                                r = w4.get(4)
+                            else:
+                                r = w8.get(8)
+                        else:
+                            r = dec.decode_sym(
+                                raw_weight_models[blk.weight_ise_range])
+                        wv = (prev_w + r) % n_levels
+                        prev_w = wv
+                        blk.weights[plane + _wi * total_planes] = int(
+                            wtab.rank_to_ise[wv])
+
+            emit(bx, by, blk)
+            ns.tm_index = tm_index
+
+    if dec.get_bits(8) != 0xAF:
+        raise ValueError("XUASTC arith final sync failed")
+
+    c = XuastcContainer(
+        syntax=syntax, block_w=bw, block_h=bh, width=width, height=height,
+        has_alpha=has_alpha, srgb_decode=srgb, use_dct=use_dct, dct_q=dct_q,
+        raw_bits=b"", raw_bits_start_bit=0, streams={})
+    return c, out
+
+
+def _copy_state(ns, prev, reused: bool):
+    """RUN continuation: the full neighbor state carries over."""
+    ns.was_solid = prev.was_solid
+    ns.used_dct = prev.used_dct
+    ns.uses_bc = prev.uses_bc
+    ns.reused_cfg = reused
+    ns.tm_index = prev.tm_index
+    ns.base_cem = prev.base_cem
+    ns.subset = prev.subset
+    ns.ccs = prev.ccs
+    ns.grid_size = prev.grid_size
+    ns.grid_aniso = prev.grid_aniso
+    ns.used_part_hash = prev.used_part_hash
+
+
+def _copy_cfg_state(ns, prev):
+    """Config reuse: only the configuration fields carry over; DCT/BC flags
+    are recomputed for this block (basisu_transcoder.cpp:29103-29110)."""
+    ns.reused_cfg = True
+    ns.tm_index = prev.tm_index
+    ns.base_cem = prev.base_cem
+    ns.subset = prev.subset
+    ns.ccs = prev.ccs
+    ns.grid_size = prev.grid_size
+    ns.grid_aniso = prev.grid_aniso
+    ns.used_part_hash = prev.used_part_hash
+
+
+def _neighbor(which: int, bx: int, by: int, left, up, diag, log_ring, nbx):
+    if which == 0:
+        return (left, log_ring[by & 7][bx - 1] if bx else None)
+    if which == 1:
+        return (up, log_ring[(by - 1) & 7][bx] if by else None)
+    return (diag, log_ring[(by - 1) & 7][bx - 1] if (bx and by) else None)
+
+
+import functools as _functools
+
+
+@_functools.lru_cache(maxsize=None)
+def _grouped_trial_modes(block_size_index: int):
+    """grouped_trial_modes analog: buckets keyed by
+    (cem, subsets-1, ccs+1, grid_size, grid_aniso) holding tm indices in
+    table order (basisu_transcoder_internal.h:2066)."""
+    from . import xuastc_tables as XT
+
+    bw, bh = XT.ASTC_BLOCK_SIZES[block_size_index]
+    groups = {}
+    for i, t in enumerate(XT.encoder_trial_modes(block_size_index)):
+        grid_size = int(t.grid_width >= bw - 1 and t.grid_height >= bh - 1)
+        lhs = t.grid_width * bh
+        rhs = t.grid_height * bw
+        aniso = 0 if lhs == rhs else (1 if lhs >= rhs else 2)
+        key = (t.cem, t.num_parts - 1, t.ccs_index + 1, grid_size, aniso)
+        groups.setdefault(key, []).append(i)
+    return groups
+
+
+def probe_block_size(data: bytes):
+    """Cheap header probe → (block_w, block_h) for any syntax."""
+    syntax = data[0] & 3
+    if syntax == SYNTAX_FULL_ZSTD:
+        import struct
+
+        lens = struct.unpack_from("<21I", data, 1)
+        raw = _RawBits(data[1 + 21 * 4:1 + 21 * 4 + min(lens[0], 16)])
+        if raw.get(5) != 0x01:
+            raise ValueError("bad XUASTC marker")
+        return ASTC_BLOCK_SIZES[raw.get(4)]
+    from ...entropy import arith
+
+    if syntax == SYNTAX_HYBRID_ARITH_ZSTD:
+        import struct
+
+        ln = struct.unpack_from("<I", data, 1)[0]
+        dec = arith.ArithDecoder(data[45:45 + min(ln, 64)])
+    else:
+        dec = arith.ArithDecoder(data[1:65])
+    if dec.get_bits(5) != 0x01:
+        raise ValueError("bad XUASTC arith marker")
+    return ASTC_BLOCK_SIZES[dec.get_bits(4)]
+
+
+def decode_any(data: bytes):
+    """Decode any XUASTC LDR syntax → (container, LogBlock list)."""
+    syntax = data[0] & 3
+    if syntax == SYNTAX_FULL_ZSTD:
+        return decode_log_blocks(data)
+    return decode_log_blocks_arith(data)
+
+
 def decode_rgba(data: bytes):
-    """Full-zstd XUASTC LDR → (H, W, 4) uint8 RGBA."""
+    """XUASTC LDR (any syntax) → (H, W, 4) uint8 RGBA."""
     import numpy as np
 
     from . import helpers as ah
 
-    c, blocks = decode_log_blocks(data)
+    c, blocks = decode_any(data)
     nbx = (c.width + c.block_w - 1) // c.block_w
     nby = (c.height + c.block_h - 1) // c.block_h
     out = np.zeros((nby * c.block_h, nbx * c.block_w, 4), dtype=np.uint8)
@@ -572,8 +1115,8 @@ def decode_rgba(data: bytes):
 
 
 def decode_astc_physical(data: bytes):
-    """Full-zstd XUASTC LDR → (N, 16) uint8 physical ASTC blocks."""
+    """XUASTC LDR (any syntax) → (N, 16) uint8 physical ASTC blocks."""
     from .hdr6x6_decode import pack_log_blocks
 
-    c, blocks = decode_log_blocks(data)
+    c, blocks = decode_any(data)
     return c, pack_log_blocks(blocks)

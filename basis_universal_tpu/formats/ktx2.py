@@ -412,12 +412,11 @@ class Ktx2File:
         if m == 168:  # UASTC HDR 6x6 intermediate (supercompression scheme 4)
             return BasisTexFormat.UASTC_HDR_6x6_INTERMEDIATE
         if m == KDF_MODEL_XUASTC_LDR:
-            # block size lives in the XUASTC container's raw-bits header
+            # block size lives in the XUASTC container's bit header
             from ..codecs.astc import xuastc_ldr
 
-            c = xuastc_ldr.parse_container(self.level_data(0))
-            return getattr(BasisTexFormat,
-                           f"XUASTC_LDR_{c.block_w}x{c.block_h}")
+            bw, bh = xuastc_ldr.probe_block_size(self.level_data(0))
+            return getattr(BasisTexFormat, f"XUASTC_LDR_{bw}x{bh}")
         # standard ASTC payloads are identified by VkFormat
         if self.vk_format == 1000066004:  # ASTC_6x6_SFLOAT
             return BasisTexFormat.ASTC_HDR_6x6

@@ -95,6 +95,44 @@ def test_physical_astc_alpha_byte_exact(golden_dir, oracle):
     assert (ours == ref).all()
 
 
+def test_shipped_golden_arith(golden_dir, oracle):
+    """The FullArith decode-stability golden file decodes pixel-exact."""
+    src = TEST_FILES / "base_xuastc_arith.ktx2"
+    dst = golden_dir / "base_xuastc_arith.ktx2"
+    if not dst.exists():
+        dst.write_bytes(src.read_bytes())
+        subprocess.run([str(oracle), "-unpack", str(dst)], cwd=golden_dir,
+                       check=True, capture_output=True, timeout=1200)
+    data = K.Ktx2File(dst.read_bytes()).level_data(0)
+    assert data[0] & 3 == xuastc_ldr.SYNTAX_FULL_ARITH
+    c, rgba = xuastc_ldr.decode_rgba(data)
+    ref = _ref_unpack_rgba(golden_dir, "base_xuastc_arith").copy()
+    if not c.has_alpha:
+        ref[..., 3] = 255
+    np.testing.assert_array_equal(rgba, ref)
+
+
+@pytest.mark.parametrize("syntax_flag,name", [
+    ("-xuastc_hybrid", "xu_k23_4x4_hyb"),
+    ("-xuastc_arith", "xu_k23_4x4_arith"),
+])
+def test_decode_arith_syntaxes(golden_dir, oracle, syntax_flag, name):
+    out = golden_dir / f"{name}.ktx2"
+    if not out.exists():
+        subprocess.run(
+            [str(oracle), "-ldr_4x4i", syntax_flag, "-quality", "70",
+             str(TEST_FILES / "kodim23.png"), "-ktx2",
+             "-output_file", str(out)],
+            check=True, capture_output=True, timeout=1200)
+        subprocess.run([str(oracle), "-unpack", str(out)], cwd=golden_dir,
+                       check=True, capture_output=True, timeout=1200)
+    data = K.Ktx2File(out.read_bytes()).level_data(0)
+    c, rgba = xuastc_ldr.decode_rgba(data)
+    ref = _ref_unpack_rgba(golden_dir, name).copy()
+    ref[..., 3] = 255
+    np.testing.assert_array_equal(rgba, ref)
+
+
 def test_encode_oracle_conformance(golden_dir, oracle):
     """Our XUASTC encoder's KTX2 is accepted by the reference transcoder and
     decodes to exactly the pixels our own decoder produces."""
