@@ -53,24 +53,59 @@ def shard_blocks_frontend_step(mesh: Mesh, num_clusters: int):
     return step
 
 
-def batched_frontend_kernels(mesh: Mesh):
-    """vmapped-over-textures frontend kernels, sharded on the texture axis.
+@functools.lru_cache(maxsize=8)
+def _sharded_frontend(mesh: Mesh, **knobs):
+    """The FULL per-texture frontend device program, vmapped over the
+    texture axis and sharded across the mesh (one texture per chip at
+    N == mesh size; pure data parallelism, no collectives — each chip
+    trains its own codebooks)."""
+    from ..codecs.etc1s import frontend as F
 
-    Each returned fn maps (N, ...) arrays with N sharded across the mesh.
-    """
     axis = mesh.axis_names[0]
+    tex = NamedSharding(mesh, P(axis))
+    repl = NamedSharding(mesh, P())
+    impl = functools.partial(F._frontend_impl, **knobs)
+    return jax.jit(
+        jax.vmap(impl, in_axes=(0, 0, None, None, None, None)),
+        in_shardings=(tex, tex, repl, repl, None, None),
+        out_shardings=tex)
 
-    def shard(spec_rank):
-        return NamedSharding(mesh, P(axis, *([None] * spec_rank)))
 
-    encode = jax.jit(
-        jax.vmap(lambda px: ops.encode_blocks(px, radius=1)),
-        in_shardings=shard(2),
-    )
+def compress_batch_sharded(images, params, mesh: Mesh):
+    """compress_batch over a device mesh: the texture batch is sharded on
+    the mesh axis, each chip runs the full frontend for its textures, and
+    the host assembles entropy streams per image. Output is byte-identical
+    to the single-device compress_batch (same device program per texture).
+    """
+    from .. import compressor as C
+    from ..codecs.etc1s import frontend as F
 
-    def _cluster(px, vec6, seeds, num_clusters):
-        w = jnp.ones(vec6.shape[0], dtype=jnp.float32)
-        cents, assign = ops.kmeans(vec6, w, seeds, num_clusters, iters=3)
-        return cents, assign
+    per_image = [C._prepare_slices([img], params) for img in images]
+    shapes = {tuple((s["num_blocks_x"] * s["num_blocks_y"], s["alpha"])
+                    for s in sl) for sl in per_image}
+    if len(shapes) != 1:
+        raise ValueError("sharded batch requires uniform image shapes")
+    total_blocks = sum(s["blocks"].shape[0] for s in per_image[0])
+    fp = C._frontend_params(params, total_blocks)
+    nbrs = [C._slice_neighbors(sl) for sl in per_image]
+    knobs, left0, up0 = F._knobs_and_neighbors(total_blocks, fp, nbrs[0])
 
-    return encode, _cluster
+    batch = np.stack([
+        np.concatenate([s["blocks"] for s in sl], axis=0)
+        for sl in per_image])                                # (N,B,16,3)
+    seeds = jnp.asarray(
+        np.arange(params.seed, params.seed + len(images), dtype=np.int32))
+
+    fn = _sharded_frontend(mesh, **knobs)
+    packed = np.asarray(jax.device_get(fn(
+        jnp.asarray(batch), seeds, left0, up0,
+        float(fp.endpoint_rdo_thresh),
+        float(fp.selector_rdo_thresh))))
+
+    outs = []
+    for i, sl in enumerate(per_image):
+        got = F._unpack_result(packed[i], total_blocks,
+                               knobs["num_e"], knobs["num_s"])
+        fe = F._host_finalize(*got, knobs["num_e"], knobs["num_s"])
+        outs.append(C._assemble(sl, fe, params))
+    return outs
