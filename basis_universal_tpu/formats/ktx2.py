@@ -411,6 +411,8 @@ class Ktx2File:
             return BasisTexFormat.UASTC_HDR_4x4
         if m == 168:  # UASTC HDR 6x6 intermediate (supercompression scheme 4)
             return BasisTexFormat.UASTC_HDR_6x6_INTERMEDIATE
+        if m == KDF_MODEL_XUBC7:
+            return BasisTexFormat.XUBC7
         if m == KDF_MODEL_XUASTC_LDR:
             # block size lives in the XUASTC container's bit header
             from ..codecs.astc import xuastc_ldr

@@ -401,6 +401,58 @@ class XuastcLdrTranscodeEngine:
         return eng.convert(fmt, blocks, nbx, nby, orig_width, orig_height)
 
 
+class Xubc7TranscodeEngine:
+    """XUBC7 (supercompressed BC7): latent decode once per level
+    (codecs/bc7/xbc7_decode, parity transcoder/basisu_xbc7_decoder.inl),
+    then BC7 natively or any other target from the decoded RGBA."""
+
+    def __init__(self):
+        self.bw = self.bh = 4
+        self._cache = {}
+
+    def _decoded(self, data: bytes):
+        key = hash(data)
+        if key not in self._cache:
+            from .codecs.bc7 import xbc7_decode
+
+            self._cache[key] = xbc7_decode.decode_image(data)
+        return self._cache[key]
+
+    def convert(self, fmt: TF, data: bytes, nbx: int, nby: int,
+                orig_width: int, orig_height: int) -> np.ndarray:
+        from .codecs.bc7 import logical as bc7l
+
+        img, blks = self._decoded(data)
+        if fmt == TF.BC7_RGBA:
+            out = np.zeros((img.num_blocks_y, img.num_blocks_x, 16),
+                           dtype=np.uint8)
+            for by in range(img.num_blocks_y):
+                for bx in range(img.num_blocks_x):
+                    out[by, bx] = np.frombuffer(
+                        bc7l.pack_phys(blks[by][bx]), np.uint8)
+            return out
+        px = np.zeros((img.num_blocks_y * 4, img.num_blocks_x * 4, 4),
+                      np.uint8)
+        for by in range(img.num_blocks_y):
+            for bx in range(img.num_blocks_x):
+                px[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4] = \
+                    bc7l.unpack_rgba(blks[by][bx]).reshape(4, 4, 4)
+        px = px[:orig_height, :orig_width]
+        if fmt == TF.RGBA32:
+            return px
+        if fmt == TF.RGB565:
+            return tc_ops.rgba_to_rgb565(px)
+        if fmt == TF.BGR565:
+            return tc_ops.rgba_to_bgr565(px)
+        if fmt == TF.RGBA4444:
+            return tc_ops.rgba_to_rgba4444(px)
+        blocks4 = etc1_ops.image_to_blocks(px)
+        b4y, b4x = blocks4.shape[:2]
+        eng = UastcTranscodeEngine()
+        return eng.convert_rgba(fmt, blocks4.reshape(-1, 4, 4, 4),
+                                b4x, b4y, orig_width, orig_height)
+
+
 XUASTC_LDR_FORMATS = {
     BasisTexFormat.XUASTC_LDR_4x4, BasisTexFormat.XUASTC_LDR_5x4,
     BasisTexFormat.XUASTC_LDR_5x5, BasisTexFormat.XUASTC_LDR_6x5,
@@ -649,6 +701,8 @@ class Ktx2Transcoder:
             elif fmt in XUASTC_LDR_FORMATS:
                 self._engine = XuastcLdrTranscodeEngine(
                     srgb=bool(self.file.is_srgb))
+            elif fmt == BasisTexFormat.XUBC7:
+                self._engine = Xubc7TranscodeEngine()
             else:
                 raise NotImplementedError(
                     f"KTX2 decode for {fmt!r} not implemented yet")
@@ -668,14 +722,18 @@ class Ktx2Transcoder:
         if isinstance(self._engine, Hdr6x6IntermediateEngine):
             return self._engine.convert(
                 fmt, self.file.level_data(level), nbx, nby, w, h)
-        if isinstance(self._engine, XuastcLdrTranscodeEngine):
+        if isinstance(self._engine, (XuastcLdrTranscodeEngine,
+                                     Xubc7TranscodeEngine)):
             if layer or face:
                 raise NotImplementedError(
-                    "XUASTC KTX2 layers/faces not implemented yet")
+                    "XUASTC/XUBC7 KTX2 layers/faces not implemented yet")
             data = self.file.level_data(level)
-            c, _ = self._engine.physical_blocks(data)
-            nbx = -(-w // c.block_w)
-            nby = -(-h // c.block_h)
+            if isinstance(self._engine, XuastcLdrTranscodeEngine):
+                c, _ = self._engine.physical_blocks(data)
+                nbx = -(-w // c.block_w)
+                nby = -(-h // c.block_h)
+            else:
+                nbx, nby = -(-w // 4), -(-h // 4)
             return self._engine.convert(fmt, data, nbx, nby, w, h)
         if isinstance(self._engine, (UastcTranscodeEngine,
                                      AstcHdrTranscodeEngine,
