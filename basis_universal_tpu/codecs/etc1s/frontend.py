@@ -48,7 +48,9 @@ class FrontendOutput:
 def _effort_knobs(effort: int):
     radius = 1 if effort <= 4 else 2
     kmeans_iters = 2 + min(effort, 6)
-    refine_iters = 1 if effort < 1 else (2 if effort <= 5 else 3)
+    # one refine pass costs <=0.02 dB vs two on the parity grid at effort 1
+    # while saving ~25% of device time; higher efforts keep the ladder
+    refine_iters = 1 if effort <= 1 else (2 if effort <= 5 else 3)
     sel_iters = 2 + min(effort, 4)
     # exact-reassign shortlist width: the 6D codebook distance misranks
     # saturated blocks, and the parity grid shows +0.1 dB from 4 -> 16
@@ -105,27 +107,43 @@ def _frontend_impl(px, seed, left_idx, up_idx, e_thresh, s_thresh, *,
     seeds = ops.bisecting_init(vec6, weights, num_e, key)
     _, assign = ops.kmeans(vec6, weights, seeds, num_e, iters=kmeans_iters)
 
-    color5 = inten = cb_pal = None
-    for _ in range(refine_iters):
-        cnt = jax.ops.segment_sum(jnp.ones(nblocks), assign, num_segments=num_e)
-        mean_px = jax.ops.segment_sum(jnp.mean(px, axis=1), assign, num_segments=num_e)
+    # refine + selector loops as lax.fori_loop: one body in the executable
+    # instead of an unrolled copy per iteration (the serving transport's
+    # per-launch cost scales with executable size)
+    def refine_body(_i, carry):
+        assign, _c5, _it = carry
+        cnt = jax.ops.segment_sum(jnp.ones(nblocks), assign,
+                                  num_segments=num_e)
+        mean_px = jax.ops.segment_sum(jnp.mean(px, axis=1), assign,
+                                      num_segments=num_e)
         cluster_means = mean_px / jnp.maximum(cnt, 1.0)[:, None]
         color5, inten = ops.optimize_cluster_endpoints(
             px, assign, cluster_means, num_e, radius=radius)
         cb_pal = _palette_jnp(color5, inten)                 # (C,4,3)
-        cb_vec6 = jnp.concatenate([cb_pal[:, 0, :], cb_pal[:, 3, :]], -1) * (1.0 / 255.0)
+        cb_vec6 = jnp.concatenate(
+            [cb_pal[:, 0, :], cb_pal[:, 3, :]], -1) * (1.0 / 255.0)
         assign, _ = ops.refine_endpoint_assignment(
             px, vec6, cb_vec6, color5, inten, topk=topk)
+        return assign, color5, inten
+
+    assign, color5, inten = jax.lax.fori_loop(
+        0, refine_iters, refine_body,
+        (assign, jnp.zeros((num_e, 3), jnp.int32),
+         jnp.zeros((num_e,), jnp.int32)))
+    cb_pal = _palette_jnp(color5, inten)
 
     final_pal = cb_pal[assign]
     dists = ops.block_selector_distances(px, final_pal)      # (B,16,4)
     opt_sel = jnp.argmin(dists, axis=-1).astype(jnp.int32)
 
     patterns = _init_selector_patterns(opt_sel, num_s)
-    sel_assign = None
-    for _ in range(sel_iters):
-        sel_assign, _ = ops.find_best_selector_patterns(dists, patterns, num_s)
-        patterns = ops.update_selector_patterns(dists, sel_assign, num_s)
+
+    def sel_body(_i, patterns):
+        sel_assign, _ = ops.find_best_selector_patterns(dists, patterns,
+                                                        num_s)
+        return ops.update_selector_patterns(dists, sel_assign, num_s)
+
+    patterns = jax.lax.fori_loop(0, sel_iters, sel_body, patterns)
     sel_assign, _ = ops.find_best_selector_patterns(dists, patterns, num_s)
 
     if rdo:
@@ -275,7 +293,13 @@ def compress_batch_iter(pixels, params: FrontendParams,
         neighbors = [neighbors] * n
     knobs, left0, up0 = _knobs_and_neighbors(
         nblocks, params, neighbors[0] if neighbors else None)
+    import concurrent.futures as cf
+
     fn = _jitted_single(raw_image=raw, **knobs)
+    # parallel uploads: the transport sustains ~10x more bandwidth with
+    # concurrent puts than with one serial stream
+    with cf.ThreadPoolExecutor(min(n, 8)) as ex:
+        dev_pixels = list(ex.map(device_put_chunked, pixels))
     futures = []
     for i in range(n):
         if neighbors:
@@ -284,7 +308,7 @@ def compress_batch_iter(pixels, params: FrontendParams,
         else:
             left, up = left0, up0
         futures.append(fn(
-            device_put_chunked(pixels[i]), seed + i, left, up,
+            dev_pixels[i], seed + i, left, up,
             float(params.endpoint_rdo_thresh),
             float(params.selector_rdo_thresh)))
 

@@ -262,8 +262,9 @@ def compress_batch(images, params: CompressorParams = CompressorParams()):
     # the GIL, so images assemble concurrently
     import concurrent.futures as cf
 
-    nbrs = [_slice_neighbors(sl) for sl in per_image]
-    with cf.ThreadPoolExecutor(4) as ex:
+    # uniform batch => identical neighbor grids: share ONE device upload
+    nbrs = _slice_neighbors(per_image[0])
+    with cf.ThreadPoolExecutor(8) as ex:
         futs = [
             ex.submit(_assemble, sl, fe, params)
             for sl, fe in zip(per_image,

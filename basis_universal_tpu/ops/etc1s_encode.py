@@ -189,39 +189,52 @@ def optimize_cluster_endpoints(pixels, cluster_ids, cluster_means,
     errors for every (candidate, table) accumulate over member pixels via
     segment-sum, then a single argmin picks the winner per cluster.
     """
+    from . import pallas_etc1s
+
     deltas = jnp.asarray(_candidate_deltas(radius))            # (D,3)
     base5 = jnp.clip(jnp.round(cluster_means * (31.0 / 255.0)).astype(jnp.int32), 0, 31)
     c5s = jnp.clip(base5[None] + deltas[:, None, :], 0, 31)    # (D,C,3)
-    base8 = expand5(c5s).astype(jnp.float32)                   # (D,C,3)
-
-    # factorized scan (see _scan_block_errs): the moment terms aggregate to
-    # per-cluster sufficient statistics; only the gray-axis min-term needs a
-    # per-pixel pass, segment-summed to clusters per candidate.
-    mom = _block_moments(pixels)
-    ones = jnp.ones(pixels.shape[0], dtype=jnp.float32)
-    c_cnt = jax.ops.segment_sum(ones, cluster_ids, num_segments=num_clusters)
-    c_sum_x = jax.ops.segment_sum(mom["sum_x"], cluster_ids, num_segments=num_clusters)
-    c_sum_x2 = jax.ops.segment_sum(mom["sum_x2"], cluster_ids, num_segments=num_clusters)
-    c_sum_l = jax.ops.segment_sum(mom["sum_l"], cluster_ids, num_segments=num_clusters)
-    c_sum_l2 = jax.ops.segment_sum(mom["sum_l2"], cluster_ids, num_segments=num_clusters)
-    npix = 16.0 * c_cnt                                        # (C,)
-
-    lb = jnp.sum(base8, axis=-1)                               # (D,C)
-    q = (c_sum_x2[None] - 2.0 * jnp.einsum("dcx,cx->dc", base8, c_sum_x)
-         + npix[None] * jnp.sum(base8 * base8, axis=-1))       # (D,C)
-    su2 = (c_sum_l2[None] - 2.0 * lb * c_sum_l[None]
-           + npix[None] * lb * lb)                             # (D,C)
-
-    lb_blk = lb[:, cluster_ids]                                # (D,B)
-    u = (mom["luma"][None] - lb_blk[..., None]) * (1.0 / 3.0)  # (D,B,16)
-    minterm = _gray_axis_minterm(u)                            # (D,B,8)
     d_ = deltas.shape[0]
-    mt_ct = jax.ops.segment_sum(
-        jnp.moveaxis(minterm, 0, 1).reshape(pixels.shape[0], d_ * 8),
-        cluster_ids, num_segments=num_clusters)                # (C,D*8)
-    errs = (q - su2 * (1.0 / 3.0)).T[:, :, None] \
-        + 3.0 * mt_ct.reshape(num_clusters, d_, 8)             # (C,D,8)
-    flat = errs.reshape(num_clusters, -1)                      # (C, D*8)
+
+    if pallas_etc1s.use_pallas():
+        # per-block factorized errors against the block's CLUSTER base
+        # (q/su2 are linear in block moments, so the per-cluster error is
+        # exactly the segment-sum of per-block rows)
+        blk_err = pallas_etc1s.factorized_scan(
+            pixels, base5=base5[cluster_ids].astype(jnp.float32),
+            radius=radius)                                     # (B,D*8)
+        flat = jax.ops.segment_sum(blk_err, cluster_ids,
+                                   num_segments=num_clusters)  # (C,D*8)
+    else:
+        base8 = expand5(c5s).astype(jnp.float32)               # (D,C,3)
+
+        # factorized scan (see _scan_block_errs): the moment terms aggregate
+        # to per-cluster sufficient statistics; only the gray-axis min-term
+        # needs a per-pixel pass, segment-summed to clusters per candidate.
+        mom = _block_moments(pixels)
+        ones = jnp.ones(pixels.shape[0], dtype=jnp.float32)
+        c_cnt = jax.ops.segment_sum(ones, cluster_ids, num_segments=num_clusters)
+        c_sum_x = jax.ops.segment_sum(mom["sum_x"], cluster_ids, num_segments=num_clusters)
+        c_sum_x2 = jax.ops.segment_sum(mom["sum_x2"], cluster_ids, num_segments=num_clusters)
+        c_sum_l = jax.ops.segment_sum(mom["sum_l"], cluster_ids, num_segments=num_clusters)
+        c_sum_l2 = jax.ops.segment_sum(mom["sum_l2"], cluster_ids, num_segments=num_clusters)
+        npix = 16.0 * c_cnt                                    # (C,)
+
+        lb = jnp.sum(base8, axis=-1)                           # (D,C)
+        q = (c_sum_x2[None] - 2.0 * jnp.einsum("dcx,cx->dc", base8, c_sum_x)
+             + npix[None] * jnp.sum(base8 * base8, axis=-1))   # (D,C)
+        su2 = (c_sum_l2[None] - 2.0 * lb * c_sum_l[None]
+               + npix[None] * lb * lb)                         # (D,C)
+
+        lb_blk = lb[:, cluster_ids]                            # (D,B)
+        u = (mom["luma"][None] - lb_blk[..., None]) * (1.0 / 3.0)  # (D,B,16)
+        minterm = _gray_axis_minterm(u)                        # (D,B,8)
+        mt_ct = jax.ops.segment_sum(
+            jnp.moveaxis(minterm, 0, 1).reshape(pixels.shape[0], d_ * 8),
+            cluster_ids, num_segments=num_clusters)            # (C,D*8)
+        errs = (q - su2 * (1.0 / 3.0)).T[:, :, None] \
+            + 3.0 * mt_ct.reshape(num_clusters, d_, 8)         # (C,D,8)
+        flat = errs.reshape(num_clusters, -1)                  # (C, D*8)
     # shortlist per cluster, then exact clipped rescore over member pixels
     k_re = min(16, d_ * 8)
     _, cand = jax.lax.top_k(-flat, k_re)                       # (C,K)
@@ -296,14 +309,19 @@ def bisecting_init(vecs, weights, num_clusters: int, key):
     outer = (vecs[:, :, None] * vecs[:, None, :]).reshape(n, f * f)
     feats = jnp.concatenate([w[:, None], wv, outer * w[:, None]], -1)  # (N,1+F+F²)
 
-    for r in range(rounds):
-        c = 1 << r
-        m = jax.ops.segment_sum(feats, assign, num_segments=c)  # (C,43)
+    # all rounds run at the FINAL cluster count (empty high clusters are
+    # harmless) so every round has identical shapes — the loop compiles to
+    # ONE while-loop body instead of `rounds` unrolled copies, shrinking
+    # the executable the serving transport has to handle per launch
+    c_max = 1 << rounds
+
+    def round_body(_r, assign):
+        m = jax.ops.segment_sum(feats, assign, num_segments=c_max)
         cnt = m[:, 0]
         mean = m[:, 1:1 + f] / jnp.maximum(cnt, 1e-9)[:, None]
-        m2 = m[:, 1 + f:].reshape(c, f, f)
+        m2 = m[:, 1 + f:].reshape(c_max, f, f)
         cov = m2 - cnt[:, None, None] * mean[:, :, None] * mean[:, None, :]
-        v0 = jnp.ones((c, f), dtype=vecs.dtype)
+        v0 = jnp.ones((c_max, f), dtype=vecs.dtype)
 
         def power(v, _):
             v = jnp.einsum("cfg,cg->cf", cov, v)
@@ -314,7 +332,9 @@ def bisecting_init(vecs, weights, num_clusters: int, key):
         thr = jnp.sum(mean * axis, -1)                          # (C,)
         ga = jnp.concatenate([axis, thr[:, None]], -1)[assign]  # (N,F+1)
         proj = jnp.sum(vecs * ga[:, :f], -1) - ga[:, f]
-        assign = assign * 2 + (proj > 0).astype(jnp.int32)
+        return assign * 2 + (proj > 0).astype(jnp.int32)
+
+    assign = jax.lax.fori_loop(0, rounds, round_body, assign)
 
     c = 1 << rounds
     m = jax.ops.segment_sum(feats[:, :1 + f], assign, num_segments=c)

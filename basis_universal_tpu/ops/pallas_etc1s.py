@@ -80,8 +80,8 @@ def use_pallas() -> bool:
     return jax.default_backend() == "tpu"
 
 
-def _fscan_kernel(deltas_ref, mids_ref, tabs_ref, pix_ref, err_ref,
-                  *, n_deltas: int):
+def _fscan_kernel(deltas_ref, mids_ref, tabs_ref, pix_ref, base_ref, err_ref,
+                  *, n_deltas: int, external_base: bool):
     """Factorized candidate scan, one delta per fori step, all 8 intensity
     tables vectorized on sublanes.
 
@@ -100,10 +100,15 @@ def _fscan_kernel(deltas_ref, mids_ref, tabs_ref, pix_ref, err_ref,
     sg = jnp.sum(g, 0, keepdims=True)
     sb = jnp.sum(b, 0, keepdims=True)
     sum_x2 = jnp.sum(r * r + g * g + b * b, 0, keepdims=True)
-    s = 31.0 / 255.0
-    b5r = jnp.clip(jnp.round(sr / 16.0 * s), 0.0, 31.0)
-    b5g = jnp.clip(jnp.round(sg / 16.0 * s), 0.0, 31.0)
-    b5b = jnp.clip(jnp.round(sb / 16.0 * s), 0.0, 31.0)
+    if external_base:
+        b5r = base_ref[0:1, :]
+        b5g = base_ref[1:2, :]
+        b5b = base_ref[2:3, :]
+    else:
+        s = 31.0 / 255.0
+        b5r = jnp.clip(jnp.round(sr / 16.0 * s), 0.0, 31.0)
+        b5g = jnp.clip(jnp.round(sg / 16.0 * s), 0.0, 31.0)
+        b5b = jnp.clip(jnp.round(sb / 16.0 * s), 0.0, 31.0)
 
     m0 = mids_ref[:, 0:1]
     m1 = mids_ref[:, 1:2]
@@ -142,11 +147,17 @@ def _fscan_kernel(deltas_ref, mids_ref, tabs_ref, pix_ref, err_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("radius", "interpret"))
-def factorized_scan(pixels, radius: int = 1, interpret: bool = False):
+def factorized_scan(pixels, base5=None, radius: int = 1,
+                    interpret: bool = False):
     """Unclipped factorized candidate errors, (B, D*8) — the Pallas analog
     of etc1s_encode._scan_block_errs whose XLA broadcast chain materializes
     lane-padded (D,B,8,16) temporaries. Feeds the existing top-k shortlist +
-    exact clipped rescore (palette_errs)."""
+    exact clipped rescore (palette_errs).
+
+    base5: optional (B,3) per-block 5-bit base colors (cluster-endpoint
+    optimization gathers each block's CLUSTER base here; per-cluster errors
+    are then a segment-sum of the per-block rows — q/su2 are linear in the
+    block moments, so the decomposition is exact)."""
     from .etc1 import ETC1_INTEN_TABLES
     from .etc1s_encode import _candidate_deltas
 
@@ -156,16 +167,22 @@ def factorized_scan(pixels, radius: int = 1, interpret: bool = False):
     b_n = pixels.shape[0]
     bp = -(-b_n // _LANES) * _LANES
     pix_t = pixels.astype(jnp.float32).transpose(2, 1, 0).reshape(48, b_n)
+    external = base5 is not None
+    base_t = (base5.astype(jnp.float32).T if external
+              else jnp.zeros((3, b_n), jnp.float32))
     if bp != b_n:
         pix_t = jnp.pad(pix_t, ((0, 0), (0, bp - b_n)))
+        base_t = jnp.pad(base_t, ((0, 0), (0, bp - b_n)))
     err = pl.pallas_call(
-        functools.partial(_fscan_kernel, n_deltas=n_deltas),
+        functools.partial(_fscan_kernel, n_deltas=n_deltas,
+                          external_base=external),
         grid=(bp // _LANES,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((8, 3), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((8, 4), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((48, _LANES), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, _LANES), lambda i: (0, i), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((n_deltas * 8, _LANES), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
@@ -174,5 +191,5 @@ def factorized_scan(pixels, radius: int = 1, interpret: bool = False):
     )(jnp.asarray(deltas_np),
       jnp.asarray(mids, jnp.float32),
       jnp.asarray(ETC1_INTEN_TABLES, jnp.float32),
-      pix_t)
+      pix_t, base_t)
     return err[:, :b_n].T                                # (B, D*8)

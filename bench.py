@@ -44,10 +44,10 @@ def _measure_ours(imgs):
     from basis_universal_tpu import compressor
 
     params = compressor.CompressorParams(quality_level=128, effort=1)
-    # warm-up / compile
-    compressor.compress_batch(imgs[:2], params)
+    # warm-up / compile (covers both orientations' device programs)
+    compressor.compress_batch(imgs, params)
     best = 0.0
-    for _ in range(2):
+    for _ in range(4):
         t0 = time.time()
         compressor.compress_batch(imgs, params)
         dt = time.time() - t0
@@ -56,7 +56,10 @@ def _measure_ours(imgs):
 
 
 def _measure_reference(imgs_paths):
-    """Reference CPU Mpix/s from the tool's own printed compression time."""
+    """Reference CPU Mpix/s from the tool's own printed compression time.
+
+    Per-image best-of-3: machine noise swings single runs by ~30%, and the
+    FASTEST reference run is the conservative baseline for vs_baseline."""
     if not ORACLE.exists():
         return None
     total_pix, total_t = 0, 0.0
@@ -64,17 +67,21 @@ def _measure_reference(imgs_paths):
         p = TEST_FILES / name
         if not p.exists():
             continue
-        r = subprocess.run(
-            [str(ORACLE), str(p), "-q", "128", "-basis"],
-            cwd="/tmp", capture_output=True, text=True, timeout=600)
-        m = re.search(r"in ([0-9.]+) secs", r.stdout)
-        if not m:
-            return None
+        best = None
+        for _ in range(3):
+            r = subprocess.run(
+                [str(ORACLE), str(p), "-q", "128", "-basis"],
+                cwd="/tmp", capture_output=True, text=True, timeout=600)
+            m = re.search(r"in ([0-9.]+) secs", r.stdout)
+            if not m:
+                return None
+            t = float(m.group(1))
+            best = t if best is None else min(best, t)
         from PIL import Image
 
         w, h = Image.open(p).size
         total_pix += w * h
-        total_t += float(m.group(1))
+        total_t += best
     if total_t <= 0:
         return None
     return total_pix / 1e6 / total_t
