@@ -50,7 +50,7 @@ def _effort_knobs(effort: int):
     kmeans_iters = 2 + min(effort, 6)
     # one refine pass costs <=0.02 dB vs two on the parity grid at effort 1
     # while saving ~25% of device time; higher efforts keep the ladder
-    refine_iters = 1 if effort <= 1 else (2 if effort <= 5 else 3)
+    refine_iters = 1 if effort <= 1 else (2 if effort <= 2 else 3)
     sel_iters = 2 + min(effort, 4)
     # exact-reassign shortlist width: the 6D codebook distance misranks
     # saturated blocks, and the parity grid shows +0.1 dB from 4 -> 16
@@ -178,6 +178,11 @@ def _knobs_and_neighbors(pixels_shape_b: int, params: FrontendParams,
     radius, kmeans_iters, refine_iters, sel_iters, topk = _effort_knobs(params.effort)
     num_e = int(min(params.max_endpoint_clusters, pixels_shape_b))
     num_s = int(min(params.max_selector_clusters, pixels_shape_b))
+    # wide codebooks (q>=~230) need a wider exact-reassign shortlist: the
+    # 6D pre-rank's recall drops as clusters densify (parity grid: +0.05 dB
+    # at q255 from 16 -> 64; q<=128 keeps the narrow list and its program)
+    if num_e > 4096:
+        topk = max(topk, min(64, num_e // 128))
     topk = min(topk, num_e)
     rdo = (neighbors is not None
            and (params.endpoint_rdo_thresh > 1.0

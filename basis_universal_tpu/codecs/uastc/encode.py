@@ -28,6 +28,18 @@ LA_MODES = [(15, 4, 20, 2)]
 ALL_MODES = RGB_MODES + RGBA_MODES + LA_MODES
 
 
+def _rec16(acc):
+    """Integer-exact reconstruction from acc = lo*(64-w) + hi*w.
+
+    The UASTC decoder expands endpoints to 16 bits (v*257), interpolates
+    as (l16*(64-w) + h16*w + 32) >> 6, then >> 8 — i.e.
+    floor((acc*257 + 32) / 16384). acc <= 255*64 and acc*257 <= 2^22 are
+    exact in f32, so this matches the integer decode bit-for-bit;
+    scoring with the naive /64 model misranks exact fits.
+    """
+    return jnp.floor((acc * 257.0 + 32.0) * (1.0 / 16384.0))
+
+
 @functools.lru_cache(maxsize=None)
 def quant_luts(ep_range: int):
     """(inverse LUT target→code, forward LUT code→unquantized) as numpy."""
@@ -87,8 +99,8 @@ def _mode_trial(px, wb: int, ep_range: int, comps: int, ls_iters: int):
 
     def best_weights(lo_u, hi_u):
         # reconstruction for every weight level: (B,L,comps)
-        rec = (lo_u[:, None, :] * (64.0 - wlev)[None, :, None]
-               + hi_u[:, None, :] * wlev[None, :, None] + 32.0) * (1.0 / 64.0)
+        rec = _rec16(lo_u[:, None, :] * (64.0 - wlev)[None, :, None]
+               + hi_u[:, None, :] * wlev[None, :, None])
         d = v[:, :, None, :] - rec[:, None, :, :]   # (B,16,L,C)
         e = jnp.sum(d * d, axis=-1)
         w = jnp.argmin(e, axis=-1)                  # (B,16)
@@ -129,9 +141,9 @@ def _mode_trial(px, wb: int, ep_range: int, comps: int, ls_iters: int):
         err = err + aerr
     elif comps == 2:
         # reconstruct gray; error against actual RGB
-        l_rec = (lo_u[:, 0][:, None] * (64.0 - wlev[w]) + hi_u[:, 0][:, None] * wlev[w] + 32.0) * (1.0 / 64.0)
+        l_rec = _rec16(lo_u[:, 0][:, None] * (64.0 - wlev[w]) + hi_u[:, 0][:, None] * wlev[w])
         d_rgb = px[..., :3] - l_rec[..., None]
-        a_rec = (lo_u[:, 1][:, None] * (64.0 - wlev[w]) + hi_u[:, 1][:, None] * wlev[w] + 32.0) * (1.0 / 64.0)
+        a_rec = _rec16(lo_u[:, 1][:, None] * (64.0 - wlev[w]) + hi_u[:, 1][:, None] * wlev[w])
         d_a = px[..., 3] - a_rec
         err = jnp.sum(d_rgb * d_rgb, axis=(1, 2)) + jnp.sum(d_a * d_a, axis=1)
 
@@ -162,8 +174,8 @@ def _fit_line_masked(v, mask, levels, ls_iters):
     hi = jnp.clip(mean[:, 0] + d * pmax, 0, 255)
 
     def weights_for(lo, hi):
-        rec = (lo[:, None, :] * (64.0 - levels)[None, :, None]
-               + hi[:, None, :] * levels[None, :, None] + 32.0) * (1.0 / 64.0)
+        rec = _rec16(lo[:, None, :] * (64.0 - levels)[None, :, None]
+               + hi[:, None, :] * levels[None, :, None])
         e = jnp.sum((v[:, :, None, :] - rec[:, None, :, :]) ** 2, -1)
         k = jnp.argmin(e, axis=-1)
         err = (jnp.min(e, axis=-1) * mask).sum(-1)
@@ -272,9 +284,9 @@ def _mode_trial_2subset(px, wb: int, ep_range: int, comps: int, ls_iters: int,
                           unq[eps[:, 2]][:, None, :], unq[eps[:, 0]][:, None, :])
         hi_px = jnp.where(pat[..., None] == 1,
                           unq[eps[:, 3]][:, None, :], unq[eps[:, 1]][:, None, :])
-        rec = (lo_px[:, :, None, :] * (64.0 - wlev)[None, None, :, None]
+        rec = _rec16(lo_px[:, :, None, :] * (64.0 - wlev)[None, None, :, None]
                + hi_px[:, :, None, :] * wlev[None, None, :, None]
-               + 32.0) * (1.0 / 64.0)                       # (B,16,L,C)
+              )  # (B,16,L,C)
         e_all = jnp.sum((v[:, :, None, :] - rec) ** 2, -1)
         w = jnp.argmin(e_all, axis=-1).astype(jnp.int32)
         err = jnp.sum(jnp.min(e_all, axis=-1), axis=-1)
@@ -373,9 +385,9 @@ def _mode_trial_3subset(px, ls_iters: int):
             m = (pat == s)[..., None]
             lo_px = jnp.where(m, unq[eps_s[s][0]][:, None, :], lo_px)
             hi_px = jnp.where(m, unq[eps_s[s][1]][:, None, :], hi_px)
-        rec = (lo_px[:, :, None, :] * (64.0 - wlev)[None, None, :, None]
+        rec = _rec16(lo_px[:, :, None, :] * (64.0 - wlev)[None, None, :, None]
                + hi_px[:, :, None, :] * wlev[None, None, :, None]
-               + 32.0) * (1.0 / 64.0)
+              )
         e_all = jnp.sum((v[:, :, None, :] - rec) ** 2, -1)
         w = jnp.argmin(e_all, axis=-1).astype(jnp.int32)
         err = jnp.sum(jnp.min(e_all, axis=-1), axis=-1)
@@ -426,9 +438,9 @@ def _mode_trial_dualplane(px, wb: int, ep_range: int, ls_iters: int):
         # exact error + weights through the QUANTIZED endpoints
         lo_u = unq[codes_lo]                               # (B,3)
         hi_u = unq[codes_hi]
-        rec = (lo_u[:, None, None, :] * (64.0 - wlev)[None, None, :, None]
+        rec = _rec16(lo_u[:, None, None, :] * (64.0 - wlev)[None, None, :, None]
                + hi_u[:, None, None, :] * wlev[None, None, :, None]
-               + 32.0) * (1.0 / 64.0)                       # (B,1,L,3)
+              )  # (B,1,L,3)
         diff = px[..., :3][:, :, None, :] - rec
         e_p0 = diff[..., others[0]] ** 2 + diff[..., others[1]] ** 2
         e_p1 = diff[..., ccs] ** 2                          # (B,16,L)
@@ -480,9 +492,9 @@ def _mode_trial_dualplane4(px, wb: int, ep_range: int, ls_iters: int):
         eps = jnp.stack([codes_lo, codes_hi], -1).reshape(b, 8)
         lo_u = unq[codes_lo]
         hi_u = unq[codes_hi]
-        rec = (lo_u[:, None, None, :] * (64.0 - wlev)[None, None, :, None]
+        rec = _rec16(lo_u[:, None, None, :] * (64.0 - wlev)[None, None, :, None]
                + hi_u[:, None, None, :] * wlev[None, None, :, None]
-               + 32.0) * (1.0 / 64.0)                       # (B,1,L,4)
+              )  # (B,1,L,4)
         diff = px[:, :, None, :] - rec
         e_p0 = sum(diff[..., c] ** 2 for c in others)       # (B,16,L)
         e_p1 = diff[..., ccs] ** 2
@@ -520,14 +532,14 @@ def _mode_trial_dualplane_la(px, wb: int, ep_range: int, ls_iters: int):
         return inv[jnp.clip(jnp.round(x[:, 0]), 0, 255).astype(jnp.int32)]
 
     cl, ch_, al, ah = q(lo_l), q(hi_l), q(lo_a), q(hi_a)
-    rec_l = (unq[cl][:, None, None] * (64.0 - wlev)[None, None, :]
+    rec_l = _rec16(unq[cl][:, None, None] * (64.0 - wlev)[None, None, :]
              + unq[ch_][:, None, None] * wlev[None, None, :]
-             + 32.0) * (1.0 / 64.0)                          # (B,1,L)
+            )  # (B,1,L)
     e_l = jnp.sum((px[..., :3][:, :, None, :]
                    - rec_l[..., None]) ** 2, -1)             # (B,16,L)
-    rec_a = (unq[al][:, None, None] * (64.0 - wlev)[None, None, :]
+    rec_a = _rec16(unq[al][:, None, None] * (64.0 - wlev)[None, None, :]
              + unq[ah][:, None, None] * wlev[None, None, :]
-             + 32.0) * (1.0 / 64.0)
+            )
     e_a = (alpha[:, :, None, 0] - rec_a) ** 2
     w0 = jnp.argmin(e_l, axis=-1).astype(jnp.int32)
     w1 = jnp.argmin(e_a, axis=-1).astype(jnp.int32)
@@ -652,11 +664,14 @@ def encode_blocks(px_rgba: np.ndarray, effort: int = 2,
     if effort >= 2:
         extra = ("mode2", "mode4", "mode6")
         if has_alpha:
-            extra += ("mode9",)
+            # dual-plane alpha modes are essential at the default level:
+            # uncorrelated alpha (edges/ramps over flat RGB) is only exactly
+            # representable with a separate alpha weight plane
+            extra += ("mode9", "mode11", "mode13", "mode17")
     if effort >= 4:
         extra += ("mode7", "mode3")
         if has_alpha:
-            extra += ("mode16", "mode11", "mode13", "mode17")
+            extra += ("mode16",)
 
     best, eps, ws, mean, extra_res = jax.device_get(_search_device(
         jnp.asarray(px_rgba, dtype=jnp.float32), modes_t, ls_iters, extra))

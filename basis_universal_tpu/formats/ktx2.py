@@ -215,6 +215,33 @@ def write_ktx2_xuastc(
         scheme_override=5, sgd=sgd)
 
 
+def xubc7_dfd(srgb: bool) -> bytes:
+    """XUBC7 DFD (model 170, 4x4, one 128-bit sample, channelType 0) —
+    byte-exact vs the reference's -xubc7 KTX2 output."""
+    channels = [(0, 127, 0x00, 0, 0xFFFFFFFF)]
+    return make_dfd(KDF_MODEL_XUBC7, block_w=4, block_h=4,
+                    bytes_per_block=16, srgb=srgb, channels=channels)
+
+
+def write_ktx2_xubc7(
+    *, base_width: int, base_height: int, stream: bytes,
+    srgb: bool = True,
+    key_values: Optional[Dict[str, bytes]] = None,
+) -> bytes:
+    """XUBC7 KTX2: vk_format 0, supercompression scheme 6, SGD =
+    (0, length, 0x1B7) — the constant signature the reference writes."""
+    sgd = struct.pack("<3I", 0, len(stream), 0x1B7)
+    return _write_ktx2_blocks(
+        base_width=base_width, base_height=base_height,
+        level_count=1, layer_count=1, face_count=1,
+        slice_blocks=[stream],
+        slice_info=[dict(level=0, layer=0, face=0)],
+        dfd=xubc7_dfd(srgb), vk_format=0,
+        zstd_level=0, supercompression=False,
+        key_values=key_values, block_w=4, block_h=4,
+        scheme_override=6, sgd=sgd)
+
+
 def write_ktx2_uastc_hdr(
     *, base_width: int, base_height: int, level_count: int,
     layer_count: int, face_count: int,

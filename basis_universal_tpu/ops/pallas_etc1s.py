@@ -165,7 +165,9 @@ def factorized_scan(pixels, base5=None, radius: int = 1,
     n_deltas = int(deltas_np.shape[0])
     mids = (ETC1_INTEN_TABLES[:, :-1] + ETC1_INTEN_TABLES[:, 1:]) / 2.0
     b_n = pixels.shape[0]
-    bp = -(-b_n // _LANES) * _LANES
+    # radius 2 emits a (1000, T) error tile: shrink T to stay inside VMEM
+    tile = _LANES if n_deltas * 8 <= 256 else 512
+    bp = -(-b_n // tile) * tile
     pix_t = pixels.astype(jnp.float32).transpose(2, 1, 0).reshape(48, b_n)
     external = base5 is not None
     base_t = (base5.astype(jnp.float32).T if external
@@ -176,15 +178,15 @@ def factorized_scan(pixels, base5=None, radius: int = 1,
     err = pl.pallas_call(
         functools.partial(_fscan_kernel, n_deltas=n_deltas,
                           external_base=external),
-        grid=(bp // _LANES,),
+        grid=(bp // tile,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((8, 3), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((8, 4), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((48, _LANES), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, _LANES), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((48, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((n_deltas * 8, _LANES), lambda i: (0, i),
+        out_specs=pl.BlockSpec((n_deltas * 8, tile), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_deltas * 8, bp), jnp.float32),
         interpret=interpret,

@@ -453,6 +453,118 @@ class Xubc7TranscodeEngine:
                                 b4x, b4y, orig_width, orig_height)
 
 
+class DdsTranscoder:
+    """.DDS reader + transcoder (dds_transcoder analog,
+    transcoder/basisu_dds_transcoder.inl): BC1-5/BC7/uncompressed inputs,
+    mips/arrays/cubemaps, decoded once per image then served to any
+    transcode target."""
+
+    def __init__(self, data: bytes):
+        from .formats.dds import DdsFile
+
+        self.file = DdsFile(data)
+        self._cache = {}
+
+    def get_width(self) -> int:
+        return self.file.width
+
+    def get_height(self) -> int:
+        return self.file.height
+
+    def get_levels(self) -> int:
+        return self.file.mips
+
+    def get_layers(self) -> int:
+        return self.file.layers
+
+    def get_faces(self) -> int:
+        return self.file.faces
+
+    def get_format(self) -> str:
+        return self.file.format
+
+    def decode_rgba(self, level: int = 0, layer: int = 0,
+                    face: int = 0) -> np.ndarray:
+        """(H, W, 4) uint8 decode of one image."""
+        key = (level, layer, face)
+        if key in self._cache:
+            return self._cache[key]
+        from .ops import gpu_unpack
+
+        im = self.file.image(level, layer, face)
+        raw = self.file.image_data(level, layer, face)
+        fmt = self.file.format
+        w, h = im.width, im.height
+        if fmt in ("RGBA8", "BGRA8", "RGB8", "R8", "RG8"):
+            c = self.file.bytes_per_unit
+            px = np.frombuffer(raw, np.uint8).reshape(h, w, c)
+            out = np.zeros((h, w, 4), np.uint8)
+            out[..., 3] = 255
+            if fmt == "BGRA8":
+                out[..., :3] = px[..., 2::-1]
+                out[..., 3] = px[..., 3]
+            else:
+                out[..., :c] = px
+        else:
+            bx, by = (w + 3) // 4, (h + 3) // 4
+            blocks = np.frombuffer(raw, np.uint8).reshape(
+                -1, self.file.bytes_per_unit)
+            if fmt == "BC1":
+                dec = gpu_unpack.unpack_bc1(blocks)
+            elif fmt == "BC2":
+                # color half decodes in BC1 4-color mode (BC2/3 never use
+                # the punch-through path)
+                dec = gpu_unpack.unpack_bc1(
+                    np.ascontiguousarray(blocks[:, 8:]),
+                    bc1_threecolor=False)
+                a4 = np.frombuffer(
+                    np.ascontiguousarray(blocks[:, :8]), np.uint64)
+                shifts = (np.arange(16, dtype=np.uint64) * 4)
+                av = ((a4[:, None] >> shifts) & np.uint64(0xF)).astype(np.uint8)
+                dec = dec.copy()
+                dec[..., 3] = (av * 17).reshape(-1, 16)
+            elif fmt == "BC3":
+                dec = gpu_unpack.unpack_bc3(blocks)
+            elif fmt == "BC4":
+                v = gpu_unpack.unpack_bc4(blocks)
+                dec = np.zeros(v.shape + (4,), np.uint8)
+                dec[..., 0] = v
+                dec[..., 3] = 255
+            elif fmt == "BC5":
+                dec = gpu_unpack.unpack_bc5(blocks)
+            elif fmt == "BC7":
+                from .codecs.bc7 import logical as bc7l
+
+                dec = np.zeros((len(blocks), 16, 4), np.uint8)
+                for i in range(len(blocks)):
+                    dec[i] = bc7l.unpack_rgba(
+                        bc7l.unpack_phys(bytes(blocks[i])))
+            else:
+                raise NotImplementedError(f"DDS {fmt} decode")
+            out = etc1_ops.blocks_to_image(
+                dec.reshape(by, bx, 4, 4, 4), w, h)
+        self._cache[key] = out
+        return out
+
+    def transcode_image_level(self, level: int, layer: int, face: int,
+                              fmt: TF) -> np.ndarray:
+        rgba = self.decode_rgba(level, layer, face)
+        h, w = rgba.shape[:2]
+        if fmt == TF.RGBA32:
+            return rgba
+        nby, nbx = -(-h // 4), -(-w // 4)
+        pad = np.zeros((nby * 4, nbx * 4, 4), np.uint8)
+        pad[:h, :w] = rgba
+        if h < pad.shape[0]:
+            pad[h:] = pad[h - 1:h]
+        if w < pad.shape[1]:
+            pad[:, w:] = pad[:, w - 1:w]
+        blocks = pad.reshape(nby, 4, nbx, 4, 4).transpose(0, 2, 1, 3, 4)
+        eng = UastcTranscodeEngine()
+        return eng.convert_rgba(fmt, blocks.reshape(-1, 4, 4, 4),
+                                nbx, nby, w, h)
+
+
 XUASTC_LDR_FORMATS = {
     BasisTexFormat.XUASTC_LDR_4x4, BasisTexFormat.XUASTC_LDR_5x4,
     BasisTexFormat.XUASTC_LDR_5x5, BasisTexFormat.XUASTC_LDR_6x5,

@@ -10,14 +10,17 @@ import pytest
 
 from basis_universal_tpu.testing import reference_parity as rp
 
-# Rows currently inside the gates; grow this list as the encoder closes the
-# remaining gaps (low-quality ETC1S size excess, UASTC mode-search quality —
-# run `python -m basis_universal_tpu.testing.reference_parity` for the full
-# picture).
+# Fast CI subset of the full grid (the whole DEFAULT_GRID passes as of the
+# low-q RDO floor + wide-codebook topk + e3 RDO softening calibration; run
+# `python -m basis_universal_tpu.testing.reference_parity` for all rows).
+# These rows pin each calibration point:
 FAST_GRID = [
     ("etc1s", "kodim03.png", 128, 1),
     ("etc1s", "kodim23.png", 128, 1),
     ("etc1s", "kodim03.png", 255, 1),
+    ("etc1s", "kodim18.png", 50, 1),    # low-q RDO floor (size gate)
+    ("etc1s", "kodim01.png", 255, 1),   # wide-codebook topk (PSNR gate)
+    ("etc1s", "kodim23.png", 128, 3),   # effort RDO softening
 ]
 
 

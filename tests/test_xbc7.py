@@ -102,3 +102,38 @@ def test_ktx2_transcoder_xubc7(golden_dir, oracle):
     np.testing.assert_array_equal(rgba, ref)
     bc7 = t.transcode_image_level(0, 0, 0, TF.BC7_RGBA)
     assert bc7.shape == (128, 192, 16)
+
+
+def test_encode_roundtrip_byte_exact(golden_dir, oracle):
+    """Our encoder: reference-golden BC7 blocks → XUBC7 → decode, byte-exact
+    (lossless syntax: repeat/solid commands + EP_RAW + absolute weights)."""
+    from basis_universal_tpu.codecs.bc7 import xbc7_encode
+
+    _golden(golden_dir, oracle, "kodim23.png", "xb_k23")
+    data = K.Ktx2File((golden_dir / "xb_k23.ktx2").read_bytes()).level_data(0)
+    img, bc7 = xbc7_decode.decode_bc7(data)
+    ours = xbc7_encode.encode_blocks(bc7, img.width, img.height)
+    img2, bc7b = xbc7_decode.decode_bc7(ours)
+    assert (img2.width, img2.height) == (img.width, img.height)
+    np.testing.assert_array_equal(bc7b, bc7)
+
+
+def test_encode_oracle_conformance(golden_dir, oracle, tmp_path):
+    """compress(XUBC7) → KTX2 → the reference CLI unpacks it and its BC7
+    reconstruction matches our encoded blocks byte-exactly."""
+    from basis_universal_tpu import compressor
+    from basis_universal_tpu.formats.constants import BasisTexFormat
+
+    img = np.asarray(
+        Image.open(TEST_FILES / "alpha0.png").convert("RGBA"))[:128, :160]
+    out = compressor.compress(
+        img, compressor.CompressorParams(tex_format=BasisTexFormat.XUBC7))
+    p = tmp_path / "ours.ktx2"
+    p.write_bytes(out.ktx2_data)
+    subprocess.run([str(oracle), "-unpack", str(p)], cwd=tmp_path,
+                   check=True, capture_output=True, timeout=1200)
+    raw = (tmp_path / "ours_transcoded_BC7_RGBA_layer_0000.ktx").read_bytes()
+    kv = struct.unpack_from("<I", raw, 60)[0]
+    data = K.Ktx2File(out.ktx2_data).level_data(0)
+    _, bc7 = xbc7_decode.decode_bc7(data)
+    assert raw[64 + kv + 4:] == bc7.tobytes()
