@@ -138,6 +138,99 @@ def cmd_compare(args):
     return 0
 
 
+def cmd_info(args):
+    """Print container structure without transcoding (basisu -info,
+    basisu_tool.cpp tool_mode cInfo)."""
+    for src in args.inputs:
+        data = pathlib.Path(src).read_bytes()
+        print(f"=== {src} ({len(data)} bytes)")
+        suffix = pathlib.Path(src).suffix.lower()
+        if suffix == ".dds" or data[:4] == b"DDS ":
+            from .formats.dds import DdsFile
+
+            d = DdsFile(data)
+            print(f"DDS {d.format} {d.width}x{d.height} mips={d.mips} "
+                  f"layers={d.layers} faces={d.faces} srgb={d.srgb}")
+            continue
+        if data[:4] == b"\xabKTX":
+            from .formats import ktx2 as K
+            from .transcoder import Ktx2Transcoder
+
+            t = Ktx2Transcoder(data)
+            f = t.file
+            fmt = t.get_basis_tex_format()
+            print(f"KTX2 vk_format={f.vk_format} "
+                  f"{f.pixel_width}x{f.pixel_height} "
+                  f"levels={t.get_levels()} layers={t.get_layers()} "
+                  f"faces={t.get_faces()} "
+                  f"scheme={f.supercompression_scheme} "
+                  f"basis_format={fmt.name if fmt else 'raw'}")
+            for i, lvl in enumerate(f.levels):
+                print(f"  level {i}: offset={lvl.byte_offset} "
+                      f"length={lvl.byte_length} "
+                      f"uncompressed={lvl.uncompressed_byte_length}")
+            for k, v in (f.key_values or {}).items():
+                print(f"  kv {k}: {v[:40]!r}")
+            continue
+        from .transcoder import BasisTranscoder
+
+        t = BasisTranscoder(data)
+        h = t.file.header
+        print(f".basis {t.tex_format.name} images={h.total_images} "
+              f"slices={h.total_slices} endpoints={h.total_endpoints} "
+              f"selectors={h.total_selectors} flags={h.flags:#x} "
+              f"ver={h.ver}")
+        for i, sd in enumerate(t.file.slices):
+            print(f"  slice {i}: image={sd.image_index} "
+                  f"level={sd.level_index} {sd.orig_width}x{sd.orig_height} "
+                  f"blocks={sd.num_blocks_x}x{sd.num_blocks_y} "
+                  f"flags={sd.flags:#x} len={sd.file_size} "
+                  f"crc16={sd.slice_data_crc16:#06x}")
+    return 0
+
+
+def cmd_bench(args):
+    """Encode+transcode benchmark per input (basisu -bench analog): times
+    the compressor, then reports transcode PSNR and throughput."""
+    import time
+
+    from . import compressor
+    from .formats.constants import (
+        BasisTexFormat, TranscoderTextureFormat as TF)
+    from .ops import metrics
+    from .transcoder import BasisTranscoder
+
+    modes = [("etc1s", BasisTexFormat.ETC1S)]
+    if args.uastc:
+        modes = [("uastc", BasisTexFormat.UASTC_LDR_4x4)]
+    for src in args.inputs:
+        img = _load_image(src)
+        pix = img.shape[0] * img.shape[1]
+        for name, fmt in modes:
+            params = compressor.CompressorParams(
+                tex_format=fmt, quality_level=args.q, effort=args.effort)
+            compressor.compress(img, params)       # warmup (jit compile)
+            best = None
+            for _ in range(max(1, args.bench_reps)):
+                t0 = time.perf_counter()
+                out = compressor.compress(img, params)
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            tr = BasisTranscoder(out.basis_data)
+            t0 = time.perf_counter()
+            rgba = tr.transcode_image_level(0, 0, TF.RGBA32)
+            t_dec = time.perf_counter() - t0
+            m = metrics.image_metrics(rgba, img)
+            print(f"{src} [{name} q={args.q} e={args.effort}]: "
+                  f"{len(out.basis_data)} B "
+                  f"({len(out.basis_data) * 8.0 / pix:.3f} bpt) | "
+                  f"encode {best * 1e3:.1f} ms "
+                  f"({pix / best / 1e6:.2f} Mpix/s) | "
+                  f"transcode {t_dec * 1e3:.1f} ms | "
+                  f"rgb_psnr {float(m['rgb_psnr']):.2f} dB")
+    return 0
+
+
 def cmd_test_codecs(args):
     from .testing import codec_sweep
 
@@ -162,6 +255,11 @@ def main(argv=None):
     ap.add_argument("inputs", nargs="*", help="input files")
     ap.add_argument("-version", action="store_true")
     ap.add_argument("-unpack", action="store_true")
+    ap.add_argument("-info", action="store_true",
+                    help="print container structure without transcoding")
+    ap.add_argument("-bench", action="store_true",
+                    help="encode+transcode benchmark per input")
+    ap.add_argument("-bench_reps", type=int, default=3)
     ap.add_argument("-compare", action="store_true")
     ap.add_argument("-test_codecs", action="store_true")
     ap.add_argument("-test_codecs_gen", action="store_true")
@@ -204,6 +302,10 @@ def main(argv=None):
         return 1
     if args.unpack:
         return cmd_unpack(args)
+    if args.info:
+        return cmd_info(args)
+    if args.bench:
+        return cmd_bench(args)
     if args.compare:
         return cmd_compare(args)
     return cmd_compress(args)

@@ -131,3 +131,88 @@ def psnr_hvs_m(a, b):
     werr = (diff * csf) ** 2
     mse = jnp.mean(werr)
     return jnp.where(mse > 0, 10.0 * jnp.log10(255.0 ** 2 / mse), 99.0)
+
+
+# --- HDR metrics -------------------------------------------------------------
+# float-space, log2, half-float-space PSNRs (image_metrics::calc(imagef,log)
+# and ::calc_half, encoder/basisu_enc.cpp:1917-2090) and Delta-E ITP
+# (BT.2100 ICtCp with the ITP Ct*0.5 scaling, the 6x6 HDR encoder's internal
+# error space, encoder/basisu_astc_hdr_6x6_enc.cpp:143-317).
+
+# ITU-R BT.2100-2 PQ constants
+_PQ_M1 = 0.1593017578125     # (2610 / 2^14) / 100
+_PQ_M2 = 78.84375            # (2523 / 32) * 100... spec: 2523/4096*128
+_PQ_C1 = 0.8359375           # 3424 / 2^12
+_PQ_C2 = 18.8515625          # 2413 / 128
+_PQ_C3 = 18.6875             # 2392 / 128
+
+# REC2020_to_LMS * REC709_to_2020 (reference basisu_astc_hdr_6x6_enc.cpp:287)
+_REC709_TO_LMS = np.array([
+    [0.2958097, 0.6230863, 0.0811040],
+    [0.1562512, 0.7272980, 0.1164508],
+    [0.0351435, 0.1565601, 0.8082964]], np.float32)
+# BT.2100 spec matrix (rec2020/bt2100 gamut inputs)
+_REC2020_TO_LMS = np.array([
+    [0.412109375, 0.52392578125, 0.06396484375],
+    [0.166748046875, 0.720458984375, 0.11279296875],
+    [0.024169921875, 0.075439453125, 0.900390625]], np.float32)
+# L'M'S' -> I (T = 0.5*Ct) P, ITP variant
+_LMS_TO_ITP = np.array([
+    [0.5, 0.5, 0.0],
+    [0.806884765625, -1.6617431640625, 0.8548583984375],
+    [4.378173828125, -4.24560546875, -0.132568359375]], np.float32)
+
+
+def pq_oetf(y):
+    """Linear absolute luminance (nits-scaled: 1.0 == 100 nits x 100) -> PQ."""
+    L = jnp.maximum(jnp.asarray(y, jnp.float32), 0.0) * (1.0 / 10000.0)
+    num = L ** _PQ_M1
+    return ((_PQ_C1 + _PQ_C2 * num) / (1.0 + _PQ_C3 * num)) ** _PQ_M2
+
+
+def linear_rgb_to_itp(rgb, rec2020: bool = False):
+    """(..., 3) linear RGB -> ITP (I, T, P); REC709 gamut unless rec2020."""
+    m = _REC2020_TO_LMS if rec2020 else _REC709_TO_LMS
+    lms = jnp.einsum("...c,kc->...k", jnp.asarray(rgb, jnp.float32),
+                     jnp.asarray(m))
+    return jnp.einsum("...c,kc->...k", pq_oetf(lms), jnp.asarray(_LMS_TO_ITP))
+
+
+def delta_e_itp(a, b, rec2020: bool = False):
+    """Per-pixel Delta-E ITP (BT.2124: 720 * euclidean ITP distance)."""
+    ia = linear_rgb_to_itp(a, rec2020)
+    ib = linear_rgb_to_itp(b, rec2020)
+    return 720.0 * jnp.sqrt(jnp.sum((ia - ib) ** 2, axis=-1))
+
+
+def hdr_image_metrics(a, b, rec2020: bool = False):
+    """Dict of HDR metrics for (H, W, 3+) float32 linear images:
+      rgb_psnr       float-space PSNR, max_val 1.0 (calc(imagef))
+      log2_rgb_psnr  PSNR of log2(max(x,0)+1) deltas (calc(..., log=true))
+      half_rgb_psnr  PSNR of half-float bit-pattern deltas, max 65535
+                     (calc_half)
+      mean/max_delta_itp  Delta-E ITP statistics (the 6x6 encoder's space)
+    """
+    a = np.asarray(a, np.float32)[..., :3]
+    b = np.asarray(b, np.float32)[..., :3]
+    d = a - b
+    rms = float(np.sqrt(np.mean(np.float64(d) ** 2)))
+    log2d = np.log2(np.maximum(a, 0) + 1.0) - np.log2(np.maximum(b, 0) + 1.0)
+    log2_rms = float(np.sqrt(np.mean(np.float64(log2d) ** 2)))
+    ha = a.astype(np.float16).view(np.uint16).astype(np.int64)
+    hb = b.astype(np.float16).view(np.uint16).astype(np.int64)
+    half_rms = float(np.sqrt(np.mean(np.float64(np.abs(ha - hb)) ** 2)))
+
+    def _psnr(r, max_val):
+        if r == 0:
+            return 1000.0
+        return float(np.clip(np.log10(max_val / r) * 20.0, 0.0, 1000.0))
+
+    de = np.asarray(delta_e_itp(a, b, rec2020))
+    return {
+        "rgb_psnr": _psnr(rms, 1.0),
+        "log2_rgb_psnr": _psnr(log2_rms, 1.0),
+        "half_rgb_psnr": _psnr(half_rms, 65535.0),
+        "mean_delta_itp": float(de.mean()),
+        "max_delta_itp": float(de.max()),
+    }

@@ -20,18 +20,50 @@ PSNR_TOLERANCE_DB = 0.125
 SIZE_TOLERANCE_REL = 0.045
 SIZE_TOLERANCE_MIN_BYTES = 1024
 
-DEFAULT_IMAGES = ["kodim03.png", "kodim23.png", "alpha0.png"]
-DEFAULT_QUALITIES = [10, 50, 100, 192, 255]
-DEFAULT_EFFORTS = [1]
-DEFAULT_CODECS = ["etc1s", "uastc", "astc_ldr_6x6", "astc_ldr_12x12"]
+DEFAULT_IMAGES = ["kodim01.png", "kodim03.png", "kodim05.png",
+                  "kodim13.png", "kodim18.png", "kodim23.png", "alpha0.png"]
+DEFAULT_HDR_IMAGES = ["Desk.exr", "hdr_2.exr", "memorial.exr"]
+DEFAULT_QUALITIES = [10, 30, 50, 75, 100, 128, 160, 192, 224, 255]
+DEFAULT_EFFORTS = [0, 1, 3]
 
 _CODEC_FORMATS = {
     "etc1s": BasisTexFormat.ETC1S,
     "uastc": BasisTexFormat.UASTC_LDR_4x4,
     "astc_ldr_4x4": BasisTexFormat.ASTC_LDR_4x4,
+    "astc_ldr_5x5": BasisTexFormat.ASTC_LDR_5x5,
     "astc_ldr_6x6": BasisTexFormat.ASTC_LDR_6x6,
+    "astc_ldr_10x10": BasisTexFormat.ASTC_LDR_10x10,
     "astc_ldr_12x12": BasisTexFormat.ASTC_LDR_12x12,
+    "xuastc_ldr_4x4": BasisTexFormat.XUASTC_LDR_4x4,
+    "xuastc_ldr_6x6": BasisTexFormat.XUASTC_LDR_6x6,
+    "xuastc_ldr_8x8": BasisTexFormat.XUASTC_LDR_8x8,
+    "xubc7": BasisTexFormat.XUBC7,
+    "uastc_hdr": BasisTexFormat.UASTC_HDR_4x4,
+    "astc_hdr_6x6": BasisTexFormat.ASTC_HDR_6x6,
+    "uastc_hdr_6x6i": BasisTexFormat.UASTC_HDR_6x6_INTERMEDIATE,
 }
+HDR_CODECS = {"uastc_hdr", "astc_hdr_6x6", "uastc_hdr_6x6i"}
+
+# (codec, qualities, efforts) — etc1s runs the full quality ladder, the
+# fixed-rate codecs one row per effort (or a single effort)
+DEFAULT_GRID = [
+    ("etc1s", DEFAULT_QUALITIES, DEFAULT_EFFORTS),
+    ("uastc", [0], [0, 1, 2, 3, 4]),
+    ("astc_ldr_4x4", [0], [1]),
+    ("astc_ldr_5x5", [0], [1]),
+    ("astc_ldr_6x6", [0], [1]),
+    ("astc_ldr_10x10", [0], [1]),
+    ("astc_ldr_12x12", [0], [1]),
+    ("xuastc_ldr_4x4", [0], [1]),
+    ("xuastc_ldr_6x6", [0], [1]),
+    ("xuastc_ldr_8x8", [0], [1]),
+    ("xubc7", [0], [1]),
+]
+DEFAULT_HDR_GRID = [
+    ("uastc_hdr", [0], [1]),
+    ("astc_hdr_6x6", [0], [1]),
+    ("uastc_hdr_6x6i", [0], [1]),
+]
 
 
 @dataclasses.dataclass
@@ -48,34 +80,78 @@ class SweepRow:
         return f"{self.codec}:{self.image}:q{self.quality}:e{self.effort}"
 
 
+def _run_one(codec: str, name: str, img, q: int, effort: int) -> SweepRow:
+    fmt = _CODEC_FORMATS[codec]
+    params = compressor.CompressorParams(
+        tex_format=fmt, quality_level=q, effort=effort)
+    if codec in HDR_CODECS:
+        out = compressor.compress([img], params)
+        tr = Ktx2Transcoder(out.ktx2_data)
+        rgb = tr.transcode_image_level(0, 0, 0, TF.RGB_HALF)
+        # HDR rows store float-space PSNR in rgb_psnr and the log2 PSNR in
+        # the rgba_psnr column (ops/metrics.hdr_image_metrics)
+        m = metrics.hdr_image_metrics(_half_to_float(rgb), img[..., :3])
+        return SweepRow(codec=codec, image=name, quality=q, effort=effort,
+                       ktx2_size=len(out.ktx2_data),
+                       rgb_psnr=round(float(m["rgb_psnr"]), 3),
+                       rgba_psnr=round(float(m["log2_rgb_psnr"]), 3))
+    out = compressor.compress(img, params)
+    tr = Ktx2Transcoder(out.ktx2_data)
+    rgba = tr.transcode_image_level(0, 0, 0, TF.RGBA32)
+    m = metrics.image_metrics(rgba, img)
+    return SweepRow(
+        codec=codec, image=name, quality=q, effort=effort,
+        ktx2_size=len(out.ktx2_data),
+        rgb_psnr=round(float(m["rgb_psnr"]), 3),
+        rgba_psnr=round(float(m.get("rgba_psnr", m["rgb_psnr"])), 3))
+
+
+def _half_to_float(half_img):
+    a = np.asarray(half_img)
+    if a.dtype == np.uint16:
+        return a.view(np.float16).astype(np.float32)
+    return a.astype(np.float32)
+
+
 def run_sweep(test_files_dir, images=None, qualities=None, efforts=None,
-              codecs=None, progress=print) -> List[SweepRow]:
+              codecs=None, hdr: bool = True, progress=print) -> List[SweepRow]:
     from PIL import Image
 
+    from ..utils.image_io import load_image_hdr
+
     test_files_dir = pathlib.Path(test_files_dir)
+    if codecs:
+        grid = []
+        for c in codecs:
+            default_qs = DEFAULT_QUALITIES if c == "etc1s" else [0]
+            grid.append((c, qualities or default_qs, efforts or [1]))
+        hdr_grid = []
+    else:
+        grid = DEFAULT_GRID
+        hdr_grid = DEFAULT_HDR_GRID if hdr else []
+
     rows = []
     for name in images or DEFAULT_IMAGES:
         p = test_files_dir / name
         if not p.exists():
             continue
         img = np.asarray(Image.open(p).convert("RGBA"))
-        for codec in codecs or DEFAULT_CODECS:
-            fmt = _CODEC_FORMATS[codec]
-            for effort in efforts or DEFAULT_EFFORTS:
-                for q in qualities or DEFAULT_QUALITIES:
-                    if codec != "etc1s" and q != (qualities or DEFAULT_QUALITIES)[-1]:
-                        continue  # only ETC1S has a quality knob
-                    params = compressor.CompressorParams(
-                        tex_format=fmt, quality_level=q, effort=effort)
-                    out = compressor.compress(img, params)
-                    tr = Ktx2Transcoder(out.ktx2_data)
-                    rgba = tr.transcode_image_level(0, 0, 0, TF.RGBA32)
-                    m = metrics.image_metrics(rgba, img)
-                    row = SweepRow(
-                        codec=codec, image=name, quality=q, effort=effort,
-                        ktx2_size=len(out.ktx2_data),
-                        rgb_psnr=round(float(m["rgb_psnr"]), 3),
-                        rgba_psnr=round(float(m.get("rgba_psnr", m["rgb_psnr"])), 3))
+        for codec, qs, es in grid:
+            for effort in es:
+                for q in qs:
+                    row = _run_one(codec, name, img, q, effort)
+                    rows.append(row)
+                    progress(f"{row.key()}: {row.ktx2_size} B, "
+                             f"{row.rgb_psnr:.2f}/{row.rgba_psnr:.2f} dB")
+    for name in (DEFAULT_HDR_IMAGES if hdr_grid else []):
+        p = test_files_dir / name
+        if not p.exists():
+            continue
+        img = np.asarray(load_image_hdr(p), np.float32)
+        for codec, qs, es in hdr_grid:
+            for effort in es:
+                for q in qs:
+                    row = _run_one(codec, name, img, q, effort)
                     rows.append(row)
                     progress(f"{row.key()}: {row.ktx2_size} B, "
                              f"{row.rgb_psnr:.2f}/{row.rgba_psnr:.2f} dB")

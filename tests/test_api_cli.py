@@ -67,3 +67,24 @@ def test_encoder_uastc_format(img):
     assert tr.get_basis_tex_format(h) == BasisTexFormat.UASTC_LDR_4x4
     rgba = tr.decode_rgba(h)
     assert rgba.shape == (64, 96, 4)
+
+
+def test_codec_sweep_subset_against_golden():
+    """Small sweep subset gated against the golden table (the full grid
+    runs via `python -m basis_universal_tpu.cli -test_codecs`)."""
+    import pathlib
+
+    from basis_universal_tpu.testing import codec_sweep
+
+    golden = pathlib.Path(__file__).parent / "golden_sweep.json"
+    if not golden.exists():
+        import pytest
+
+        pytest.skip("no golden sweep table")
+    rows = codec_sweep.run_sweep(
+        "/root/reference/test_files", images=["kodim03.png"],
+        qualities=[128], efforts=[1], codecs=["etc1s"],
+        progress=lambda *_: None)
+    assert rows
+    failures = codec_sweep.check_against_golden(rows, golden)
+    assert not failures, failures

@@ -41,3 +41,37 @@ def test_image_metrics_dict():
     assert set(m) == {"rgb_psnr", "y601_psnr", "y709_psnr", "a_psnr", "rgba_psnr"}
     for v in m.values():
         assert 20.0 < float(v) <= 99.0
+
+
+def test_hdr_image_metrics():
+    import numpy as np
+
+    from basis_universal_tpu.ops import metrics
+
+    rng = np.random.default_rng(0)
+    a = rng.uniform(0, 80, (32, 32, 3)).astype(np.float32)
+    b = np.abs(a + rng.normal(0, 0.5, a.shape).astype(np.float32))
+    m = metrics.hdr_image_metrics(a, b)
+    for k in ("rgb_psnr", "log2_rgb_psnr", "half_rgb_psnr",
+              "mean_delta_itp", "max_delta_itp"):
+        assert k in m
+    assert 0 < m["rgb_psnr"] < 1000
+    assert m["mean_delta_itp"] > 0
+    ident = metrics.hdr_image_metrics(a, a)
+    assert ident["rgb_psnr"] == 1000.0
+    assert ident["max_delta_itp"] == 0.0
+
+
+def test_pq_itp_reference_points():
+    import numpy as np
+
+    from basis_universal_tpu.ops import metrics
+
+    # PQ(100 nits) = PQ(Y=100 * 1cd) with Y scaled so 10000 -> 1.0:
+    # forwardPQ(100) ~= 0.508 (BT.2100 spec value for 100 nits)
+    pq = float(np.asarray(metrics.pq_oetf(100.0)))
+    assert abs(pq - 0.5081) < 1e-3
+    # neutral gray maps to Ct=Cp=0 (L=M=S in both gamut matrices)
+    itp = np.asarray(metrics.linear_rgb_to_itp(
+        np.array([5.0, 5.0, 5.0], np.float32)))
+    assert abs(itp[1]) < 1e-4 and abs(itp[2]) < 1e-4
