@@ -506,44 +506,92 @@ def _compress_astc_ldr(images, params: CompressorParams,
         slice_endpoints=[], slice_selectors=[])
 
 
+def _xu_encode_slices(images, params: CompressorParams, encode_fn,
+                      bw: int, bh: int):
+    """Shared XUASTC/XUBC7 slice builder: each image is a layer, mip_gen
+    adds levels; encode_fn(img_rgba, has_alpha) -> stream bytes."""
+    from .ops.resample import generate_mipmaps
+
+    slices = []
+    for image_index, img in enumerate(images):
+        img = np.asarray(img)
+        if img.ndim == 2:
+            img = img[..., None].repeat(3, axis=-1)
+        if img.shape[-1] == 3:
+            img = np.concatenate(
+                [img, np.full(img.shape[:2] + (1,), 255, np.uint8)], axis=-1)
+        levels = [img]
+        if params.mip_gen:
+            levels += generate_mipmaps(
+                img, params.mip_smallest_dimension,
+                filter=params.mip_filter, srgb=params.mip_srgb,
+                premultiplied=params.mip_premultiplied,
+                renormalize=params.mip_renormalize,
+                wrap=params.mip_wrapping)
+        for level_index, lvl in enumerate(levels):
+            has_alpha = bool((lvl[..., 3] != 255).any())
+            h, w = lvl.shape[:2]
+            slices.append(dict(
+                image_index=image_index, level_index=level_index,
+                orig_width=w, orig_height=h,
+                num_blocks_x=-(-w // bw), num_blocks_y=-(-h // bh),
+                alpha=has_alpha, data=encode_fn(lvl, has_alpha)))
+    return slices
+
+
+def _xu_basis_slices(slices, params: CompressorParams):
+    """Slice dicts -> (.basis SliceDescs, streams, header flags)."""
+    descs, streams = [], []
+    any_alpha = False
+    for s in slices:
+        descs.append(basis_file.SliceDesc(
+            image_index=s["image_index"], level_index=s["level_index"],
+            flags=int(SliceDescFlags.HAS_ALPHA) if s["alpha"] else 0,
+            orig_width=s["orig_width"], orig_height=s["orig_height"],
+            num_blocks_x=s["num_blocks_x"], num_blocks_y=s["num_blocks_y"],
+            slice_data_crc16=crc16(s["data"])))
+        streams.append(s["data"])
+        any_alpha |= s["alpha"]
+    flags = 0
+    if params.perceptual:
+        flags |= HeaderFlags.SRGB
+    if any_alpha:
+        flags |= HeaderFlags.HAS_ALPHA_SLICES
+    return descs, streams, flags
+
+
 def _compress_xuastc_ldr(images, params: CompressorParams,
                          bw: int, bh: int) -> CompressorOutput:
     """XUASTC LDR (supercompressed ASTC): the direct ASTC candidate search
     plus the XUASTC entropy layer (codecs/astc/xuastc_encode.py, parity:
     the reference's astc_ldr_t encoder, encoder/basisu_astc_ldr_encode.cpp).
-    v1: single image/level, full-zstd syntax, no DCT."""
+    Layers (multiple images), mips, and cubemaps map to per-slice streams
+    with level-major SGD descs. v1 streams: full-zstd syntax, no DCT."""
     from .codecs.astc import xuastc_encode
 
-    assert len(images) == 1, "XUASTC LDR: one image per file (v1)"
-    img = np.asarray(images[0])
-    if img.ndim == 2:
-        img = img[..., None].repeat(3, axis=-1)
-    if img.shape[-1] == 3:
-        img = np.concatenate(
-            [img, np.full(img.shape[:2] + (1,), 255, np.uint8)], axis=-1)
-    has_alpha = bool((img[..., 3] != 255).any())
-    stream = xuastc_encode.encode_image(
-        img, bw, bh, has_alpha=has_alpha, srgb=params.perceptual,
-        effort=params.effort)
-    h, w = img.shape[:2]
-    desc = basis_file.SliceDesc(
-        image_index=0, level_index=0,
-        flags=int(SliceDescFlags.HAS_ALPHA) if has_alpha else 0,
-        orig_width=w, orig_height=h,
-        num_blocks_x=-(-w // bw), num_blocks_y=-(-h // bh),
-        slice_data_crc16=crc16(stream))
-    flags = 0
-    if params.perceptual:
-        flags |= HeaderFlags.SRGB
-    if has_alpha:
-        flags |= HeaderFlags.HAS_ALPHA_SLICES
+    slices = _xu_encode_slices(
+        images, params,
+        lambda img, ha: xuastc_encode.encode_image(
+            img, bw, bh, has_alpha=ha, srgb=params.perceptual,
+            effort=params.effort),
+        bw, bh)
+    descs, streams, flags = _xu_basis_slices(slices, params)
     data = basis_file.write_basis_file(
-        params.tex_format, [desc], [stream],
+        params.tex_format, descs, streams,
         tex_type=params.tex_type, flags=int(flags),
         userdata0=params.userdata0, userdata1=params.userdata1)
+    base = slices[0]
+    level_count, layer_count, face_count, info = _ktx2_layout(params, slices)
+    order = sorted(range(len(slices)),
+                   key=lambda i: (info[i]["level"], info[i]["layer"],
+                                  info[i]["face"]))
     ktx2_data = ktx2.write_ktx2_xuastc(
-        base_width=w, base_height=h, stream=stream,
-        block_w=bw, block_h=bh, srgb=params.perceptual)
+        base_width=base["orig_width"], base_height=base["orig_height"],
+        block_w=bw, block_h=bh, srgb=params.perceptual,
+        slice_blocks=[slices[i]["data"] for i in order],
+        slice_info=[info[i] for i in order],
+        level_count=level_count, layer_count=layer_count,
+        face_count=face_count)
     return CompressorOutput(
         basis_data=data, ktx2_data=ktx2_data,
         num_endpoints=0, num_selectors=0,
@@ -554,43 +602,38 @@ def _compress_xubc7(images, params: CompressorParams) -> CompressorOutput:
     """XUBC7 (supercompressed BC7): RGBA → BC7 blocks (ops/transcode
     mode-5 encoder) → lossless XUBC7 blob stream
     (codecs/bc7/xbc7_encode.py, parity: the reference's xbc7 encoder —
-    the stream decodes byte-exact to the BC7 input). v1: single
-    image/level, lossless syntax only."""
+    the stream decodes byte-exact to the BC7 input). Layers/mips/cubemaps
+    map to per-slice streams with level-major SGD descs. v1 streams:
+    lossless syntax only."""
     from .codecs.bc7 import xbc7_encode
     from .ops import transcode as tc_ops
-    from .ops.etc1 import image_to_blocks
 
-    assert len(images) == 1, "XUBC7: one image per file (v1)"
-    img = np.asarray(images[0])
-    if img.ndim == 2:
-        img = img[..., None].repeat(3, axis=-1)
-    if img.shape[-1] == 3:
-        img = np.concatenate(
-            [img, np.full(img.shape[:2] + (1,), 255, np.uint8)], axis=-1)
-    has_alpha = bool((img[..., 3] != 255).any())
-    h, w = img.shape[:2]
-    blocks = image_to_blocks(img)
-    nby, nbx = blocks.shape[:2]
-    px = blocks.reshape(-1, 16, 4).astype(np.float64)
-    bc7 = np.asarray(tc_ops.rgba_blocks_to_bc7_m5(px), np.uint8).reshape(-1, 16)
-    stream = xbc7_encode.encode_blocks(bc7, w, h)
-    desc = basis_file.SliceDesc(
-        image_index=0, level_index=0,
-        flags=int(SliceDescFlags.HAS_ALPHA) if has_alpha else 0,
-        orig_width=w, orig_height=h,
-        num_blocks_x=nbx, num_blocks_y=nby,
-        slice_data_crc16=crc16(stream))
-    flags = 0
-    if params.perceptual:
-        flags |= HeaderFlags.SRGB
-    if has_alpha:
-        flags |= HeaderFlags.HAS_ALPHA_SLICES
+    def encode_one(img, _has_alpha):
+        h, w = img.shape[:2]
+        blocks = image_to_blocks(img)
+        px = blocks.reshape(-1, 16, 4).astype(np.float64)
+        bc7 = np.asarray(tc_ops.rgba_blocks_to_bc7_m5(px),
+                         np.uint8).reshape(-1, 16)
+        return xbc7_encode.encode_blocks(bc7, w, h)
+
+    slices = _xu_encode_slices(images, params, encode_one, 4, 4)
+    descs, streams, flags = _xu_basis_slices(slices, params)
     data = basis_file.write_basis_file(
-        params.tex_format, [desc], [stream],
+        params.tex_format, descs, streams,
         tex_type=params.tex_type, flags=int(flags),
         userdata0=params.userdata0, userdata1=params.userdata1)
+    base = slices[0]
+    level_count, layer_count, face_count, info = _ktx2_layout(params, slices)
+    order = sorted(range(len(slices)),
+                   key=lambda i: (info[i]["level"], info[i]["layer"],
+                                  info[i]["face"]))
     ktx2_data = ktx2.write_ktx2_xubc7(
-        base_width=w, base_height=h, stream=stream, srgb=params.perceptual)
+        base_width=base["orig_width"], base_height=base["orig_height"],
+        srgb=params.perceptual,
+        slice_blocks=[slices[i]["data"] for i in order],
+        slice_info=[info[i] for i in order],
+        level_count=level_count, layer_count=layer_count,
+        face_count=face_count)
     return CompressorOutput(
         basis_data=data, ktx2_data=ktx2_data,
         num_endpoints=0, num_selectors=0,

@@ -195,20 +195,42 @@ def xuastc_ldr_dfd(srgb: bool, block_w: int, block_h: int) -> bytes:
                     bytes_per_block=16, srgb=srgb, channels=channels)
 
 
+def _xu_sgd(slice_blocks: List[bytes], slice_info: List[dict],
+            level_count: int, sig: Optional[int] = None) -> bytes:
+    """XUASTC/XUBC7 SGD: one (offset-within-level, length, signature) desc
+    per slice, ordered level-major (the order the reference's -tex_array /
+    -mipmap KTX2 output carries them). sig None = first-u16 of each stream
+    (XUASTC); a fixed value (0x1B7) for XUBC7."""
+    level_ofs = [0] * max(1, level_count)
+    sgd = b""
+    for data, info in zip(slice_blocks, slice_info):
+        s = struct.unpack_from("<H", data, 0)[0] if sig is None else sig
+        sgd += struct.pack("<3I", level_ofs[info["level"]], len(data), s)
+        level_ofs[info["level"]] += len(data)
+    return sgd
+
+
 def write_ktx2_xuastc(
-    *, base_width: int, base_height: int, stream: bytes,
+    *, base_width: int, base_height: int, stream: Optional[bytes] = None,
     block_w: int, block_h: int, srgb: bool = True,
     key_values: Optional[Dict[str, bytes]] = None,
+    slice_blocks: Optional[List[bytes]] = None,
+    slice_info: Optional[List[dict]] = None,
+    level_count: int = 1, layer_count: int = 1, face_count: int = 1,
 ) -> bytes:
     """XUASTC LDR KTX2: vk_format 0, supercompression scheme 5, SGD =
-    one (offset, length, first-u16-signature) slice desc."""
-    sig = struct.unpack_from("<H", stream, 0)[0]
-    sgd = struct.pack("<3I", 0, len(stream), sig)
+    per-slice (offset, length, first-u16-signature) descs. Single-image
+    callers pass stream=; arrays/mips/cubemaps pass slice_blocks +
+    slice_info in level-major order."""
+    if slice_blocks is None:
+        slice_blocks = [stream]
+        slice_info = [dict(level=0, layer=0, face=0)]
+    sgd = _xu_sgd(slice_blocks, slice_info, level_count)
     return _write_ktx2_blocks(
         base_width=base_width, base_height=base_height,
-        level_count=1, layer_count=1, face_count=1,
-        slice_blocks=[stream],
-        slice_info=[dict(level=0, layer=0, face=0)],
+        level_count=level_count, layer_count=layer_count,
+        face_count=face_count,
+        slice_blocks=slice_blocks, slice_info=slice_info,
         dfd=xuastc_ldr_dfd(srgb, block_w, block_h), vk_format=0,
         zstd_level=0, supercompression=False,
         key_values=key_values, block_w=block_w, block_h=block_h,
@@ -224,18 +246,25 @@ def xubc7_dfd(srgb: bool) -> bytes:
 
 
 def write_ktx2_xubc7(
-    *, base_width: int, base_height: int, stream: bytes,
+    *, base_width: int, base_height: int, stream: Optional[bytes] = None,
     srgb: bool = True,
     key_values: Optional[Dict[str, bytes]] = None,
+    slice_blocks: Optional[List[bytes]] = None,
+    slice_info: Optional[List[dict]] = None,
+    level_count: int = 1, layer_count: int = 1, face_count: int = 1,
 ) -> bytes:
-    """XUBC7 KTX2: vk_format 0, supercompression scheme 6, SGD =
-    (0, length, 0x1B7) — the constant signature the reference writes."""
-    sgd = struct.pack("<3I", 0, len(stream), 0x1B7)
+    """XUBC7 KTX2: vk_format 0, supercompression scheme 6, SGD = per-slice
+    (offset, length, 0x1B7) descs — 0x1B7 is the constant signature the
+    reference writes."""
+    if slice_blocks is None:
+        slice_blocks = [stream]
+        slice_info = [dict(level=0, layer=0, face=0)]
+    sgd = _xu_sgd(slice_blocks, slice_info, level_count, sig=0x1B7)
     return _write_ktx2_blocks(
         base_width=base_width, base_height=base_height,
-        level_count=1, layer_count=1, face_count=1,
-        slice_blocks=[stream],
-        slice_info=[dict(level=0, layer=0, face=0)],
+        level_count=level_count, layer_count=layer_count,
+        face_count=face_count,
+        slice_blocks=slice_blocks, slice_info=slice_info,
         dfd=xubc7_dfd(srgb), vk_format=0,
         zstd_level=0, supercompression=False,
         key_values=key_values, block_w=4, block_h=4,
@@ -466,6 +495,15 @@ class Ktx2File:
             return zstandard.ZstdDecompressor().decompress(
                 raw, max_output_size=li.uncompressed_byte_length)
         return raw
+
+    def xu_slice_descs(self) -> List[tuple]:
+        """XUASTC/XUBC7 SGD: [(offset-within-level, length, sig)] per slice,
+        level-major (level, layer, face) order — the layout the reference's
+        -tex_array/-mipmap/-cubemap KTX2 output carries."""
+        sgd = self.data[self.sgd_byte_offset:
+                        self.sgd_byte_offset + self.sgd_byte_length]
+        return [struct.unpack_from("<3I", sgd, i * 12)
+                for i in range(len(sgd) // 12)]
 
     # --- ETC1S (BasisLZ) global data ---
     def etc1s_global_data(self):

@@ -836,10 +836,12 @@ class Ktx2Transcoder:
                 fmt, self.file.level_data(level), nbx, nby, w, h)
         if isinstance(self._engine, (XuastcLdrTranscodeEngine,
                                      Xubc7TranscodeEngine)):
-            if layer or face:
-                raise NotImplementedError(
-                    "XUASTC/XUBC7 KTX2 layers/faces not implemented yet")
             data = self.file.level_data(level)
+            if layers * faces > 1 or level:
+                descs = self.file.xu_slice_descs()
+                if idx < len(descs):
+                    ofs, ln, _sig = descs[idx]
+                    data = data[ofs:ofs + ln]
             if isinstance(self._engine, XuastcLdrTranscodeEngine):
                 c, _ = self._engine.physical_blocks(data)
                 nbx = -(-w // c.block_w)

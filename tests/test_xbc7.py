@@ -137,3 +137,48 @@ def test_encode_oracle_conformance(golden_dir, oracle, tmp_path):
     data = K.Ktx2File(out.ktx2_data).level_data(0)
     _, bc7 = xbc7_decode.decode_bc7(data)
     assert raw[64 + kv + 4:] == bc7.tobytes()
+
+
+def test_ktx2_array_multilayer(golden_dir, oracle):
+    """XUBC7 multi-layer KTX2: oracle array decodes pixel-exact per layer;
+    our layered+mipped encode keeps per-slice streams decodable."""
+    from basis_universal_tpu import compressor
+    from basis_universal_tpu.formats.constants import (
+        BasisTexFormat, TranscoderTextureFormat as TF)
+    from basis_universal_tpu.transcoder import Ktx2Transcoder
+
+    arr = golden_dir / "xb_arr.ktx2"
+    if not arr.exists():
+        subprocess.run(
+            [str(oracle), "-xubc7", "-tex_array",
+             str(TEST_FILES / "kodim03.png"), str(TEST_FILES / "kodim23.png"),
+             "-ktx2", "-output_file", str(arr)],
+            check=True, capture_output=True, timeout=1200)
+        subprocess.run([str(oracle), "-unpack", str(arr)], cwd=golden_dir,
+                       check=True, capture_output=True, timeout=1200)
+    t = Ktx2Transcoder(arr.read_bytes())
+    assert t.get_layers() == 2
+    for lay in range(2):
+        ours = t.transcode_image_level(0, lay, 0, TF.RGBA32).copy()
+        ref = np.asarray(Image.open(
+            golden_dir / ("xb_arr_unpacked_rgb_BC7_RGBA_face_0_"
+                          f"layer_{lay:04d}.png")).convert("RGBA")).copy()
+        ours[..., 3] = 255
+        ref[..., 3] = 255
+        np.testing.assert_array_equal(ours, ref)
+
+    i0 = np.asarray(Image.open(
+        TEST_FILES / "kodim03.png").convert("RGBA"))[:64, :80]
+    i1 = np.asarray(Image.open(
+        TEST_FILES / "kodim23.png").convert("RGBA"))[:64, :80]
+    out = compressor.compress([i0, i1], compressor.CompressorParams(
+        tex_format=BasisTexFormat.XUBC7, mip_gen=True,
+        mip_smallest_dimension=16))
+    t2 = Ktx2Transcoder(out.ktx2_data)
+    assert t2.get_layers() == 2 and t2.get_levels() >= 2
+    for lay, src in ((0, i0), (1, i1)):
+        rgba = t2.transcode_image_level(0, lay, 0, TF.RGBA32)
+        mse = ((rgba[..., :3].astype(np.float64)
+                - src[..., :3].astype(np.float64)) ** 2).mean()
+        assert 10 * np.log10(255.0 ** 2 / mse) > 30.0
+    assert t2.transcode_image_level(1, 1, 0, TF.RGBA32).shape == (32, 40, 4)

@@ -188,3 +188,55 @@ def test_ktx2_transcoder_xuastc_path(golden_dir, oracle):
     ref = _ref_unpack_rgba(golden_dir, "xu_k23_6x6").copy()
     ref[..., 3] = 255
     np.testing.assert_array_equal(rgba, ref)
+
+
+def test_ktx2_array_and_mips(golden_dir, oracle):
+    """Multi-slice KTX2 (SGD per-slice descs): oracle arrays/mips decode
+    pixel-exact, and our multi-layer encode round-trips through the
+    oracle."""
+    import subprocess
+
+    import numpy as np
+    from PIL import Image
+
+    from basis_universal_tpu import compressor
+    from basis_universal_tpu.formats.constants import (
+        BasisTexFormat, TranscoderTextureFormat as TF)
+    from basis_universal_tpu.transcoder import Ktx2Transcoder
+
+    arr = golden_dir / "xu_arr.ktx2"
+    if not arr.exists():
+        subprocess.run(
+            [str(oracle), "-ldr_4x4i", "-tex_array",
+             str(TEST_FILES / "kodim03.png"), str(TEST_FILES / "kodim23.png"),
+             "-ktx2", "-output_file", str(arr)],
+            check=True, capture_output=True, timeout=1200)
+        subprocess.run([str(oracle), "-unpack", str(arr)], cwd=golden_dir,
+                       check=True, capture_output=True, timeout=1200)
+    t = Ktx2Transcoder(arr.read_bytes())
+    assert t.get_layers() == 2
+    for lay in range(2):
+        ours = t.transcode_image_level(0, lay, 0, TF.RGBA32)
+        ref = np.asarray(Image.open(
+            golden_dir / ("xu_arr_unpacked_rgba_ASTC_LDR_4X4_RGBA_"
+                          f"face_0_layer_{lay:04d}.png")).convert("RGBA"))
+        np.testing.assert_array_equal(ours, ref)
+
+    # our own 2-layer encode: reference CLI must unpack it identically
+    i0 = np.asarray(Image.open(
+        TEST_FILES / "kodim03.png").convert("RGBA"))[:64, :80]
+    i1 = np.asarray(Image.open(
+        TEST_FILES / "kodim23.png").convert("RGBA"))[:64, :80]
+    out = compressor.compress([i0, i1], compressor.CompressorParams(
+        tex_format=BasisTexFormat.XUASTC_LDR_4x4))
+    p = golden_dir / "xu_ours_arr.ktx2"
+    p.write_bytes(out.ktx2_data)
+    subprocess.run([str(oracle), "-unpack", str(p)], cwd=golden_dir,
+                   check=True, capture_output=True, timeout=1200)
+    t2 = Ktx2Transcoder(out.ktx2_data)
+    for lay in range(2):
+        ours = t2.transcode_image_level(0, lay, 0, TF.RGBA32)
+        ref = np.asarray(Image.open(
+            golden_dir / ("xu_ours_arr_unpacked_rgba_ASTC_LDR_4X4_RGBA_"
+                          f"face_0_layer_{lay:04d}.png")).convert("RGBA"))
+        np.testing.assert_array_equal(ours, ref)
