@@ -18,6 +18,7 @@ with neighbor references clipped to the stripe tile, and a seek table
 concurrently — mirrored from xbc7_decode._decode_stripe.
 """
 
+import math
 import struct
 
 import numpy as np
@@ -27,10 +28,30 @@ from .xbc7_decode import (
     BLOB_MAGIC_BEGIN, BLOB_MAGIC_END,
     B_HEADER, B_COMMANDS, B_CONFIG, B_PART2, B_PART3, B_PREDICTORS,
     B_DC_SMALL, B_AC, B_SIGNS, B_PBITS,
+    B_EP_FINE_R, B_EP_COARSE_R,
     B_EP_RAW, B_RAW_WEIGHTS, B_SOLID_DELTAS, B_SEEK,
+    B_WT_RESID2, B_WT_RESID3, B_WT_RESID4,
     CMD_REPEAT_LAST, CMD_REPEAT_UPPER, CMD_SOLID_DPCM, CMD_NEW_CONFIG,
-    EP_RAW, CAND_ABSOLUTE, _stripe_ranges,
+    CMD_REUSE_LEFT, CMD_REUSE_UPPER, CMD_REUSE_LDIAG, CMD_REUSE_RDIAG,
+    EP_RAW, EP_DPCM_LEFT, EP_DPCM_UP, EP_DPCM_LDIAG, EP_DPCM_RDIAG,
+    CAND_ABSOLUTE, CAND_LU_BLEND, CAND_GRADIENT, CAND_MED,
+    CAND_FIRST_XY_DELTA, TOTAL_CANDIDATES,
+    eval_weight_predictor, _stripe_ranges,
 )
+
+# weight predictor shortlist: absolute + copy-left/up + the structural
+# predictors that win most often (full 50-candidate search is the
+# reference's encode-side speed/ratio knob; this subset captures the bulk
+# of the gain at ~10% of the eval cost)
+_WT_CANDS = (CAND_FIRST_XY_DELTA + 0,   # copy left block
+             CAND_FIRST_XY_DELTA + 7,   # copy upper block
+             CAND_LU_BLEND, CAND_GRADIENT, CAND_MED)
+
+
+def _resid_cost(r: int, modulus: int) -> float:
+    """Approximate entropy-coded size (bits) of a wrapped residual byte."""
+    m = min(r, modulus - r)
+    return 1.0 + 2.0 * math.log2(1.0 + m)
 
 
 class _LsbBitWriter:
@@ -51,6 +72,56 @@ class _LsbBitWriter:
             self.bit += 1
 
 
+def _ep_dpcm_residuals(pred_blk, pred_subset, blk, subset, has_alpha):
+    """Inverse of L.endpoint_dpcm_decode: residual bytes (+ per-byte cost
+    moduli) and pbit residuals that reconstruct blk.endpoints[subset]
+    exactly through the decoder."""
+    pred = L.unpack_endpoints(pred_blk, pred_subset)
+    if pred_blk.is_dual_plane():
+        pccs = pred_blk.get_color_component_selector()
+        pred[0][pccs], pred[0][3] = pred[0][3], pred[0][pccs]
+        pred[1][pccs], pred[1][3] = pred[1][3], pred[1][pccs]
+    ccs = blk.get_color_component_selector()
+    if blk.is_dual_plane():
+        pred[0][ccs], pred[0][3] = pred[0][3], pred[0][ccs]
+        pred[1][ccs], pred[1][3] = pred[1][3], pred[1][ccs]
+
+    packed_lo, packed_hi, packed_pbits = L.pack_endpoints_int(
+        blk.mode, pred[0], pred[1])
+    num_comps = blk.get_num_comps()
+    fmt = L.ENDPOINT_FORMATS[blk.mode]
+    g_channel, a_channel = 1, 3
+    if blk.is_dual_plane():
+        a_channel = ccs
+        if ccs == 1:
+            g_channel = 3
+
+    num_residuals = num_comps * 2
+    if (not has_alpha) and blk.mode == 6:
+        num_residuals = 6
+
+    delta = [0] * 8
+    moduli = [256] * 8
+    for c in range(num_residuals >> 1):
+        nb = blk.endpoint_bits[c == 3]
+        mask = (1 << nb) - 1
+        delta[c * 2 + 0] = (int(blk.endpoints[subset][0][c])
+                            - packed_lo[c]) & mask
+        delta[c * 2 + 1] = (int(blk.endpoints[subset][1][c])
+                            - packed_hi[c]) & mask
+        if c == g_channel or c == a_channel:
+            moduli[c * 2] = moduli[c * 2 + 1] = mask + 1
+    res = list(delta)
+    for c in range(num_residuals >> 1):
+        if c == g_channel or c == a_channel:
+            continue
+        res[c * 2 + 0] = (delta[c * 2 + 0] - delta[g_channel * 2 + 0]) & 0xFF
+        res[c * 2 + 1] = (delta[c * 2 + 1] - delta[g_channel * 2 + 1]) & 0xFF
+    rp = [(int(blk.pbits[subset * fmt[2] + p]) - packed_pbits[p]) & 1
+          for p in range(fmt[2])]
+    return res[:num_residuals], moduli[:num_residuals], rp
+
+
 def _encode_stripe(stripe, nbx, log_blks, phys, has_alpha, streams, bits):
     first_row, n_rows = stripe
     end_row = first_row + n_rows
@@ -68,7 +139,12 @@ def _encode_stripe(stripe, nbx, log_blks, phys, has_alpha, streams, bits):
     predictors = streams[B_PREDICTORS]
     solid_deltas = streams[B_SOLID_DELTAS]
     raw_weights = streams[B_RAW_WEIGHTS]
+    wt_resid = {2: streams[B_WT_RESID2], 3: streams[B_WT_RESID3],
+                4: streams[B_WT_RESID4]}
+    ep_fine = [streams[B_EP_FINE_R + c] for c in range(4)]
+    ep_coarse = [streams[B_EP_COARSE_R + c] for c in range(4)]
     ep_raw = bits[B_EP_RAW]
+    pbits_r = bits[B_PBITS]
 
     for by in range(first_row, end_row):
         for bx in range(nbx):
@@ -76,6 +152,8 @@ def _encode_stripe(stripe, nbx, log_blks, phys, has_alpha, streams, bits):
             pbytes = phys[i]
             left = neighbor(bx - 1, by)
             up = neighbor(bx, by - 1)
+            ldiag = neighbor(bx - 1, by - 1)
+            rdiag = neighbor(bx + 1, by - 1)
 
             if left is not None and phys[i - 1] == pbytes:
                 commands.append(CMD_REPEAT_LAST)
@@ -118,39 +196,124 @@ def _encode_stripe(stripe, nbx, log_blks, phys, has_alpha, streams, bits):
                     log_blks[by][bx] = solid
                     continue
 
-            # raw block: new config, EP_RAW, absolute raw weights
-            commands.append(CMD_NEW_CONFIG | (EP_RAW << 3))
-            cfg = blk.mode
-            if blk.num_planes == 2:
-                cfg |= blk.dp_rotation_index << 3
-            if blk.mode == 4:
-                cfg |= blk.mode4_index_selector << 5
-            configs.append(cfg)
+            # ---- config: reuse a matching neighbor's (mode, rot, sel)
+            cmd = CMD_NEW_CONFIG
+            for rc, nb_blk in ((CMD_REUSE_LEFT, left), (CMD_REUSE_UPPER, up),
+                               (CMD_REUSE_LDIAG, ldiag),
+                               (CMD_REUSE_RDIAG, rdiag)):
+                if (nb_blk is not None and nb_blk.mode == blk.mode
+                        and nb_blk.dp_rotation_index == blk.dp_rotation_index
+                        and nb_blk.mode4_index_selector
+                        == blk.mode4_index_selector):
+                    cmd = rc
+                    break
+
+            # ---- endpoints: best DPCM predictor vs raw (cost in bits)
+            fmt = L.ENDPOINT_FORMATS[blk.mode]
+            num_comps = blk.get_num_comps()
+            raw_bits = blk.num_partitions * 2 * sum(
+                blk.endpoint_bits[c == 3] for c in range(num_comps)) \
+                + blk.num_pbits
+            best = (EP_RAW, float(raw_bits), None)
+            # no-alpha mode-6 DPCM decode forces A endpoints to 127; only
+            # lossless when the input block already carries them
+            dpcm_ok = not ((not has_alpha) and blk.mode == 6
+                           and not (blk.endpoints[0][0][3] == 127
+                                    and blk.endpoints[0][1][3] == 127))
+            for em, pred_blk in ((EP_DPCM_LEFT, left), (EP_DPCM_UP, up),
+                                 (EP_DPCM_LDIAG, ldiag),
+                                 (EP_DPCM_RDIAG, rdiag)):
+                if pred_blk is None or not dpcm_ok:
+                    continue
+                cost = 0.0
+                payload = []
+                for subset in range(blk.num_partitions):
+                    res, mods, rp = _ep_dpcm_residuals(
+                        pred_blk, 0, blk, subset, has_alpha)
+                    cost += sum(_resid_cost(r, m)
+                                for r, m in zip(res, mods)) + len(rp)
+                    payload.append((res, rp))
+                if cost < best[1]:
+                    best = (em, cost, payload)
+
+            ep_mode = best[0]
+            commands.append(cmd | (ep_mode << 3))
+            if cmd == CMD_NEW_CONFIG:
+                cfg = blk.mode
+                if blk.num_planes == 2:
+                    cfg |= blk.dp_rotation_index << 3
+                if blk.mode == 4:
+                    cfg |= blk.mode4_index_selector << 5
+                configs.append(cfg)
             if blk.num_partitions == 2:
                 part2.append(blk.pattern_index)
             elif blk.num_partitions == 3:
                 part3.append(blk.pattern_index)
 
-            num_comps = blk.get_num_comps()
-            for subset in range(blk.num_partitions):
-                for c in range(num_comps):
-                    for e in range(2):
-                        ep_raw.put(int(blk.endpoints[subset][e][c]),
-                                   blk.endpoint_bits[c == 3])
-            for pb in range(blk.num_pbits):
-                ep_raw.put(int(blk.pbits[pb]), 1)
+            if ep_mode == EP_RAW:
+                for subset in range(blk.num_partitions):
+                    for c in range(num_comps):
+                        for e in range(2):
+                            ep_raw.put(int(blk.endpoints[subset][e][c]),
+                                       blk.endpoint_bits[c == 3])
+                for pb in range(blk.num_pbits):
+                    ep_raw.put(int(blk.pbits[pb]), 1)
+            else:
+                fine = blk.endpoint_bits[0] >= 6
+                for res, rp in best[2]:
+                    for k in range(0, len(res), 2):
+                        strm = (ep_fine if fine else ep_coarse)[k >> 1]
+                        strm.append(res[k])
+                        strm.append(res[k + 1])
+                    for p in rp:
+                        pbits_r.put(p, 1)
 
-            predictors.append(CAND_ABSOLUTE)
-            for p in range(blk.num_planes):
+            # ---- weights: best predictor (DPCM) vs absolute
+            planes = blk.num_planes
+            wt_best = (CAND_ABSOLUTE, float(sum(
+                32 if blk.weight_bits[p] == 2 else 64 for p in range(planes))),
+                None)
+            for cand in _WT_CANDS:
+                cost = 0.0
+                plane_preds = []
+                ok = True
+                for p in range(planes):
+                    preds = eval_weight_predictor(cand, 0, bx, by, tile,
+                                                  log_blks, p)
+                    if preds is None:
+                        ok = False
+                        break
+                    nb = blk.weight_bits[p]
+                    mask = (1 << nb) - 1
+                    for k in range(16):
+                        s = (int(blk.weights[p][k])
+                             - L.quant_weight(preds[k], nb)) & mask
+                        cost += _resid_cost(s, mask + 1)
+                    plane_preds.append(preds)
+                if ok and cost < wt_best[1]:
+                    wt_best = (cand, cost, plane_preds)
+
+            cand = wt_best[0]
+            predictors.append(cand)
+            for p in range(planes):
                 nb = blk.weight_bits[p]
-                w = [int(blk.weights[p][k]) for k in range(16)]
+                mask = (1 << nb) - 1
+                if cand == CAND_ABSOLUTE:
+                    syms = [int(blk.weights[p][k]) for k in range(16)]
+                    strm = raw_weights
+                else:
+                    preds = wt_best[2][p]
+                    syms = [(int(blk.weights[p][k])
+                             - L.quant_weight(preds[k], nb)) & mask
+                            for k in range(16)]
+                    strm = wt_resid[nb]
                 if nb == 2:
                     for k in range(0, 16, 4):
-                        raw_weights.append(w[k] | (w[k + 1] << 2)
-                                           | (w[k + 2] << 4) | (w[k + 3] << 6))
+                        strm.append(syms[k] | (syms[k + 1] << 2)
+                                    | (syms[k + 2] << 4) | (syms[k + 3] << 6))
                 else:
                     for k in range(0, 16, 2):
-                        raw_weights.append(w[k] | (w[k + 1] << 4))
+                        strm.append(syms[k] | (syms[k + 1] << 4))
             log_blks[by][bx] = blk
 
 
