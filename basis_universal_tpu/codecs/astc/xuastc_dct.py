@@ -168,6 +168,97 @@ def get_max_span_len(blk, cems_mod) -> float:
     return span, span
 
 
+def quantize_deadzone(d: float, L: int, alpha: float, x: int, y: int) -> int:
+    """Inverse of dequant_deadzone (grid_weight_dct::quantize_deadzone,
+    transcoder/basisu_transcoder_internal.h:1920): mid-tread for the two
+    lowest-frequency ACs, dead-zone + mid-tread elsewhere."""
+    if (x == 1 and y == 0) or (x == 0 and y == 1):
+        # round-half-away-from-zero (std::round semantics)
+        r = d / float(L)
+        return int(math.floor(r + 0.5)) if r >= 0 else int(math.ceil(r - 0.5))
+    if L <= 0:
+        return 0
+    s = abs(float(d))
+    tau = alpha * float(L)
+    if s <= tau:
+        return 0
+    qv = int(math.floor((s - tau) / float(L) + 0.5))
+    return -qv if d < 0.0 else qv
+
+
+def fdct2(spatial: np.ndarray) -> np.ndarray:
+    """(gh, gw) spatial samples → DCT coefficients. Exact inverse pair of
+    idct2 (the stored bases are orthonormal: forward = M @ x per axis;
+    dct2f::forward, transcoder/basisu_idct.h). Encode-side float drift only
+    shifts quant decisions — the decoder reconstructs from the emitted
+    integer syms, so conformance is unaffected."""
+    gh, gw = spatial.shape
+    src = spatial.astype(np.float32)
+    mc = _idct_matrix(gh)           # (gh, gh): spatial = mc.T @ coeffs
+    tmp = mc @ src                  # columns
+    mr = _idct_matrix(gw)
+    return tmp @ mr.T               # rows
+
+
+def code_block_weights(q: float, plane_index: int, blk,
+                       block_width: int, block_height: int,
+                       span_len: float):
+    """Forward path of the weight-grid DCT (code_block_weights,
+    encoder/basisu_astc_ldr_encode.cpp:282): dequantize the plane's ISE
+    weights to 0..64, mean-subtract, forward-DCT, dead-zone quantize with
+    the adaptive table, zigzag-RLE. Returns (dc_sym, num_dc_levels, coeffs)
+    with coeffs = [(num_zeros, coeff), ...] and a trailing (n, None) EOB
+    entry when trailing zeros remain."""
+    f = np.float32
+    gw, gh = blk.grid_width, blk.grid_height
+    total = gw * gh
+    num_planes = 2 if blk.dual_plane else 1
+    wtab = XT.weight_tab(blk.weight_ise_range)
+
+    vals = np.array([float(wtab.ise_to_val[
+        blk.weights[i * num_planes + plane_index]]) for i in range(total)],
+        dtype=np.float32)
+
+    scale = SCALED_WEIGHT_BASE_CODING_SCALE
+    if blk.weight_ise_range <= 5:       # BISE_8_LEVELS
+        scale = 1.0 / 8.0
+    mean = f(vals.sum()) / f(total)
+    # std::round = half away from zero (mean >= 0 here)
+    scaled_mean = float(np.floor(f(scale) * mean + f(0.5)))
+    scaled_mean = min(max(scaled_mean, 0.0), 64.0 * scale)
+    mean_weight = f(scaled_mean) / f(scale)
+
+    dct = fdct2((vals - mean_weight).reshape(gh, gw)).reshape(-1)
+
+    level_scale = compute_level_scale(q, span_len, blk.weight_ise_range)
+    coeffs_q = np.zeros(total, dtype=np.int64)
+    for i in range(1, total):
+        y, x = i // gw, i % gw
+        L = sample_quant(q, level_scale, block_width, block_height, x, y)
+        coeffs_q[i] = quantize_deadzone(float(dct[i]), L, DEADZONE_ALPHA,
+                                        x, y)
+
+    zz = zigzag_order(gw, gh)
+    coeffs = []
+    total_zeros = 0
+    max_mag = 0
+    for i in range(total):
+        di = zz[i]
+        if di == 0:
+            continue
+        c = int(coeffs_q[di])
+        if c == 0:
+            total_zeros += 1
+            continue
+        coeffs.append((total_zeros, c))
+        max_mag = max(max_mag, abs(c))
+        total_zeros = 0
+    if total_zeros:
+        coeffs.append((total_zeros, None))      # EOB
+    num_dc_levels = get_num_weight_dc_levels(blk.weight_ise_range)
+    return int(scaled_mean), num_dc_levels, coeffs, max_mag
+
+
 def decode_block_weights_from_syms(q: float, plane_index: int, blk,
                                    block_width: int, block_height: int,
                                    dc_sym: int, coeffs, span_len: float):

@@ -114,9 +114,36 @@ def _tm_lookup(block_size_index: int):
             for i, t in enumerate(tms)}, len(tms)
 
 
+class _BlkShim:
+    """log_astc_block-shaped view of one planned block for the weight-grid
+    DCT helpers (xuastc_dct.get_max_span_len / code / decode)."""
+
+    __slots__ = ("cems", "endpoints", "endpoint_ise_range", "num_partitions",
+                 "dual_plane", "ccs", "grid_width", "grid_height",
+                 "weight_ise_range", "weights")
+
+    def __init__(self, cem, eps, ep_rng, gw, gh, wrng, weights):
+        self.cems = (cem,)
+        self.endpoints = list(eps)
+        self.endpoint_ise_range = ep_rng
+        self.num_partitions = 1
+        self.dual_plane = False
+        self.ccs = -1
+        self.grid_width = gw
+        self.grid_height = gh
+        self.weight_ise_range = wrng
+        self.weights = list(weights)
+
+
 def encode_image(rgba: np.ndarray, block_w: int, block_h: int,
-                 has_alpha: bool, srgb: bool, effort: int = 1) -> bytes:
-    """(H, W, 4) uint8 → full-zstd XUASTC LDR stream."""
+                 has_alpha: bool, srgb: bool, effort: int = 1,
+                 dct_quality=None) -> bytes:
+    """(H, W, 4) uint8 → full-zstd XUASTC LDR stream.
+
+    dct_quality: None = lossless entropy layer; 1-100 = weight-grid DCT
+    quantization at that JPEG-style quality (the reference's m_dct_quality,
+    encoder/basisu_astc_ldr_encode.h:46; stream contract decoded by
+    xuastc_ldr.decode_log_blocks and the reference transcoder)."""
     import zstandard
 
     h, w = rgba.shape[:2]
@@ -142,14 +169,25 @@ def encode_image(rgba: np.ndarray, block_w: int, block_h: int,
     w3 = _SimpleWriter()
     w4 = _SimpleWriter()
     w8 = _SimpleWriter()
+    mean0_w = _SimpleWriter()
+    mean1_w = _SimpleWriter()
+    run_w = _SimpleWriter()
+    coeff_w = _SimpleWriter()
+    sign_w = _SimpleWriter()
 
+    use_dct = dct_quality is not None and 0.0 < float(dct_quality) <= 100.0
     raw.put(0x01, 5)                      # FULL_ZSTD_HEADER_MARKER
     raw.put(bsi, 4)
     raw.put(1 if srgb else 0, 1)
     raw.put(w, 16)
     raw.put(h, 16)
     raw.put(1 if has_alpha else 0, 1)
-    raw.put(0, 1)                         # use_dct = 0 (v1)
+    raw.put(1 if use_dct else 0, 1)
+    if use_dct:
+        q = float(dct_quality)
+        raw.put(int(round(q * 2.0)), 8)   # dct_q stored in half-steps
+    else:
+        q = 0.0
 
     tm_hash = [-1] * XT.TM_HASH_SIZE
 
@@ -169,23 +207,48 @@ def encode_image(rgba: np.ndarray, block_w: int, block_h: int,
             return w4, 4, (15 if n_levels == 16 else None)
         return w8, 8, None
 
-    # precompute per-block emit tuples so runs can compare cheaply
+    # precompute per-block emit tuples so runs can compare cheaply.
+    # tuple: ("raw", tm_index, endpoints, weight_codes, n_weights,
+    #         weight_range, dct_syms-or-None)
+    from . import xuastc_dct as XD
+
+    coeff_thresh_cache = {}
     tuples = []
     for bi in range(nbx * nby):
         if solid[bi]:
             tuples.append(("solid", tuple(int(v) for v in uniq_color[bi])))
-        else:
-            ci = plan["config"][bi]
-            gw, gh, wrng, wb, ep_rng = plan["configs"][ci]
-            key = (gw, gh, cem, -1, ep_rng, wrng, 1)
-            tm_index = lookup.get(key)
-            if tm_index is None:
-                raise ValueError(f"no trial mode for config {key}")
-            tuples.append((
-                "raw", tm_index,
-                tuple(int(v) for v in plan["endpoints"][bi]),
-                tuple(int(v) for v in plan["codes"][bi]),
-                gw * gh, wrng))
+            continue
+        ci = plan["config"][bi]
+        gw, gh, wrng, wb, ep_rng = plan["configs"][ci]
+        key = (gw, gh, cem, -1, ep_rng, wrng, 1)
+        tm_index = lookup.get(key)
+        if tm_index is None:
+            raise ValueError(f"no trial mode for config {key}")
+        eps = tuple(int(v) for v in plan["endpoints"][bi])
+        codes = tuple(int(v) for v in plan["codes"][bi])
+        dct_syms = None
+        if use_dct:
+            blk = _BlkShim(cem, eps, ep_rng, gw, gh, wrng, codes)
+            span = XD.get_max_span_len(blk, XC)[0]
+            dc_sym, ndc, coeffs, max_mag = XD.code_block_weights(
+                q, 0, blk, block_w, block_h, span)
+            # fallback gates (compress_image_full_zstd,
+            # encoder/basisu_astc_ldr_encode.cpp:12671-12696)
+            thresh = coeff_thresh_cache.setdefault(
+                (gw, gh), (gw * gh * 45 + 64) >> 7)
+            ncoded = sum(1 for _, c in coeffs if c is not None)
+            if coeffs and max_mag <= 255 and ncoded <= thresh:
+                dct_syms = (dc_sym, ndc, tuple(coeffs))
+            # reconstruct the post-quant weights the decoder will see (the
+            # reference replaces the block's weights before emission even
+            # when the block later falls back to DPCM)
+            blk.weights = [0] * (gw * gh)
+            XD.decode_block_weights_from_syms(
+                q, 0, blk, block_w, block_h, dc_sym,
+                [c for c in coeffs if c[1] is not None], span)
+            codes = tuple(int(v) for v in blk.weights)
+        tuples.append(("raw", tm_index, eps, codes, gw * gh, wrng,
+                       dct_syms))
 
     prev_mid = None                      # decoded midpoint for solid DPCM
 
@@ -200,7 +263,7 @@ def encode_image(rgba: np.ndarray, block_w: int, block_h: int,
             return (0, 0, 0, 0)
         if prev[0] == "solid":
             return prev[1]
-        _, tm_index, eps, _codes, _nw, _wr = prev
+        _, tm_index, eps = prev[:3]
         tms = XT.encoder_trial_modes(bsi)
         t = tms[tm_index]
         pl, ph = XC.decode_endpoints(cem, list(eps), t.endpoint_ise_range)
@@ -234,11 +297,13 @@ def encode_image(rgba: np.ndarray, block_w: int, block_h: int,
             if has_alpha:
                 solid_w.put((a - pred[3]) & 0xFF, 8)
         else:
-            _, tm_index, eps, codes, nw, wrng = t
+            _, tm_index, eps, codes, nw, wrng, dct_syms = t
             hit = tm_hash[XT.tm_hash_index(tm_index)] == tm_index
             mode_byte = 0b110                     # RAW, cfg_reuse=3
             if hit:
                 mode_byte |= 1 << 6               # TM_HASH_HIT
+            if dct_syms is not None:
+                mode_byte |= 1 << 7               # XUASTC_LDR_MODE_BYTE_USE_DCT
             mode_w.put(mode_byte, 8)
             if hit:
                 raw.put(XT.tm_hash_index(tm_index), XT.TM_HASH_BITS)
@@ -247,15 +312,32 @@ def encode_image(rgba: np.ndarray, block_w: int, block_h: int,
                 tm_hash[XT.tm_hash_index(tm_index)] = tm_index
             tms = XT.encoder_trial_modes(bsi)
             encode_values(raw, list(eps), tms[tm_index].endpoint_ise_range)
-            # weight DPCM (rank space; plain-bit ranges: rank == symbol)
-            wtab = XT.weight_tab(wrng)
-            n_levels = int(wtab.ise_to_val.shape[0])
-            wr, nb, _mask = weight_writer(n_levels)
-            prev_w = n_levels // 2
-            for cidx in range(nw):
-                cur = int(wtab.ise_to_rank[codes[cidx]])
-                wr.put((cur - prev_w) % n_levels, nb)
-                prev_w = cur
+            if dct_syms is not None:
+                # DCT symbol streams (compress_image_full_zstd weight
+                # emission, encoder/basisu_astc_ldr_encode.cpp:12708-12748)
+                dc_sym, ndc, coeffs = dct_syms
+                from . import xuastc_dct as _XD
+                if ndc == _XD.DCT_MEAN_LEVELS1:
+                    mean1_w.put(dc_sym, 8)
+                else:
+                    mean0_w.put(dc_sym, 4)
+                for num_zeros, coeff in coeffs:
+                    if coeff is None:             # EOB
+                        run_w.put(_XD.DCT_RUN_LEN_EOB_SYM_INDEX, 8)
+                    else:
+                        run_w.put(num_zeros, 8)
+                        sign_w.put(1 if coeff < 0 else 0, 1)
+                        coeff_w.put(abs(coeff) - 1, 8)
+            else:
+                # weight DPCM (rank space; plain-bit ranges: rank == symbol)
+                wtab = XT.weight_tab(wrng)
+                n_levels = int(wtab.ise_to_val.shape[0])
+                wr, nb, _mask = weight_writer(n_levels)
+                prev_w = n_levels // 2
+                for cidx in range(nw):
+                    cur = int(wtab.ise_to_rank[codes[cidx]])
+                    wr.put((cur - prev_w) % n_levels, nb)
+                    prev_w = cur
         prev_tuple = t
         i += 1
 
@@ -276,6 +358,11 @@ def encode_image(rgba: np.ndarray, block_w: int, block_h: int,
     streams["weight3_bits"] = w3.to_bytes()
     streams["weight4_bits"] = w4.to_bytes()
     streams["weight8_bytes"] = w8.to_bytes()
+    streams["mean0_bits"] = mean0_w.to_bytes()
+    streams["mean1_bytes"] = mean1_w.to_bytes()
+    streams["run_bytes"] = run_w.to_bytes()
+    streams["coeff_bytes"] = coeff_w.to_bytes()
+    streams["sign_bits"] = sign_w.to_bytes()
 
     import struct
 

@@ -173,6 +173,29 @@ def _jitted_single(**knobs):
     return jax.jit(functools.partial(_frontend_impl, **knobs))
 
 
+@functools.lru_cache(maxsize=64)
+def _jitted_fused(**knobs):
+    """N same-shaped images in ONE device program.
+
+    `lax.map` runs the per-image pipeline sequentially inside a single
+    executable: the VMEM/HBM working set stays that of one image, but the
+    whole group costs one launch round-trip over the serving tunnel instead
+    of N (measured ~30 ms per executed program on the tunnel). Outputs are
+    returned as N separate per-image buffers — each ~120 KB, under the
+    transport's large-fetch cliff (see utils/transfer.py) — so the host can
+    fetch them concurrently.
+    """
+    impl = functools.partial(_frontend_impl, **knobs)
+
+    def fused(px_stack, seeds, left, up, e_t, s_t):
+        out = jax.lax.map(
+            lambda xs: impl(xs[0], xs[1], left, up, e_t, s_t),
+            (px_stack, seeds))
+        return tuple(out[i] for i in range(out.shape[0]))
+
+    return jax.jit(fused)
+
+
 def _knobs_and_neighbors(pixels_shape_b: int, params: FrontendParams,
                          neighbors):
     radius, kmeans_iters, refine_iters, sel_iters, topk = _effort_knobs(params.effort)
@@ -281,13 +304,22 @@ def compress_batch(pixels: np.ndarray, params: FrontendParams,
 
 
 def compress_batch_iter(pixels, params: FrontendParams,
-                        seed: int = 0, neighbors=None):
-    """Generator form of compress_batch: yields FrontendOutput per image as
-    each device program completes, so the caller's host-side entropy coding
-    overlaps with device compute of later images. pixels: (N, B, 16, 3)
-    array OR a list of N (B, 16, 3) arrays (avoids a host-side stack copy).
-    neighbors: optional list of per-image (left_idx, up_idx) arrays (or one
-    shared pair)."""
+                        seed: int = 0, neighbors=None, group_size: int = 4):
+    """Generator form of compress_batch: yields FrontendOutput per image.
+
+    pixels: (N, B, 16, 3) array OR a list of N per-image payloads (block
+    arrays or raw padded images). neighbors: optional list of per-image
+    (left_idx, up_idx) arrays (or one shared pair).
+
+    Images are fused into groups of `group_size` consecutive same-shaped
+    payloads, each group ONE device program (`_jitted_fused`): the serving
+    tunnel charges a ~30 ms round trip per executed program, so per-image
+    programs pay N round trips while fused groups pay N/group_size. All
+    groups dispatch asynchronously up front (the device runs them
+    back-to-back); per-image result buffers are fetched by a thread pool and
+    yielded in order, so the caller's host-side entropy coding overlaps with
+    device compute of later groups.
+    """
     n = len(pixels)
     raw = pixels[0].ndim == 3 and pixels[0].shape[1:] != (16, 3)
     if raw:
@@ -300,34 +332,58 @@ def compress_batch_iter(pixels, params: FrontendParams,
         nblocks, params, neighbors[0] if neighbors else None)
     import concurrent.futures as cf
 
-    fn = _jitted_single(raw_image=raw, **knobs)
-    # parallel uploads: the transport sustains ~10x more bandwidth with
-    # concurrent puts than with one serial stream
-    with cf.ThreadPoolExecutor(min(n, 8)) as ex:
-        dev_pixels = list(ex.map(device_put_chunked, pixels))
-    futures = []
-    for i in range(n):
-        if neighbors:
-            left = jnp.asarray(neighbors[i][0])
-            up = jnp.asarray(neighbors[i][1])
-        else:
-            left, up = left0, up0
-        futures.append(fn(
-            dev_pixels[i], seed + i, left, up,
-            float(params.endpoint_rdo_thresh),
-            float(params.selector_rdo_thresh)))
+    e_t = float(params.endpoint_rdo_thresh)
+    s_t = float(params.selector_rdo_thresh)
 
-    # concurrent fetch pool: the device tunnel charges a ~30 ms round trip
-    # per executed program and fetches serialize on one RPC stream, so a
-    # single prefetch thread pays (RTT + compute) per image. A pool of
-    # fetchers overlaps the round trips (measured: 8 programs fetch in
-    # ~40 ms pooled vs ~270 ms serial) while the caller's host-side entropy
-    # coding overlaps with device compute.
-    import concurrent.futures as cf
+    # consecutive same-shape runs, ramped 1 → 2 → group_size: the host's
+    # entropy coding (serial on this box's single CPU) is rate-matched with
+    # device compute, so small LEADING groups start the host pipeline after
+    # one image's compute instead of a full group's, while later groups
+    # amortize the per-program launch round trip over group_size images.
+    # (Runs split at orientation boundaries; flat block counts still match.)
+    groups = []
+    i = 0
+    ramp = 1
+    while i < n:
+        j = i + 1
+        while (j < n and j - i < min(ramp, group_size)
+               and pixels[j].shape == pixels[i].shape):
+            j += 1
+        groups.append((i, j - i))
+        ramp *= 2
+        i = j
 
-    with cf.ThreadPoolExecutor(min(n, 8)) as ex:
-        fetched = [ex.submit(lambda f=f: np.asarray(jax.device_get(f)))
-                   for f in futures]
+    fns = {cnt: _jitted_fused(raw_image=raw, **knobs)
+           for cnt in {c for _, c in groups}}
+
+    def _upload(g):
+        return device_put_chunked(np.stack(
+            [np.asarray(p) for p in pixels[g[0]:g[0] + g[1]]]))
+
+    with cf.ThreadPoolExecutor(min(max(len(groups), 1), 8)) as upl_ex, \
+            cf.ThreadPoolExecutor(min(n, 8)) as fetch_ex:
+        # all uploads run concurrently; dispatch each group the moment ITS
+        # upload lands (ex.map yields in order), so group 1 starts computing
+        # while later uploads are still in flight. Neighbor grids depend only
+        # on image orientation — dedupe their (synchronous) device uploads by
+        # array identity so they leave the critical path after the first use.
+        nbr_cache = {}
+
+        def _nbr(start):
+            l_np, u_np = neighbors[start]
+            key = (id(l_np), id(u_np))
+            if key not in nbr_cache:
+                nbr_cache[key] = (jnp.asarray(l_np), jnp.asarray(u_np))
+            return nbr_cache[key]
+
+        fetched = []
+        for (start, cnt), stack in zip(groups, upl_ex.map(_upload, groups)):
+            left, up = _nbr(start) if neighbors else (left0, up0)
+            seeds = jnp.arange(start, start + cnt, dtype=jnp.int32) + seed
+            outs = fns[cnt](stack, seeds, left, up, e_t, s_t)
+            fetched.extend(
+                fetch_ex.submit(lambda f=f: np.asarray(jax.device_get(f)))
+                for f in outs)
         for i in range(n):
             got = _unpack_result(fetched[i].result(), nblocks,
                                  knobs["num_e"], knobs["num_s"])

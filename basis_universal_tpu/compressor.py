@@ -276,8 +276,19 @@ def compress_batch(images, params: CompressorParams = CompressorParams()):
     # the GIL, so images assemble concurrently
     import concurrent.futures as cf
 
-    # uniform batch => identical neighbor grids: share ONE device upload
-    nbrs = _slice_neighbors(per_image[0])
+    # per-image neighbor grids, deduped by slice-grid signature (identical
+    # orientations SHARE one numpy pair so the frontend uploads each grid
+    # to the device once, not once per image)
+    _nbr_cache = {}
+
+    def _nbrs_for(sl):
+        key = tuple((s["num_blocks_x"], s["num_blocks_y"], s["alpha"])
+                    for s in sl)
+        if key not in _nbr_cache:
+            _nbr_cache[key] = _slice_neighbors(sl)
+        return _nbr_cache[key]
+
+    nbrs = [_nbrs_for(sl) for sl in per_image]
     with cf.ThreadPoolExecutor(8) as ex:
         futs = [
             ex.submit(_assemble, sl, fe, params)

@@ -16,6 +16,9 @@
 #if defined(__SSE2__)
 #include <emmintrin.h>
 #endif
+#if defined(__AVX2__)
+#include <immintrin.h>
+#endif
 #include <cstring>
 #include <queue>
 #include <vector>
@@ -49,9 +52,23 @@ struct Mtf {
     rover = MAX_SELECTOR_HISTORY_BUF_SIZE / 2;
   }
   int find(int32_t v) const {
-    for (uint32_t i = 0; i < MAX_SELECTOR_HISTORY_BUF_SIZE; i++)
-      if (values[i] == v) return (int)i;
+#if defined(__AVX2__)
+    const __m256i vv = _mm256_set1_epi32(v);
+    for (uint32_t i = 0; i < MAX_SELECTOR_HISTORY_BUF_SIZE; i += 8) {
+      __m256i eq = _mm256_cmpeq_epi32(
+          _mm256_loadu_si256((const __m256i*)&values[i]), vv);
+      uint32_t m = (uint32_t)_mm256_movemask_ps(_mm256_castsi256_ps(eq));
+      if (m) return (int)(i + (uint32_t)__builtin_ctz(m));
+    }
     return -1;
+#else
+    // branchless descending scan (first match = smallest index) so the
+    // compiler vectorizes the 64-entry compare instead of branching per slot
+    int r = -1;
+    for (int i = (int)MAX_SELECTOR_HISTORY_BUF_SIZE - 1; i >= 0; i--)
+      r = (values[i] == v) ? i : r;
+    return r;
+#endif
   }
   void add(int32_t v) {
     values[rover++] = v;
@@ -362,6 +379,44 @@ static inline uint64_t block_err(const uint8_t* px, const int32_t* pal,
   return e;
 }
 
+// Selector-class moments of one block: err(pal) = s2 + Σ_k n_k|c_k|² −
+// 2 Σ_k c_k·s1_k — exact integer identity with block_err (no rounding), so
+// scanning many candidate palettes costs ~16 multiplies each instead of a
+// 16-pixel pass. pal_norm: caller-precomputed |c_k|² per (endpoint, k).
+struct BlockMoments {
+  int32_t n[4];
+  int32_t s1[4][3];
+  int64_t s2;
+};
+
+static inline void calc_block_moments(const uint8_t* px, const uint8_t* pat,
+                                      BlockMoments& m) {
+  memset(&m, 0, sizeof(m));
+  int64_t s2 = 0;
+  for (int i = 0; i < 16; i++) {
+    const int k = pat[i];
+    const int r = px[i * 3], g = px[i * 3 + 1], b = px[i * 3 + 2];
+    m.n[k]++;
+    m.s1[k][0] += r;
+    m.s1[k][1] += g;
+    m.s1[k][2] += b;
+    s2 += r * r + g * g + b * b;
+  }
+  m.s2 = s2;
+}
+
+static inline uint64_t block_err_m(const BlockMoments& m, const int32_t* pal,
+                                   const int64_t* pal_norm4) {
+  int64_t e = m.s2;
+  for (int k = 0; k < 4; k++) {
+    const int32_t* c = pal + k * 3;
+    e += (int64_t)m.n[k] * pal_norm4[k] -
+         2 * ((int64_t)m.s1[k][0] * c[0] + (int64_t)m.s1[k][1] * c[1] +
+              (int64_t)m.s1[k][2] * c[2]);
+  }
+  return (uint64_t)e;
+}
+
 }  // namespace
 
 // Pass A. e_idx modified in place (old/unsorted index space).
@@ -380,6 +435,15 @@ int64_t etc1s_rdo_pred_pass(
   // dx,dy per pred index: 0=left, 1=up, 2=upper-left
   const int pdx[3] = {-1, 0, -1}, pdy[3] = {0, -1, -1};
 
+  // per-endpoint palette-color norms (see block_err_m)
+  std::vector<int64_t> pal_norm((size_t)num_e * 4);
+  for (int64_t t = 0; t < num_e; t++)
+    for (int k = 0; k < 4; k++) {
+      const int32_t* c = pal_colors + t * 12 + k * 3;
+      pal_norm[t * 4 + k] =
+          (int64_t)c[0] * c[0] + (int64_t)c[1] * c[1] + (int64_t)c[2] * c[2];
+    }
+
   for (int y = 0; y < by; y++) {
     for (int x = 0; x < bx; x++) {
       const int64_t bi = (int64_t)y * bx + x;
@@ -394,8 +458,10 @@ int64_t etc1s_rdo_pred_pass(
       if (best_pred == 4 && e_thresh > 0.0f) {
         const uint8_t* px = pixels + bi * 48;
         const uint8_t* pat = sel_pat + bi * 16;
-        uint64_t cur_err = block_err(px, pal_colors + (int64_t)e * 12, pat,
-                                     UINT64_MAX);
+        BlockMoments mom;
+        calc_block_moments(px, pat, mom);
+        uint64_t cur_err =
+            block_err_m(mom, pal_colors + (int64_t)e * 12, &pal_norm[e * 4]);
         if (cur_err) {
           const uint64_t thresh_err =
               (uint64_t)((double)cur_err * (e_thresh > 1.0f ? e_thresh : 1.0f));
@@ -405,8 +471,8 @@ int64_t etc1s_rdo_pred_pass(
             int nx = x + pdx[p], ny = y + pdy[p];
             if (nx < 0 || ny < 0) continue;
             int32_t ne = e_idx[(int64_t)ny * bx + nx];
-            uint64_t te = block_err(px, pal_colors + (int64_t)ne * 12, pat,
-                                    thresh_err);
+            uint64_t te = block_err_m(mom, pal_colors + (int64_t)ne * 12,
+                                      &pal_norm[(int64_t)ne * 4]);
             if (te <= thresh_err && te < best_err) {
               best_err = te;
               best_pred = p;
@@ -454,6 +520,14 @@ int64_t etc1s_rdo_collect_slice_symbols(
   const int32_t SEL_RLE_SYM = num_s + (int32_t)MAX_SELECTOR_HISTORY_BUF_SIZE;
   const int gx = (bx + 1) / 2;
   const int gy = (by + 1) / 2;
+  // per-endpoint palette-color norms for the factorized candidate errors
+  std::vector<int64_t> pal_norm((size_t)num_e * 4);
+  for (int64_t t = 0; t < num_e; t++)
+    for (int k = 0; k < 4; k++) {
+      const int32_t* c = pal_colors + t * 12 + k * 3;
+      pal_norm[t * 4 + k] =
+          (int64_t)c[0] * c[0] + (int64_t)c[1] * c[1] + (int64_t)c[2] * c[2];
+    }
   const int COLOR_DELTA_THRESH = 8;   // ref basisu_backend.cpp:719
   const int SEL_DIFF_THRESHOLD = 11;  // ref :720
   const int MAX_ENDPOINT_SEARCH_DIST = (comp_level >= 2) ? 64 : 16;  // ref :851
@@ -492,6 +566,13 @@ int64_t etc1s_rdo_collect_slice_symbols(
   };
 
   Mtf hist;
+  // contiguous mirror of the history entries' selector patterns: the RDO
+  // pre-scan sweeps 64 x 16 bytes linearly instead of gathering 64 random
+  // rows from the full pattern table per block (the single hottest loop of
+  // the backend at ~24K blocks/slice)
+  alignas(16) uint8_t hist_pats[MAX_SELECTOR_HISTORY_BUF_SIZE * 16];
+  for (uint32_t j = 0; j < MAX_SELECTOR_HISTORY_BUF_SIZE; j++)
+    memcpy(hist_pats + j * 16, patterns, 16);  // values[] start as 0
   int32_t prev_group_sym = -1;
   int32_t group_repeat_left = 0;
   int64_t pending_sel_run = 0;
@@ -562,8 +643,10 @@ int64_t etc1s_rdo_collect_slice_symbols(
         int adlt = dlt < 0 ? -dlt : dlt;
         if (e_thresh > 1.0f && adlt > 1 && !referenced[bi]) {
           const uint8_t* pat = patterns + (int64_t)s_idx[bi] * 16;
-          uint64_t cur_err = block_err(px, pal_colors + (int64_t)e * 12, pat,
-                                       UINT64_MAX);
+          BlockMoments mom;
+          calc_block_moments(px, pat, mom);
+          uint64_t cur_err =
+              block_err_m(mom, pal_colors + (int64_t)e * 12, &pal_norm[e * 4]);
           if (cur_err) {
             const uint64_t thresh_err = (uint64_t)((double)cur_err * e_thresh);
             const int search_dist =
@@ -588,9 +671,8 @@ int64_t etc1s_rdo_collect_slice_symbols(
                 }
                 if (cd > COLOR_DELTA_THRESH) continue;
               }
-              uint64_t te = block_err(px, pal_colors + (int64_t)t * 12, pat,
-                                      thresh_err < best_err ? thresh_err
-                                                            : best_err);
+              uint64_t te = block_err_m(mom, pal_colors + (int64_t)t * 12,
+                                        &pal_norm[(int64_t)t * 4]);
               if (te < best_err && te <= thresh_err) {
                 best_err = te;
                 best_idx = t;
@@ -623,33 +705,126 @@ int64_t etc1s_rdo_collect_slice_symbols(
         // selector-difference guard, so the error table is usually skipped
         int cand[MAX_SELECTOR_HISTORY_BUF_SIZE];
         int ncand = 0;
-        for (uint32_t j = 0; j < MAX_SELECTOR_HISTORY_BUF_SIZE; j++) {
-          const int32_t t = hist.values[j];
-          if (t < 0 || t >= num_s) continue;
-          if (comp_level <= 1 &&
-              pat_sad(cur_pat, patterns + (int64_t)t * 16) >= SEL_DIFF_THRESHOLD)
-            continue;
-          cand[ncand++] = (int)j;
+#if defined(__AVX2__)
+        if (comp_level <= 1) {
+          // all 64 history SADs in one vectorized sweep (2 patterns per
+          // 256-bit op) — the single hottest per-block loop of the backend
+          alignas(32) uint16_t sads[MAX_SELECTOR_HISTORY_BUF_SIZE];
+#if defined(__AVX512BW__)
+          const __m512i vcur5 = _mm512_broadcast_i32x4(
+              _mm_loadu_si128((const __m128i*)cur_pat));
+          for (uint32_t j = 0; j < MAX_SELECTOR_HISTORY_BUF_SIZE; j += 4) {
+            __m512i vp = _mm512_loadu_si512(hist_pats + (int64_t)j * 16);
+            alignas(64) uint64_t t8[8];
+            _mm512_store_si512(t8, _mm512_sad_epu8(vp, vcur5));
+            sads[j] = (uint16_t)(t8[0] + t8[1]);
+            sads[j + 1] = (uint16_t)(t8[2] + t8[3]);
+            sads[j + 2] = (uint16_t)(t8[4] + t8[5]);
+            sads[j + 3] = (uint16_t)(t8[6] + t8[7]);
+          }
+#else
+          const __m256i vcur = _mm256_broadcastsi128_si256(
+              _mm_loadu_si128((const __m128i*)cur_pat));
+          for (uint32_t j = 0; j < MAX_SELECTOR_HISTORY_BUF_SIZE; j += 2) {
+            __m256i vp = _mm256_loadu_si256(
+                (const __m256i*)(hist_pats + (int64_t)j * 16));
+            alignas(32) uint64_t t4[4];
+            _mm256_store_si256((__m256i*)t4, _mm256_sad_epu8(vp, vcur));
+            sads[j] = (uint16_t)(t4[0] + t4[1]);
+            sads[j + 1] = (uint16_t)(t4[2] + t4[3]);
+          }
+#endif
+          for (uint32_t j = 0; j < MAX_SELECTOR_HISTORY_BUF_SIZE; j++) {
+            const int32_t t = hist.values[j];
+            if (t < 0 || t >= num_s) continue;
+            if ((int)sads[j] >= SEL_DIFF_THRESHOLD) continue;
+            cand[ncand++] = (int)j;
+          }
+        } else
+#endif
+        {
+          for (uint32_t j = 0; j < MAX_SELECTOR_HISTORY_BUF_SIZE; j++) {
+            const int32_t t = hist.values[j];
+            if (t < 0 || t >= num_s) continue;
+            if (comp_level <= 1 &&
+                pat_sad(cur_pat, hist_pats + (int64_t)j * 16) >= SEL_DIFF_THRESHOLD)
+              continue;
+            cand[ncand++] = (int)j;
+          }
         }
         uint64_t best_err = UINT64_MAX;
         int best_j = -1;
         int32_t best_s = 0;
         if (ncand) {
-          uint32_t errtab[64];
+          alignas(32) uint32_t errtab[64];
+#if defined(__AVX2__)
+          // vectorize over the 16 pixels: one (sub,mul,add) chain per
+          // palette color instead of 64 scalar px_dist calls
+          alignas(32) int32_t rr[16], gg[16], bb[16];
+          for (int i = 0; i < 16; i++) {
+            rr[i] = px[i * 3];
+            gg[i] = px[i * 3 + 1];
+            bb[i] = px[i * 3 + 2];
+          }
+          alignas(32) uint32_t ek[4][16];
+          for (int k = 0; k < 4; k++) {
+            const __m256i cr = _mm256_set1_epi32(pal[k * 3]);
+            const __m256i cg = _mm256_set1_epi32(pal[k * 3 + 1]);
+            const __m256i cb = _mm256_set1_epi32(pal[k * 3 + 2]);
+            for (int h = 0; h < 2; h++) {
+              __m256i dr = _mm256_sub_epi32(
+                  _mm256_load_si256((const __m256i*)&rr[h * 8]), cr);
+              __m256i dg = _mm256_sub_epi32(
+                  _mm256_load_si256((const __m256i*)&gg[h * 8]), cg);
+              __m256i db = _mm256_sub_epi32(
+                  _mm256_load_si256((const __m256i*)&bb[h * 8]), cb);
+              __m256i e = _mm256_add_epi32(
+                  _mm256_add_epi32(_mm256_mullo_epi32(dr, dr),
+                                   _mm256_mullo_epi32(dg, dg)),
+                  _mm256_mullo_epi32(db, db));
+              _mm256_store_si256((__m256i*)&ek[k][h * 8], e);
+            }
+          }
+          for (int i = 0; i < 16; i++)
+            for (int k = 0; k < 4; k++) errtab[i * 4 + k] = ek[k][i];
+#else
           for (int i = 0; i < 16; i++)
             for (int k = 0; k < 4; k++)
               errtab[i * 4 + k] = (uint32_t)px_dist(px + i * 3, pal + k * 3);
+#endif
           uint64_t cur_err = 0;
           for (int i = 0; i < 16; i++) cur_err += errtab[i * 4 + cur_pat[i]];
           const uint64_t limit_err = (uint64_t)((double)cur_err *
                                                 (s_thresh > 1.0f ? s_thresh : 1.0f) + 0.999999);
+#if defined(__AVX2__)
+          const __m256i viota4 = _mm256_setr_epi32(0, 4, 8, 12, 16, 20, 24, 28);
+          const __m256i viota4b =
+              _mm256_setr_epi32(32, 36, 40, 44, 48, 52, 56, 60);
+#endif
           for (int c = 0; c < ncand; c++) {
             const int j = cand[c];
             const int32_t t = hist.values[j];
-            const uint8_t* tp = patterns + (int64_t)t * 16;
+            const uint8_t* tp = hist_pats + (int64_t)j * 16;
             const uint64_t cutoff = limit_err < best_err ? limit_err : best_err;
             uint64_t te = 0;
+#if defined(__AVX2__)
+            // errtab[i*4 + tp_i] for all 16 i as two 8-lane gathers
+            __m128i tpb = _mm_loadu_si128((const __m128i*)tp);
+            __m256i t0 = _mm256_cvtepu8_epi32(tpb);
+            __m256i t1 = _mm256_cvtepu8_epi32(_mm_srli_si128(tpb, 8));
+            __m256i g0 = _mm256_i32gather_epi32(
+                (const int*)errtab, _mm256_add_epi32(t0, viota4), 4);
+            __m256i g1 = _mm256_i32gather_epi32(
+                (const int*)errtab, _mm256_add_epi32(t1, viota4b), 4);
+            __m256i s8 = _mm256_add_epi32(g0, g1);
+            __m128i s4 = _mm_add_epi32(_mm256_castsi256_si128(s8),
+                                       _mm256_extracti128_si256(s8, 1));
+            s4 = _mm_add_epi32(s4, _mm_srli_si128(s4, 8));
+            s4 = _mm_add_epi32(s4, _mm_srli_si128(s4, 4));
+            te = (uint64_t)(uint32_t)_mm_cvtsi128_si32(s4);
+#else
             for (int i = 0; i < 16; i++) te += errtab[i * 4 + tp[i]];
+#endif
             if (te < best_err && te <= cutoff) {
               best_err = te;
               best_j = j;
@@ -672,10 +847,19 @@ int64_t etc1s_rdo_collect_slice_symbols(
       if (hidx > 0) {
         push_op(bi, kSel, num_s + hidx);
         sel_freq[num_s + hidx]++;
+        if (hidx) {  // mirror Mtf::use's half-swap in the pattern cache
+          uint32_t half = (uint32_t)hidx / 2;
+          alignas(16) uint8_t tmp[16];
+          memcpy(tmp, hist_pats + half * 16, 16);
+          memcpy(hist_pats + half * 16, hist_pats + (int64_t)hidx * 16, 16);
+          memcpy(hist_pats + (int64_t)hidx * 16, tmp, 16);
+        }
         hist.use(hidx);
       } else {
         push_op(bi, kSel, s);
         sel_freq[s]++;
+        memcpy(hist_pats + (int64_t)hist.rover * 16,
+               patterns + (int64_t)s * 16, 16);  // mirror Mtf::add
         hist.add(s);
       }
     }
@@ -1104,8 +1288,31 @@ void selector_chain_order(const uint32_t* keys, int32_t n, int32_t* out) {
   rem_key[0] = rem_key[m - 1];
   rem_idx[0] = rem_idx[m - 1];
   m--;
+  rem_key.resize((size_t)n + 8, 0xFFFFFFFFu);  // vector-tail padding
   for (int k = 1; k < n; k++) {
     int best = 0, best_d = 256;
+#if defined(__AVX2__)
+    const __m256i va = _mm256_set1_epi32((int)a);
+    const __m256i vz = _mm256_setzero_si256();
+    for (int j = 0; j < m; j += 8) {
+      __m256i vk = _mm256_loadu_si256((const __m256i*)&rem_key[j]);
+      __m256i vx = _mm256_xor_si256(vk, va);
+      // 32-bit lane nibble of the byte-equality mask → byte-mismatch count
+      uint32_t mz = (uint32_t)_mm256_movemask_epi8(_mm256_cmpeq_epi8(vx, vz));
+      int lim = m - j < 8 ? m - j : 8;
+      // scalar unpack preserves the original first-d<=1 early-exit order
+      // (byte-identical chain output to the non-SIMD path)
+      for (int c = 0; c < lim; c++) {
+        int d = 4 - __builtin_popcount((mz >> (4 * c)) & 0xF);
+        if (d < best_d) {
+          best_d = d;
+          best = j + c;
+          if (d <= 1) break;
+        }
+      }
+      if (best_d <= 1) break;
+    }
+#else
     for (int j = 0; j < m; j++) {
       uint32_t x = a ^ rem_key[j];
       int d = ((x & 0xFFu) != 0) + ((x & 0xFF00u) != 0) +
@@ -1116,10 +1323,12 @@ void selector_chain_order(const uint32_t* keys, int32_t n, int32_t* out) {
         if (d <= 1) break;
       }
     }
+#endif
     out[k] = rem_idx[best];
     a = rem_key[best];
     rem_key[best] = rem_key[m - 1];
     rem_idx[best] = rem_idx[m - 1];
+    rem_key[m - 1] = 0xFFFFFFFFu;
     m--;
   }
 }
