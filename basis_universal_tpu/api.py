@@ -50,34 +50,65 @@ class Encoder:
     def __init__(self, backend: str = "auto"):
         self.backend_name = "JAX"
 
+    # formats whose compressor path consumes float32 linear RGB input
+    _HDR_FORMATS = (BasisTexFormat.UASTC_HDR_4x4, BasisTexFormat.ASTC_HDR_6x6,
+                    BasisTexFormat.UASTC_HDR_6x6_INTERMEDIATE)
+
     def compress(self, image, format: int = -1,
                  quality: int = BasisQuality.MAX,
                  effort: int = BasisEffort.DEFAULT,
                  flags: int = BasisFlags.KTX2_OUTPUT | BasisFlags.SRGB) -> bytes:
-        """Compress an image (numpy HxWx3/4 uint8 or PIL) → container bytes.
+        """Compress an image → container bytes. Every BasisTexFormat is
+        accepted (ETC1S, UASTC LDR/HDR, ASTC LDR all footprints, XUASTC LDR
+        all footprints, ASTC/UASTC HDR 6x6, XUBC7).
 
-        format -1 selects ETC1S (LDR default until more codecs land).
+        image: numpy HxWx3/4 uint8 (LDR), float32 (HDR linear), or PIL.
+        format -1 auto-selects like basisu_py codec.py:78-83 — UASTC HDR 6x6
+        intermediate for float32 input, XUASTC LDR 6x6 for uint8.
+        quality: unified 1-100 (basisu_comp.cpp:163-270 per-codec remap).
         Returns .KTX2 bytes when KTX2_OUTPUT is set, else .basis bytes.
         """
         img = self._to_array(image)
+        is_hdr = img.dtype in (np.float32, np.float64, np.float16)
         if format == -1:
-            format = BasisTexFormat.ETC1S
+            format = (BasisTexFormat.UASTC_HDR_6x6_INTERMEDIATE if is_hdr
+                      else BasisTexFormat.XUASTC_LDR_6x6)
         fmt = BasisTexFormat(format)
-        if fmt not in (BasisTexFormat.ETC1S, BasisTexFormat.UASTC_LDR_4x4):
-            raise NotImplementedError(f"{fmt.name} encoding not implemented yet")
+        if is_hdr != (fmt in self._HDR_FORMATS):
+            raise ValueError(
+                f"{fmt.name} needs {'float32' if fmt in self._HDR_FORMATS else 'uint8'}"
+                f" input, got {img.dtype}")
         q100 = min(max(int(quality), 1), 100)
-        etc1s_q = int(round((q100 / 100.0) * 255.0))
+        if fmt == BasisTexFormat.ETC1S:
+            # lerp onto the native 0-255 scale (basisu_comp.cpp:174)
+            q_native = max(1, int(round((q100 / 100.0) * 255.0)))
+        else:
+            # XUASTC/XUBC7 consume 1-100 directly (100 = DCT off); the other
+            # codecs have no quality knob (basisu_comp.cpp:229 warns) but we
+            # pass it through so future RDO lambdas can key off it
+            q_native = q100
         if flags & BasisFlags.Y_FLIP:
             img = img[::-1]
+        rdo_uastc = 0.0
+        if fmt == BasisTexFormat.UASTC_LDR_4x4 and q100 < 100:
+            # unified quality drives UASTC RDO strength (m_rdo_uastc_..._quality_scalar)
+            rdo_uastc = 0.2 + (100 - q100) * 0.05
         params = _comp.CompressorParams(
             tex_format=fmt,
-            quality_level=max(1, etc1s_q),
+            quality_level=q_native,
             effort=min(max(int(effort), 0), 10),
-            perceptual=bool(flags & BasisFlags.SRGB),
+            perceptual=bool(flags & BasisFlags.SRGB) and not is_hdr,
+            rdo_uastc_quality=rdo_uastc,
             mip_gen=bool(flags & (BasisFlags.GEN_MIPS_CLAMP | BasisFlags.GEN_MIPS_WRAP)),
         )
         out = _comp.compress(img, params)
         return out.ktx2_data if flags & BasisFlags.KTX2_OUTPUT else out.basis_data
+
+    def compress_float32(self, arr, **kwargs):
+        """HDR entry point mirroring basisu_py codec.py:90-97."""
+        if not isinstance(arr, np.ndarray) or arr.dtype != np.float32:
+            raise ValueError("compress_float32 requires float32 NumPy HxWx3/4 array")
+        return self.compress(arr, **kwargs)
 
     @staticmethod
     def _to_array(image) -> np.ndarray:

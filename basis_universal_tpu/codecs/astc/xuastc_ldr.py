@@ -1,19 +1,22 @@
-"""XUASTC LDR (supercompressed ASTC LDR 4x4-12x12) — container layer.
+"""XUASTC LDR (supercompressed ASTC LDR 4x4-12x12) — complete decoder.
 
-Round-2 groundwork: this module parses the full-zstd syntax's stream
-container (parity: transcoder/basisu_transcoder_internal.h
-xuastc_ldr_full_zstd_header:1500 and basisu_transcoder.cpp
-xuastc_ldr_decompress_image_full_zstd:27633) — the 1-byte syntax marker,
-the 21-length header, the uncompressed raw-bits metadata stream, and the
-20 Zstd side streams (mode bytes, solid DPCM, endpoint DPCM 3..8-bit,
-use-BC bits, DCT mean/run/coeff/sign streams, weight 2/3/4/8-bit
-streams).
+All three entropy syntaxes decode to logical ASTC blocks, pixel-exact vs
+the reference transcoder (tests/test_xuastc.py oracle conformance):
 
-The per-block decode (run/solid/raw commands, config-reuse + tm hash,
-endpoint DPCM with BC-interop, DCT weight grids) is NOT implemented yet —
-see basisu_transcoder.cpp:27800-28560.  decode() raises
-NotImplementedError after validating/splitting the container so tests can
-lock the stream-layout parsing down now.
+- full-zstd container parsing (parity: transcoder/
+  basisu_transcoder_internal.h xuastc_ldr_full_zstd_header:1500,
+  basisu_transcoder.cpp xuastc_ldr_decompress_image_full_zstd:27633) —
+  syntax marker, 21-length header, raw-bits metadata stream, 20 Zstd side
+  streams — then per-block decode in `decode_log_blocks` (run/solid/raw
+  commands, config-reuse + trial-mode hash, endpoint DPCM with BC-interop,
+  weight-grid DCT dequant + IDCT; basisu_transcoder.cpp:27800-28560).
+- full-arith and hybrid-arith-zstd syntaxes in `decode_log_blocks_arith`
+  (adaptive binary models per stream; basisu_transcoder_internal.h
+  arith_dec:2976, syntax ids :2177-2184).
+
+`decode_any` probes the syntax byte and dispatches; `decode_rgba` /
+`decode_astc_physical` are the image-level entry points used by
+transcoder.py.
 """
 
 import dataclasses

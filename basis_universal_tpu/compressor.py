@@ -577,14 +577,18 @@ def _compress_xuastc_ldr(images, params: CompressorParams,
     plus the XUASTC entropy layer (codecs/astc/xuastc_encode.py, parity:
     the reference's astc_ldr_t encoder, encoder/basisu_astc_ldr_encode.cpp).
     Layers (multiple images), mips, and cubemaps map to per-slice streams
-    with level-major SGD descs. v1 streams: full-zstd syntax, no DCT."""
+    with level-major SGD descs. quality_level 1-99 enables the weight-grid
+    DCT at that quality; 100 or out-of-range means lossless (the reference's
+    unified-quality gate, encoder/basisu_comp.cpp:236-249)."""
     from .codecs.astc import xuastc_encode
 
+    q = params.quality_level
+    dct_q = float(q) if 1 <= q <= 99 else None
     slices = _xu_encode_slices(
         images, params,
         lambda img, ha: xuastc_encode.encode_image(
             img, bw, bh, has_alpha=ha, srgb=params.perceptual,
-            effort=params.effort),
+            effort=params.effort, dct_quality=dct_q),
         bw, bh)
     descs, streams, flags = _xu_basis_slices(slices, params)
     data = basis_file.write_basis_file(
@@ -610,21 +614,30 @@ def _compress_xuastc_ldr(images, params: CompressorParams,
 
 
 def _compress_xubc7(images, params: CompressorParams) -> CompressorOutput:
-    """XUBC7 (supercompressed BC7): RGBA → BC7 blocks (ops/transcode
-    mode-5 encoder) → lossless XUBC7 blob stream
-    (codecs/bc7/xbc7_encode.py, parity: the reference's xbc7 encoder —
-    the stream decodes byte-exact to the BC7 input). Layers/mips/cubemaps
-    map to per-slice streams with level-major SGD descs. v1 streams:
-    lossless syntax only."""
+    """XUBC7 (supercompressed BC7): RGBA → all-mode BC7 source encode
+    (codecs/bc7/encode.py, the bc7e analog — modes 1/5/6/7 batched device
+    search) → lossless XUBC7 blob stream (codecs/bc7/xbc7_encode.py,
+    parity: the reference's xbc7 encoder, which feeds bc7e blocks —
+    encoder/basisu_xbc7_encode.cpp; the stream decodes byte-exact to the
+    BC7 input). effort 0 falls back to the fast mode-5 realtime encoder
+    (ops/transcode.py). Layers/mips/cubemaps map to per-slice streams with
+    level-major SGD descs."""
     from .codecs.bc7 import xbc7_encode
-    from .ops import transcode as tc_ops
 
-    def encode_one(img, _has_alpha):
+    def encode_one(img, has_alpha):
         h, w = img.shape[:2]
         blocks = image_to_blocks(img)
-        px = blocks.reshape(-1, 16, 4).astype(np.float64)
-        bc7 = np.asarray(tc_ops.rgba_blocks_to_bc7_m5(px),
-                         np.uint8).reshape(-1, 16)
+        px = blocks.reshape(-1, 16, 4)
+        if params.effort <= 0:
+            from .ops import transcode as tc_ops
+            bc7 = np.asarray(
+                tc_ops.rgba_blocks_to_bc7_m5(px.astype(np.float64)),
+                np.uint8).reshape(-1, 16)
+        else:
+            from .codecs.bc7 import encode as bc7_encode
+            bc7 = bc7_encode.encode_blocks(
+                px.astype(np.uint8), effort=params.effort,
+                perceptual=params.perceptual)
         return xbc7_encode.encode_blocks(bc7, w, h)
 
     slices = _xu_encode_slices(images, params, encode_one, 4, 4)

@@ -21,6 +21,7 @@ from .formats.constants import (
     TranscoderTextureFormat as TF,
 )
 from .ops import etc1 as etc1_ops
+from .utils.errors import guard_parse
 from .ops import transcode as tc_ops
 
 
@@ -459,6 +460,7 @@ class DdsTranscoder:
     mips/arrays/cubemaps, decoded once per image then served to any
     transcode target."""
 
+    @guard_parse
     def __init__(self, data: bytes):
         from .formats.dds import DdsFile
 
@@ -483,6 +485,7 @@ class DdsTranscoder:
     def get_format(self) -> str:
         return self.file.format
 
+    @guard_parse
     def decode_rgba(self, level: int = 0, layer: int = 0,
                     face: int = 0) -> np.ndarray:
         """(H, W, 4) uint8 decode of one image."""
@@ -546,6 +549,7 @@ class DdsTranscoder:
         self._cache[key] = out
         return out
 
+    @guard_parse
     def transcode_image_level(self, level: int, layer: int, face: int,
                               fmt: TF) -> np.ndarray:
         rgba = self.decode_rgba(level, layer, face)
@@ -629,6 +633,7 @@ class AstcLdrTranscodeEngine:
 class BasisTranscoder:
     """.basis reader + transcoder (basisu_transcoder analog)."""
 
+    @guard_parse
     def __init__(self, data: bytes):
         self.file = basis_file.BasisFile(data)
         self._engine: Optional[Etc1sTranscodeEngine] = None
@@ -676,6 +681,7 @@ class BasisTranscoder:
         else:
             self._global_codebooks = source
 
+    @guard_parse
     def start_transcoding(self):
         if self._engine is None:
             h = self.file.header
@@ -731,6 +737,7 @@ class BasisTranscoder:
             self._decoded[slice_index] = _Etc1sDecodedSlice(e, s)
         return self._decoded[slice_index]
 
+    @guard_parse
     def transcode_image_level(self, image_index: int, level_index: int,
                               fmt: TF) -> np.ndarray:
         self.start_transcoding()
@@ -756,6 +763,7 @@ class BasisTranscoder:
 class Ktx2Transcoder:
     """.KTX2 reader + transcoder (ktx2_transcoder analog; ETC1S/BasisLZ)."""
 
+    @guard_parse
     def __init__(self, data: bytes):
         self.file = ktx2.Ktx2File(data)
         self._engine: Optional[Etc1sTranscodeEngine] = None
@@ -791,6 +799,7 @@ class Ktx2Transcoder:
     def get_basis_tex_format(self) -> Optional[BasisTexFormat]:
         return self.file.basis_tex_format()
 
+    @guard_parse
     def start_transcoding(self):
         if self._engine is None:
             fmt = self.file.basis_tex_format()
@@ -820,6 +829,7 @@ class Ktx2Transcoder:
                     f"KTX2 decode for {fmt!r} not implemented yet")
         return True
 
+    @guard_parse
     def transcode_image_level(self, level: int, layer: int, face: int,
                               fmt: TF) -> np.ndarray:
         self.start_transcoding()

@@ -17,7 +17,8 @@ def img(test_files):
 
 def test_encoder_transcoder_api(img):
     enc = Encoder()
-    ktx2 = enc.compress(img, quality=60, effort=1)
+    ktx2 = enc.compress(img, format=BasisTexFormat.ETC1S, quality=60,
+                        effort=1)
     assert ktx2[:4] == bytes([0xAB, 0x4B, 0x54, 0x58])
     tr = Transcoder()
     h = tr.open(ktx2)
@@ -30,9 +31,21 @@ def test_encoder_transcoder_api(img):
     assert bc7.shape == (16, 24, 16)
 
 
+def test_encoder_default_format_auto_select(img):
+    """format=-1 auto-selects like basisu_py codec.py:78-83: XUASTC LDR
+    6x6 for uint8 input."""
+    enc = Encoder()
+    ktx2 = enc.compress(img, quality=100, effort=0)
+    tr = Transcoder()
+    h = tr.open(ktx2)
+    assert tr.get_basis_tex_format(h) == BasisTexFormat.XUASTC_LDR_6x6
+    assert tr.decode_rgba(h).shape == (64, 96, 4)
+
+
 def test_encoder_basis_output(img):
     enc = Encoder()
-    basis = enc.compress(img, quality=60, effort=1, flags=BasisFlags.SRGB)
+    basis = enc.compress(img, format=BasisTexFormat.ETC1S, quality=60,
+                         effort=1, flags=BasisFlags.SRGB)
     assert basis[:2] == b"sB"
     tr = Transcoder()
     h = tr.open(basis)

@@ -1,0 +1,91 @@
+"""All-mode BC7 encoder (codecs/bc7/encode.py — the bc7enc/bc7e analog,
+encoder/basisu_bc7enc.h:42-131, basisu_bc7e_scalar.cpp).
+
+Correctness is gated through codecs/bc7/logical.py, whose decode is
+oracle-validated byte-exact (tests/test_xbc7.py); quality is gated against
+the mode-5 realtime encoder it replaces.
+"""
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from basis_universal_tpu.codecs.bc7 import encode as bc7e
+from basis_universal_tpu.codecs.bc7 import logical as L
+
+
+def _decode(blocks: np.ndarray) -> np.ndarray:
+    return np.stack([
+        np.asarray(L.unpack_rgba(L.unpack_phys(blocks[i].tobytes())))
+        .reshape(16, 4) for i in range(len(blocks))])
+
+
+def _psnr(a, b, ch=slice(None)):
+    d = a[..., ch].astype(np.float64) - b[..., ch].astype(np.float64)
+    mse = (d * d).mean()
+    return 10 * np.log10(255 ** 2 / max(mse, 1e-9))
+
+
+@pytest.fixture(scope="module")
+def kodim_blocks(test_files):
+    img = np.asarray(Image.open(test_files / "kodim23.png")
+                     .convert("RGBA"))[:128, :128]
+    return img.reshape(32, 4, 32, 4, 4).transpose(0, 2, 1, 3, 4) \
+        .reshape(-1, 16, 4)
+
+
+def test_opaque_quality_beats_mode5(kodim_blocks):
+    """All-mode search must clear 44 dB RGB on kodim (mode-5 ceiling is
+    ~37.7 dB; the reference bc7e lands ~45+)."""
+    blocks = bc7e.encode_blocks(kodim_blocks, effort=2)
+    dec = _decode(blocks)
+    assert _psnr(dec, kodim_blocks, slice(0, 3)) > 44.0
+    # opaque input must reconstruct opaque
+    assert (dec[..., 3] == 255).all()
+
+
+def test_mode_diversity(kodim_blocks):
+    blocks = bc7e.encode_blocks(kodim_blocks, effort=2)
+    modes = {L.unpack_phys(blocks[i].tobytes()).mode
+             for i in range(0, len(blocks), 5)}
+    assert len(modes) >= 2, modes  # winner-take-all actually switches modes
+
+
+def test_alpha_blocks():
+    rng = np.random.default_rng(9)
+    base = rng.integers(0, 256, (128, 1, 4), np.int32)
+    px = np.clip(base + rng.integers(-12, 13, (128, 16, 4)), 0,
+                 255).astype(np.uint8)
+    blocks = bc7e.encode_blocks(px, effort=2)
+    dec = _decode(blocks)
+    # ±12 uniform 4-channel noise caps out ~35.5 dB (single-axis palette);
+    # the gate is beating the single-mode searches, not an absolute number
+    assert _psnr(dec, px) > 35.0
+    modes = {L.unpack_phys(blocks[i].tobytes()).mode
+             for i in range(len(blocks))}
+    assert modes <= {5, 6, 7}, modes  # alpha-capable modes only
+
+
+def test_solid_blocks_near_lossless():
+    colors = np.array([[0, 0, 0, 255], [255, 255, 255, 255],
+                       [17, 93, 201, 255], [200, 40, 90, 128]], np.uint8)
+    px = np.repeat(colors[:, None, :], 16, axis=1)
+    dec = _decode(bc7e.encode_blocks(px, effort=2))
+    assert np.abs(dec.astype(int) - px.astype(int)).max() <= 2
+
+
+def test_effort0_still_valid(kodim_blocks):
+    blocks = bc7e.encode_blocks(kodim_blocks[:64], effort=0)
+    dec = _decode(blocks)
+    assert _psnr(dec, kodim_blocks[:64], slice(0, 3)) > 40.0
+
+
+def test_xubc7_lossless_roundtrip_allmode(kodim_blocks):
+    """All-mode BC7 blocks survive the XUBC7 lossless entropy layer
+    byte-exactly (the supercompressed-BC7 product path)."""
+    from basis_universal_tpu.codecs.bc7 import xbc7_decode, xbc7_encode
+
+    bc7 = bc7e.encode_blocks(kodim_blocks, effort=2)
+    stream = xbc7_encode.encode_blocks(bc7, 128, 128)
+    _, back = xbc7_decode.decode_bc7(stream)
+    np.testing.assert_array_equal(back, bc7)
