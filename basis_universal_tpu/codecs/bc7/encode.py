@@ -432,6 +432,11 @@ def pack_mode5(lo, hi, alo, ahi, csel, asel):
 # top level
 # --------------------------------------------------------------------------
 
+# blocks per device program: bounds the (chunk, parts, 16, levels, chans)
+# intermediates (~100 MB f32 at 2048x64) and keeps one fixed-shape compile
+_CHUNK = 2048
+
+
 @functools.lru_cache(maxsize=8)
 def _device_search(max_parts: int, perceptual: bool):
     import jax
@@ -439,9 +444,11 @@ def _device_search(max_parts: int, perceptual: bool):
 
     chan_w = (jnp.asarray([0.5, 1.0, 0.25, 1.0])
               if perceptual else jnp.ones(4))
-    parts = _PARTITION2[:max_parts]
 
-    def run(px_u8):
+    # `parts` is a traced ARGUMENT, not a closure constant: as a constant,
+    # XLA constant-folds the (N, parts, 16) mask broadcasts at compile time
+    # (minutes of host folding for full-image N)
+    def run(px_u8, parts):
         px = px_u8.astype(jnp.float32)
         w2, w3, w4 = (jnp.asarray(w) for w in (_W2, _W3, _W4))
         # mode 6: joint RGBA, 4-bit weights, per-endpoint pbits. Opaque
@@ -491,13 +498,29 @@ def encode_blocks(pixels, effort: int = 2, perceptual: bool = False,
     n = px.shape[0]
     max_parts = 64 if effort >= 2 else 16
     run = _device_search(max_parts, bool(perceptual))
+    parts_arg = _PARTITION2[:max_parts]
 
     def _host(x):
         if isinstance(x, (tuple, list)):
             return tuple(_host(v) for v in x)
         return np.asarray(x)
 
-    out6, out1, out7, out5 = (_host(grp) for grp in run(px))
+    def _run_chunked(px_all):
+        import jax
+
+        chunks = []
+        for ofs in range(0, px_all.shape[0], _CHUNK):
+            c = px_all[ofs:ofs + _CHUNK]
+            pad = _CHUNK - c.shape[0]
+            if pad and px_all.shape[0] > _CHUNK:
+                c = np.concatenate([c, np.repeat(c[-1:], pad, 0)], axis=0)
+            chunks.append(_host(run(c, parts_arg)))
+        if len(chunks) == 1:
+            return chunks[0]
+        merged = jax.tree.map(lambda *xs: np.concatenate(xs, 0), *chunks)
+        return jax.tree.map(lambda x: x[:px_all.shape[0]], merged)
+
+    out6, out1, out7, out5 = _run_chunked(px)
     has_alpha = (px[..., 3] != 255).any(-1)
 
     e6 = out6[0]
