@@ -179,7 +179,28 @@ def _requant_endpoints(cem: int, vals, from_r: int, to_r: int):
             int(p3[raw[3]])]
 
 
-def _make_log_block(bmd, endpoints, weights, partition_id: int):
+@functools.lru_cache(maxsize=None)
+def _upsample_4x4_from_2x2_samples():
+    """compute_upsample_weights(4,4,2,2): per dst texel (jX, jY,
+    w[yo][xo]) bilinear taps scaled by 16 (basisu_astc_helpers.h:1780)."""
+    scale = (1024 + 2) // 3
+    out = []
+    for ty in range(4):
+        for tx in range(4):
+            gx = (scale * tx * 1 + 32) >> 6
+            gy = (scale * ty * 1 + 32) >> 6
+            jx, fx = gx >> 4, gx & 0xF
+            jy, fy = gy >> 4, gy & 0xF
+            w11 = (fx * fy + 8) >> 4
+            w10 = fy - w11
+            w01 = fx - w11
+            w00 = 16 - fx - fy + w11
+            out.append((jx, jy, ((w00, w01), (w10, w11))))
+    return tuple(out)
+
+
+def _make_log_block(bmd, endpoints, weights, partition_id: int,
+                    orig_2x2: bool = False):
     """Build our decoder's LogBlock at the mode's TRANSCODE ISE ranges."""
     (dp, cem, nparts, gx, gy, _er, wr, te_r, tw_r, _lv, dpc) = bmd
     blk = ah.LogBlock()
@@ -194,25 +215,46 @@ def _make_log_block(bmd, endpoints, weights, partition_id: int):
     blk.weight_ise_range = tw_r
     blk.endpoints = list(endpoints)
     if (not dp) and gx == 2 and gy == 2:
-        # 2x2 isn't valid ASTC: upsample the grid to 4x4 (:23206)
+        # 2x2 isn't valid ASTC: upsample the grid to 4x4 (copy_weight_grid,
+        # basisu_transcoder.cpp:23205-23257)
         dqw, qw = _weight_tabs(tw_r)
-        dq = [int(dqw[v]) for v in weights]
-        up = ah.upsample_weights(dq, 2, 2, 4, 4)
         blk.grid_width = 4
         blk.grid_height = 4
+        if orig_2x2:
+            # SIG0 streams: the original release's upsample indexed the
+            # source grid by a BOOL bounds test, always sampling weight 0
+            # or 1 — harmless but divergent, so SIG0 decode must reproduce
+            # it exactly (basisu_transcoder.cpp:23235-23240)
+            up = []
+            for dy in range(4):
+                for dx in range(4):
+                    _jx, _jy, w = _upsample_4x4_from_2x2_samples()[dx + dy * 4]
+                    total = 8
+                    for yo in range(2):
+                        for xo in range(2):
+                            if not w[yo][xo]:
+                                continue
+                            idx = 1 if (dx + xo) + (dy + yo) * 2 < 4 else 0
+                            total += int(dqw[weights[idx]]) * w[yo][xo]
+                    up.append(total >> 4)
+        else:
+            dq = [int(dqw[v]) for v in weights]
+            up = ah.upsample_weights(dq, 2, 2, 4, 4)
         blk.weights = [int(qw[v]) for v in up]
     else:
         blk.weights = list(weights)
     return blk
 
 
-def decode_6x6_hdr(data: bytes):
+def decode_6x6_hdr(data: bytes, trace=None):
     """Intermediate stream → (list of LogBlocks raster order, width,
-    height).  Raises ValueError on malformed streams."""
+    height).  Raises ValueError on malformed streams. trace (optional
+    list) receives one (entry_type, extra) per block for debugging."""
     br = _BitReader(data)
     sig = br.get(16)
     if sig not in (SIG0, SIG1):
         raise ValueError("bad UASTC HDR 6x6 intermediate signature")
+    orig_2x2 = sig == SIG0
     width = br.get(16)
     height = br.get(16)
     if not width or not height:
@@ -244,6 +286,8 @@ def decode_6x6_hdr(data: bytes):
             for _ in range(run_len):
                 blocks[i] = blocks[i - 1]
                 state[i] = state[i - 1]
+                if trace is not None:
+                    trace.append(("run", None))
                 i += 1
         elif et == "solid":
             rh, gh, bh = br.get(15), br.get(15), br.get(15)
@@ -253,6 +297,8 @@ def decode_6x6_hdr(data: bytes):
             blk.solid_color = (rh, gh, bh, 0x3C00)
             blocks[i] = blk
             state[i] = None
+            if trace is not None:
+                trace.append(("solid", None))
             i += 1
         elif et == "reuse":
             if i == 0:
@@ -265,7 +311,7 @@ def decode_6x6_hdr(data: bytes):
                 raise ValueError("bad reuse target")
             if state[j] is None:
                 raise ValueError("reuse of solid block")
-            bmd_i, ep_rng, eps = state[j]
+            bmd_i, ep_rng, eps = state[j][:3]
             bmd = HT.BLOCK_MODE_DESCS[bmd_i]
             (dp, cem, nparts, gx, gy, _er, wr, te_r, tw_r, _lv, _c) = bmd
             nw = gx * gy * (2 if dp else 1)
@@ -277,8 +323,10 @@ def decode_6x6_hdr(data: bytes):
                 t_eps += _requant_endpoints(
                     cem, eps[nvals * p:nvals * (p + 1)], ep_rng, te_r)
             t_w = _requant_weights(weights, wr, tw_r)
-            blocks[i] = _make_log_block(bmd, t_eps, t_w, pid)
+            blocks[i] = _make_log_block(bmd, t_eps, t_w, pid, orig_2x2)
             state[i] = (bmd_i, ep_rng, eps, pid)
+            if trace is not None:
+                trace.append(("reuse", (dx, dy, bmd_i)))
             i += 1
         else:  # block
             bm = br.truncated_binary(len(HT.BLOCK_MODE_DESCS))
@@ -330,8 +378,10 @@ def decode_6x6_hdr(data: bytes):
                 t_eps += _requant_endpoints(
                     cem, eps[nvals * p:nvals * (p + 1)], ep_rng, te_r)
             t_w = _requant_weights(weights, w_r, tw_r)
-            blocks[i] = _make_log_block(bmd, t_eps, t_w, pid)
+            blocks[i] = _make_log_block(bmd, t_eps, t_w, pid, orig_2x2)
             state[i] = (bm, ep_rng, eps, pid)
+            if trace is not None:
+                trace.append(("block", (em, bm)))
             i += 1
 
     if br.get(16) != END_MARKER:
