@@ -228,6 +228,87 @@ def _dequant_deadzone(q: int, lvl: int, x: int, y: int) -> int:
     return min(max(v, -lim), lim)
 
 
+def _fdct4x4(src):
+    """Fixed-point 4x4 forward DCT (dct2fx::forward's 4x4 path — the dct4
+    butterflies are bit-identical to this matrix product by construction,
+    basisu_xbc7_decoder.h:100-133). src: 16 Q15.16 ints row-major."""
+    tab = _dct_table(4)
+    t = [0] * 16
+    for x in range(4):                       # horizontal pass (row x)
+        for u in range(4):
+            acc = 0
+            for k in range(4):
+                acc += src[x * 4 + k] * int(tab[u][k])
+            t[x * 4 + u] = fx_from_sum(acc)
+    dst = [0] * 16
+    for v in range(4):                       # vertical pass (column v)
+        for u in range(4):
+            acc = 0
+            for k in range(4):
+                acc += t[k * 4 + v] * int(tab[u][k])
+            dst[u * 4 + v] = fx_from_sum(acc)
+    return dst
+
+
+def _quantize_deadzone(d: int, lvl: int, x: int, y: int) -> int:
+    """xbc7_weight_grid_dct_fixed::quantize_deadzone (exact fixed-point)."""
+    if (x == 1 and y == 0) or (x == 0 and y == 1):
+        return fx_round_to_int(_fx_div_int(d, lvl))
+    if lvl <= 0:
+        return 0
+    s = abs(d)
+    tau = DEADZONE_ALPHA_FX * lvl            # alpha * L, Q15.16
+    if s <= tau:
+        return 0
+    q = fx_round_to_int(_fx_div_int(s - tau, lvl))
+    return -q if d < 0 else q
+
+
+def dct_forward_weights(global_q: int, plane: int, preds,
+                        blk: L.LogBC7Block):
+    """xbc7_weight_grid_dct_fixed::forward — quantize the (weight − pred)
+    grid; returns (dc_sym, ac_runs) in the exact symbol form
+    dct_inverse_weights consumes ((run, 0x7FFF) = trailing-zeros marker)."""
+    wb = blk.weight_bits[plane]
+    span = _get_max_span_len(blk, plane)
+    ls = _compute_level_scale(global_q, span, wb)
+    quant_tab = _compute_quant_table(global_q, ls)
+
+    src = [0] * 16
+    for i in range(16):
+        pred = preds[i] if preds is not None else 0
+        src[i] = (L.dequant_weight(int(blk.weights[plane][i]), wb)
+                  - pred) * ONE
+    d = _fdct4x4(src)
+
+    coeffs = [0] * 16
+    dc = min(max(fx_round_to_int(d[0]), -255), 255)
+    q = _dc_quant(wb)                        # uniform DC quantizer
+    max_mag = 256 // q
+    dc = (dc + q // 2) // q if dc >= 0 else -(((-dc) + q // 2) // q)
+    coeffs[0] = min(max(dc, -max_mag), max_mag)
+    for y in range(4):
+        for x in range(4):
+            if not x and not y:
+                continue
+            qz = _quantize_deadzone(d[x + y * 4], quant_tab[x + y * 4], x, y)
+            coeffs[x + y * 4] = min(max(qz, -255), 255)
+
+    ac = []
+    zeros = 0
+    for i in range(1, 16):
+        x, y = ZIGZAG_XY[i]
+        c = coeffs[x + y * 4]
+        if not c:
+            zeros += 1
+            continue
+        ac.append((zeros, c))
+        zeros = 0
+    if zeros:
+        ac.append((zeros, 0x7FFF))
+    return coeffs[0], ac
+
+
 def dct_inverse_weights(global_q: int, plane: int, preds, syms_dc, syms_ac,
                         blk: L.LogBC7Block) -> bool:
     """xbc7_weight_grid_dct_fixed::inverse."""

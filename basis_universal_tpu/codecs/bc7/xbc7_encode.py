@@ -35,7 +35,8 @@ from .xbc7_decode import (
     CMD_REUSE_LEFT, CMD_REUSE_UPPER, CMD_REUSE_LDIAG, CMD_REUSE_RDIAG,
     EP_RAW, EP_DPCM_LEFT, EP_DPCM_UP, EP_DPCM_LDIAG, EP_DPCM_RDIAG,
     CAND_ABSOLUTE, CAND_LU_BLEND, CAND_GRADIENT, CAND_MED,
-    CAND_FIRST_XY_DELTA, TOTAL_CANDIDATES,
+    CAND_FIRST_XY_DELTA, TOTAL_CANDIDATES, ONE,
+    dct_forward_weights, dct_inverse_weights,
     eval_weight_predictor, _stripe_ranges,
 )
 
@@ -122,10 +123,12 @@ def _ep_dpcm_residuals(pred_blk, pred_subset, blk, subset, has_alpha):
     return res[:num_residuals], moduli[:num_residuals], rp
 
 
-def _encode_stripe(stripe, nbx, log_blks, phys, has_alpha, streams, bits):
+def _encode_stripe(stripe, nbx, log_blks, phys, has_alpha, streams, bits,
+                   global_q=100):
     first_row, n_rows = stripe
     end_row = first_row + n_rows
     tile = (0, first_row, nbx - 1, end_row - 1)
+    gq_fx = global_q * ONE
 
     def neighbor(nx, ny):
         if tile[0] <= nx <= tile[2] and tile[1] <= ny <= tile[3]:
@@ -138,6 +141,9 @@ def _encode_stripe(stripe, nbx, log_blks, phys, has_alpha, streams, bits):
     part3 = streams[B_PART3]
     predictors = streams[B_PREDICTORS]
     solid_deltas = streams[B_SOLID_DELTAS]
+    dc_coeffs = streams[B_DC_SMALL]
+    ac_coeffs = streams[B_AC]
+    coeff_signs = bits[B_SIGNS]
     raw_weights = streams[B_RAW_WEIGHTS]
     wt_resid = {2: streams[B_WT_RESID2], 3: streams[B_WT_RESID3],
                 4: streams[B_WT_RESID4]}
@@ -237,6 +243,7 @@ def _encode_stripe(stripe, nbx, log_blks, phys, has_alpha, streams, bits):
                     best = (em, cost, payload)
 
             ep_mode = best[0]
+            cmd_pos = len(commands)
             commands.append(cmd | (ep_mode << 3))
             if cmd == CMD_NEW_CONFIG:
                 cfg = blk.mode
@@ -268,8 +275,12 @@ def _encode_stripe(stripe, nbx, log_blks, phys, has_alpha, streams, bits):
                     for p in rp:
                         pbits_r.put(p, 1)
 
-            # ---- weights: best predictor (DPCM) vs absolute
+            # ---- weights
             planes = blk.num_planes
+
+            # lossless candidate scan (also the q<100 fallback: when the
+            # DPCM path is estimated smaller than the DCT path it is
+            # Pareto-better — less rate AND zero added distortion)
             wt_best = (CAND_ABSOLUTE, float(sum(
                 32 if blk.weight_bits[p] == 2 else 64 for p in range(planes))),
                 None)
@@ -292,6 +303,70 @@ def _encode_stripe(stripe, nbx, log_blks, phys, has_alpha, streams, bits):
                     plane_preds.append(preds)
                 if ok and cost < wt_best[1]:
                     wt_best = (cand, cost, plane_preds)
+
+            if global_q < 100:
+                # lossy weight-grid DCT (the reference's m_dct_q < 100 path,
+                # encoder/basisu_xbc7_encode.h:31): evaluate ABSOLUTE + the
+                # predictor shortlist through the EXACT forward quantizer,
+                # pick the min coded size (small weight-error tiebreak), and
+                # reconstruct closed-loop so downstream predictions chain on
+                # decoded state.
+                wt_choice = None
+                for cand in (CAND_ABSOLUTE,) + _WT_CANDS:
+                    plane_preds = []
+                    plane_syms = []
+                    cost = 0.0
+                    ok = True
+                    for p in range(planes):
+                        preds = None
+                        if cand != CAND_ABSOLUTE:
+                            preds = eval_weight_predictor(
+                                cand, 0, bx, by, tile, log_blks, p)
+                            if preds is None:
+                                ok = False
+                                break
+                        dc, ac = dct_forward_weights(gq_fx, p, preds, blk)
+                        cost += 8.0 + (1.0 if cand != CAND_ABSOLUTE else 0.0)
+                        for _run, c in ac:
+                            cost += 8.0 if c == 0x7FFF else 17.0
+                        plane_preds.append(preds)
+                        plane_syms.append((dc, ac))
+                    if not ok:
+                        continue
+                    trial = blk.copy()
+                    err = 0.0
+                    for p in range(planes):
+                        dc, ac = plane_syms[p]
+                        dct_inverse_weights(gq_fx, p, plane_preds[p], dc, ac,
+                                            trial)
+                        wb = blk.weight_bits[p]
+                        for k in range(16):
+                            dv = (L.dequant_weight(int(trial.weights[p][k]), wb)
+                                  - L.dequant_weight(int(blk.weights[p][k]), wb))
+                            err += dv * dv
+                    score = cost + 0.02 * err
+                    if wt_choice is None or score < wt_choice[0]:
+                        wt_choice = (score, cand, plane_preds, plane_syms,
+                                     trial, cost)
+                if wt_choice is not None and wt_choice[5] < wt_best[1]:
+                    _, cand, plane_preds, plane_syms, trial, _ = wt_choice
+                    commands[cmd_pos] |= 0x40       # wt_mode = DCT
+                    predictors.append(cand)
+                    for p in range(planes):
+                        dc, ac = plane_syms[p]
+                        dc_coeffs.append(abs(dc))
+                        if cand != CAND_ABSOLUTE:
+                            coeff_signs.put(1 if dc < 0 else 0, 1)
+                        for run, c in ac:
+                            if c == 0x7FFF:
+                                ac_coeffs.append(0xFF)
+                            else:
+                                ac_coeffs.append(run)
+                                ac_coeffs.append(abs(c))
+                                coeff_signs.put(1 if c < 0 else 0, 1)
+                    log_blks[by][bx] = trial
+                    continue
+                # fall through to the lossless emission below
 
             cand = wt_best[0]
             predictors.append(cand)
@@ -318,12 +393,15 @@ def _encode_stripe(stripe, nbx, log_blks, phys, has_alpha, streams, bits):
 
 
 def encode_blocks(phys_blocks, width: int, height: int,
-                  num_stripes: int = 0) -> bytes:
+                  num_stripes: int = 0, quality: int = 100) -> bytes:
     """Physical BC7 blocks ((N,16) uint8 / list of 16-byte chunks), row-major
-    → XUBC7 blob container. Lossless: xbc7_decode.decode_bc7 returns the
-    input bytes."""
+    → XUBC7 blob container. quality 100 (default) is lossless —
+    xbc7_decode.decode_bc7 returns the input bytes; 1-99 enables the lossy
+    weight-grid DCT (the reference's m_dct_q,
+    encoder/basisu_xbc7_encode.h:31) at that quality."""
     import zstandard
 
+    quality = int(quality) if 1 <= int(quality) <= 99 else 100
     nbx = (width + 3) // 4
     nby = (height + 3) // 4
     phys = [bytes(bytearray(b)) for b in phys_blocks]
@@ -353,9 +431,9 @@ def encode_blocks(phys_blocks, width: int, height: int,
             starts[bid].append(bits[bid].bit if bid in bit_ids
                                else len(streams[bid]))
         _encode_stripe(stripes[s], nbx, log_blks, phys, has_alpha,
-                       streams, bits)
+                       streams, bits, global_q=quality)
 
-    blobs = {B_HEADER: struct.pack("<HHBBB", width, height, 100,
+    blobs = {B_HEADER: struct.pack("<HHBBB", width, height, quality,
                                    1 if has_alpha else 0, num_stripes)}
     for bid, buf in streams.items():
         if buf:

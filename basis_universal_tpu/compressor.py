@@ -620,9 +620,14 @@ def _compress_xubc7(images, params: CompressorParams) -> CompressorOutput:
     parity: the reference's xbc7 encoder, which feeds bc7e blocks —
     encoder/basisu_xbc7_encode.cpp; the stream decodes byte-exact to the
     BC7 input). effort 0 falls back to the fast mode-5 realtime encoder
-    (ops/transcode.py). Layers/mips/cubemaps map to per-slice streams with
+    (ops/transcode.py). quality_level 1-99 enables the lossy weight-grid
+    DCT (m_dct_q, encoder/basisu_xbc7_encode.h:31); 100/out-of-range is
+    lossless. Layers/mips/cubemaps map to per-slice streams with
     level-major SGD descs."""
     from .codecs.bc7 import xbc7_encode
+
+    q = params.quality_level
+    dct_q = int(q) if 1 <= q <= 99 else 100
 
     def encode_one(img, has_alpha):
         h, w = img.shape[:2]
@@ -638,7 +643,7 @@ def _compress_xubc7(images, params: CompressorParams) -> CompressorOutput:
             bc7 = bc7_encode.encode_blocks(
                 px.astype(np.uint8), effort=params.effort,
                 perceptual=params.perceptual)
-        return xbc7_encode.encode_blocks(bc7, w, h)
+        return xbc7_encode.encode_blocks(bc7, w, h, quality=dct_q)
 
     slices = _xu_encode_slices(images, params, encode_one, 4, 4)
     descs, streams, flags = _xu_basis_slices(slices, params)
