@@ -1,15 +1,19 @@
 """Direct ASTC LDR encoder for arbitrary block sizes (5x4..12x12).
 
-A v1 single-partition encoder: CEM 8 (RGB) or CEM 12 (RGBA) endpoints from
-a principal-axis line fit, per-texel weights projected onto the line, and
+Single-partition path: CEM 8 (RGB) or CEM 12 (RGBA) endpoints from a
+principal-axis line fit, per-texel weights projected onto the line, and
 several candidate weight grids (full-res down to 3x3) fit by least squares
 against the spec §18.11 infill, the winner chosen by reconstructed error.
+
+Two-partition path (effort >= 2): the reference's 2-stage partition
+estimation (encoder/basisu_astc_ldr_encode.cpp:4207-4321) — a 2-means
+texel split, agreement-ranked ASTC partition seeds (dense matmul over all
+1024 patterns), then a full masked line-fit + grid-fit trial of the top-K
+seeds; the winner competes with the single-partition candidates on
+reconstructed error.
+
 The 4x4 member of the family uses the higher-quality UASTC mode search +
 byte-exact repack instead (compressor._compress_astc_ldr).
-
-Parity: the reference encodes its ASTC/XUASTC LDR 4x4-12x12 modes with a
-shared ASTC encoder (astc_ldr.cpp family); this is the TPU-port's host
-fallback — dense and simple, validated through the reference transcoder.
 """
 
 import functools
@@ -69,20 +73,249 @@ def _quant_tables(rng: int):
     return inv.astype(np.int64), unq
 
 
+@functools.lru_cache(maxsize=None)
+def _partition2_patterns(bw: int, bh: int):
+    """(seeds, patterns (P, bw*bh) uint8) for all distinct 2-subset ASTC
+    patterns of this footprint that use both subsets."""
+    small = bw * bh < 31
+    seen = {}
+    for seed in range(1024):
+        pat = tuple(
+            T.astc_select_partition(seed, i % bw, i // bw, 0, 2, small)
+            for i in range(bw * bh))
+        if 0 < sum(pat) < len(pat) and pat not in seen:
+            seen[pat] = seed
+    pats = np.array(list(seen.keys()), dtype=np.uint8)
+    seeds = np.array(list(seen.values()), dtype=np.int32)
+    return seeds, pats
+
+
+@functools.lru_cache(maxsize=None)
+def _grid_configs2(bw: int, bh: int, n_vals2: int) -> tuple:
+    """Weight-grid configs for 2-partition blocks: config overhead is
+    11 (mode) + 2 (parts) + 10 (seed) + 6 (CEM) = 29 bits; endpoints are
+    two subsets' worth."""
+    out = []
+    for (gw, gh, rng, wb) in _grid_configs(bw, bh):
+        remaining = 128 - 29 - gw * gh * wb
+        ep_rng = -1
+        for r in range(4, 21):
+            if ah.ise_sequence_bits(n_vals2, r) <= remaining:
+                ep_rng = r
+        if ep_rng >= 4:
+            out.append((gw, gh, rng, wb, ep_rng))
+    return tuple(out[:4])
+
+
+@functools.lru_cache(maxsize=None)
+def _rank_tables(rng: int):
+    """ISE code ↔ value-rank maps (codes are not value-monotone)."""
+    _, unq = _quant_tables(rng)
+    order = np.argsort(unq * 256 + np.arange(len(unq)))
+    rank_of = np.zeros_like(order)
+    rank_of[order] = np.arange(len(order))
+    return rank_of, order          # code→rank, rank→code
+
+
+def _fix_subset_order(lo_q, hi_q, ep_rng):
+    """Ensure sum(unq[lo][:3]) <= sum(unq[hi][:3]) (the decoder's CEM 8/12
+    blue-contract trigger) by minimal rank bumps; rare — only blocks whose
+    quantization flipped a near-equal sum ordering."""
+    _, unq = _quant_tables(ep_rng)
+    rank_of, code_of = _rank_tables(ep_rng)
+    nlev = len(unq)
+    lo_q = lo_q.copy()
+    hi_q = hi_q.copy()
+    for _ in range(3 * nlev):
+        s0 = int(unq[lo_q[0]] + unq[lo_q[1]] + unq[lo_q[2]])
+        s1 = int(unq[hi_q[0]] + unq[hi_q[1]] + unq[hi_q[2]])
+        if s0 <= s1:
+            return lo_q, hi_q
+        best = None
+        for c in range(3):
+            r = rank_of[hi_q[c]]
+            if r + 1 < nlev:
+                dv = int(unq[code_of[r + 1]]) - int(unq[hi_q[c]])
+                if best is None or dv < best[0]:
+                    best = (dv, "h", c, code_of[r + 1])
+            r = rank_of[lo_q[c]]
+            if r > 0:
+                dv = int(unq[lo_q[c]]) - int(unq[code_of[r - 1]])
+                if best is None or dv < best[0]:
+                    best = (dv, "l", c, code_of[r - 1])
+        if best is None:
+            return lo_q, hi_q
+        if best[1] == "h":
+            hi_q[best[2]] = best[3]
+        else:
+            lo_q[best[2]] = best[3]
+    return lo_q, hi_q
+
+
+def _ls_endpoints_masked(v, up, m):
+    """Least-squares endpoints given per-texel weights up (0..64) under
+    mask m: min Σ m_i ||v_i - ((64-u_i) lo + u_i hi)/64||² per channel
+    (the reference's compute_least_squares_endpoints analog)."""
+    a = (64.0 - up) / 64.0 * m
+    bb = up / 64.0 * m
+    saa = (a * a).sum(-1)
+    sbb = (bb * bb).sum(-1)
+    sab = (a * bb).sum(-1)
+    sap = np.einsum("bi,bic->bc", a, v)
+    sbp = np.einsum("bi,bic->bc", bb, v)
+    det = saa * sbb - sab * sab
+    safe = np.abs(det) > 1e-6
+    det = np.where(safe, det, 1.0)
+    lo = (sbb[:, None] * sap - sab[:, None] * sbp) / det[:, None]
+    hi = (saa[:, None] * sbp - sab[:, None] * sap) / det[:, None]
+    cnt = np.maximum(m.sum(-1), 1.0)
+    mean = np.einsum("bi,bic->bc", m, v) / cnt[:, None]
+    lo = np.where(safe[:, None], lo, mean)
+    hi = np.where(safe[:, None], hi, mean)
+    return np.clip(lo, 0.0, 255.0), np.clip(hi, 0.0, 255.0)
+
+
+def _masked_line_fit(v, m):
+    """v (B,nt,C) float, m (B,nt) {0,1} → (lo, hi) clipped endpoints and
+    per-texel target weights (valid where m)."""
+    cnt = np.maximum(m.sum(1), 1.0)
+    mean = (v * m[..., None]).sum(1) / cnt[:, None]
+    c = (v - mean[:, None, :]) * m[..., None]
+    cov = np.einsum("bif,big->bfg", c, c)
+    d = np.ones((v.shape[0], v.shape[2]))
+    for _ in range(4):
+        d = np.einsum("bfg,bg->bf", cov, d)
+        d /= np.linalg.norm(d, axis=-1, keepdims=True) + 1e-9
+    proj = np.einsum("bif,bf->bi", c, d)
+    pmin = np.where(m > 0, proj, np.inf).min(1)
+    pmax = np.where(m > 0, proj, -np.inf).max(1)
+    pmin = np.where(np.isfinite(pmin), pmin, 0.0)
+    pmax = np.where(np.isfinite(pmax), pmax, 0.0)
+    lo = np.clip(mean + d * pmin[:, None], 0, 255)
+    hi = np.clip(mean + d * pmax[:, None], 0, 255)
+    dd = hi - lo
+    num = ((v - lo[:, None, :]) * dd[:, None, :]).sum(-1)
+    den = np.maximum((dd * dd).sum(-1), 1e-9)
+    w = np.clip(64.0 * num / den[:, None], 0, 64)
+    return lo, hi, w
+
+
+def _two_partition_candidates(pxf, v, bw: int, bh: int, cem: int,
+                              effort: int):
+    """Trial the top-K agreement-ranked 2-subset patterns per block.
+    Returns (err (B,), details list per block or None)."""
+    b, nt = v.shape[:2]
+    comps = v.shape[2]
+    n_vals = 6 if cem == 8 else 8
+    configs2 = _grid_configs2(bw, bh, n_vals * 2)
+    if not configs2:
+        return None, None
+    seeds_all, pats_all = _partition2_patterns(bw, bh)
+    pats_f = pats_all.astype(np.float64)                 # (P,nt)
+
+    # 2-means split on full color distance
+    lum = v.mean(-1)
+    c0 = v[np.arange(b), lum.argmin(1)][:, None, :]
+    c1 = v[np.arange(b), lum.argmax(1)][:, None, :]
+    for _ in range(3):
+        d0 = ((v - c0) ** 2).sum(-1)
+        d1 = ((v - c1) ** 2).sum(-1)
+        side = (d1 < d0).astype(np.float64)              # (B,nt)
+        n1 = np.maximum(side.sum(1), 1.0)
+        n0 = np.maximum((1.0 - side).sum(1), 1.0)
+        c1 = ((v * side[..., None]).sum(1) / n1[:, None])[:, None, :]
+        c0 = ((v * (1 - side)[..., None]).sum(1) / n0[:, None])[:, None, :]
+    agree = side @ pats_f.T + (1.0 - side) @ (1.0 - pats_f).T
+    score = np.maximum(agree, nt - agree)                # polarity-free
+    topk = min(2 + effort, score.shape[1])
+    cand_idx = np.argpartition(-score, topk - 1, axis=1)[:, :topk]  # (B,K)
+
+    best_err = np.full(b, np.inf)
+    best = [None] * b
+    for (gw, gh, rng, wb, ep_rng) in configs2:
+        inv, unq = _quant_tables(ep_rng)
+        m_in, pinv = _infill_matrix(gw, gh, bw, bh)
+        levels = np.array([ah.dequant_weight(x, rng) for x in range(1 << wb)])
+        wmax = (1 << wb) - 1
+        for k in range(topk):
+            pat = pats_all[cand_idx[:, k]].astype(np.float64)   # (B,nt)
+            seeds_k = seeds_all[cand_idx[:, k]]
+            w_tex = np.zeros((b, nt))
+            los = np.zeros((b, 2, comps))
+            his = np.zeros((b, 2, comps))
+            flip = np.zeros((b, 2), bool)
+            for s in (0, 1):
+                mask = pat if s else 1.0 - pat
+                lo, hi, w = _masked_line_fit(v, mask)
+                # per-subset CEM 8/12 ordering: decode blue-contracts when
+                # sum(lo RGB) > sum(hi RGB); flip endpoints + this subset's
+                # texel targets instead
+                fl = lo[:, :3].sum(-1) > hi[:, :3].sum(-1)
+                lo2 = np.where(fl[:, None], hi, lo)
+                hi2 = np.where(fl[:, None], lo, hi)
+                w = np.where(fl[:, None], 64.0 - w, w)
+                los[:, s] = lo2
+                his[:, s] = hi2
+                flip[:, s] = fl
+                w_tex = np.where(mask > 0, w, w_tex)
+            grid_f = np.clip(w_tex @ pinv.T, 0, 64)
+            codes = np.abs(grid_f[..., None] - levels).argmin(-1)
+            gq = levels[codes]
+            up = np.clip((gq @ (m_in.T * 64.0) + 32).astype(np.int64) >> 6,
+                         0, 64)                                  # (B,nt)
+            # one masked-LS endpoint refinement round per subset
+            upf = up.astype(np.float64)
+            for s in (0, 1):
+                mask = pat if s else 1.0 - pat
+                lo_r, hi_r = _ls_endpoints_masked(v, upf, mask)
+                los[:, s] = lo_r
+                his[:, s] = hi_r
+            lo_q = inv[np.clip(np.round(los), 0, 255).astype(np.int64)]
+            hi_q = inv[np.clip(np.round(his), 0, 255).astype(np.int64)]
+            lo_u = unq[lo_q].astype(np.float64)                  # (B,2,C)
+            hi_u = unq[hi_q].astype(np.float64)
+            pat_i = pat.astype(np.int64)
+            lo_t = np.take_along_axis(
+                lo_u, pat_i[..., None].repeat(comps, -1), axis=1)
+            hi_t = np.take_along_axis(
+                hi_u, pat_i[..., None].repeat(comps, -1), axis=1)
+            rec = (lo_t * (64 - up[..., None]) + hi_t * up[..., None]
+                   + 32) // 64
+            err = ((rec - v) ** 2).sum(axis=(1, 2))
+            if cem == 8:
+                err = err + ((pxf[..., 3] - 255.0) ** 2).sum(-1)
+            better = err < best_err
+            for i in np.flatnonzero(better):
+                lq, hq = lo_q[i].copy(), hi_q[i].copy()
+                for s in (0, 1):
+                    lq[s, :], hq[s, :] = _fix_subset_order(
+                        lq[s], hq[s], ep_rng)
+                best[i] = (gw, gh, rng, wb, ep_rng, int(seeds_k[i]),
+                           lq, hq, codes[i])
+            best_err = np.where(better, err, best_err)
+    return best_err, best
+
+
 def encode_blocks_plan(px: np.ndarray, bw: int, bh: int,
-                       has_alpha: bool, effort: int = 1) -> dict:
+                       has_alpha: bool, effort: int = 1,
+                       allow_partitions: bool = False) -> dict:
     """Candidate search only: returns the per-block encode decisions
     without packing, shared by the physical-ASTC writer and the XUASTC
     entropy layer. Keys: config (B,) index into configs;
     configs [(gw, gh, weight_rng, weight_bits, ep_rng)]; endpoints (list
     of per-block CEM-ordered ISE values, s0<=s1 ordering applied);
-    codes (list of per-block weight ISE symbols, inverted on swap)."""
-    plan = _encode_blocks_core(px, bw, bh, has_alpha, effort)
+    codes (list of per-block weight ISE symbols, inverted on swap);
+    two_part {block_index: (gw, gh, rng, wb, ep_rng, seed, lo_q, hi_q,
+    codes)} for blocks where a 2-subset encode won (only when
+    allow_partitions)."""
+    plan = _encode_blocks_core(px, bw, bh, has_alpha, effort,
+                               allow_partitions)
     return plan
 
 
 def _encode_blocks_core(px: np.ndarray, bw: int, bh: int,
-                        has_alpha: bool, effort: int = 1) -> dict:
+                        has_alpha: bool, effort: int = 1,
+                        allow_partitions: bool = False) -> dict:
     b = px.shape[0]
     nt = bw * bh
     pxf = px.astype(np.float64)
@@ -110,18 +343,35 @@ def _encode_blocks_core(px: np.ndarray, bw: int, bh: int,
 
     configs = _grid_configs(bw, bh)
     n_vals = 6 if cem == 8 else 8
+    ones = np.ones(v.shape[:2])
+    refine_iters = 1 + min(max(effort, 0), 3)
     cand = []
     for (gw, gh, rng, wb) in configs:
         ep_rng = _endpoint_range(n_vals, gw * gh * wb)
         inv, unq = _quant_tables(ep_rng)
-        lo_c = inv[np.clip(np.round(lo), 0, 255).astype(np.int64)]
-        hi_c = inv[np.clip(np.round(hi), 0, 255).astype(np.int64)]
-        lo_u = unq[lo_c].astype(np.float64)
-        hi_u = unq[hi_c].astype(np.float64)
         m, pinv = _infill_matrix(gw, gh, bw, bh)
-        grid_f = np.clip(w_tex @ pinv.T, 0, 64)
         levels = np.array([ah.dequant_weight(x, rng) for x in range(1 << wb)])
-        codes = np.abs(grid_f[..., None] - levels).argmin(-1)
+        lo_f, hi_f, wt = lo, hi, w_tex
+        codes = lo_c = hi_c = None
+        for it in range(refine_iters):
+            grid_f = np.clip(wt @ pinv.T, 0, 64)
+            codes = np.abs(grid_f[..., None] - levels).argmin(-1)
+            gq = levels[codes]
+            up = np.clip((gq @ (m.T * 64.0) + 32).astype(np.int64) >> 6,
+                         0, 64)
+            # alternate: LS endpoints given the decoded weights, then
+            # re-derive ideal texel weights from the refined line
+            lo_f, hi_f = _ls_endpoints_masked(v, up.astype(np.float64),
+                                              ones)
+            lo_c = inv[np.clip(np.round(lo_f), 0, 255).astype(np.int64)]
+            hi_c = inv[np.clip(np.round(hi_f), 0, 255).astype(np.int64)]
+            lo_u = unq[lo_c].astype(np.float64)
+            hi_u = unq[hi_c].astype(np.float64)
+            if it + 1 < refine_iters:
+                dd = hi_u - lo_u
+                num = ((v - lo_u[:, None, :]) * dd[:, None, :]).sum(-1)
+                den = np.maximum((dd * dd).sum(-1), 1e-9)
+                wt = np.clip(64.0 * num / den[:, None], 0, 64)
         gq = levels[codes]
         up = np.clip((gq @ (m.T * 64.0) + 32).astype(np.int64) >> 6, 0, 64)
         rec = (lo_u[:, None, :] * (64 - up[..., None])
@@ -130,7 +380,18 @@ def _encode_blocks_core(px: np.ndarray, bw: int, bh: int,
         if not has_alpha:
             err = err + ((pxf[..., 3] - 255.0) ** 2).sum(-1)
         cand.append((err, codes, lo_c, hi_c, ep_rng))
-    best = np.argmin(np.stack([cc[0] for cc in cand], 1), axis=1)
+    err_mat = np.stack([cc[0] for cc in cand], 1)
+    best = np.argmin(err_mat, axis=1)
+    best_err1 = err_mat[np.arange(b), best]
+
+    two_part = {}
+    if allow_partitions and effort >= 2 and nt > 16:
+        err2, details = _two_partition_candidates(pxf, v, bw, bh, cem,
+                                                  effort)
+        if err2 is not None:
+            for i in np.flatnonzero(err2 < best_err1):
+                if details[i] is not None:
+                    two_part[int(i)] = details[i]
 
     endpoints = [None] * b
     out_codes = [None] * b
@@ -158,21 +419,52 @@ def _encode_blocks_core(px: np.ndarray, bw: int, bh: int,
             endpoints[i] = vals
             out_codes[i] = cd
     return dict(config=best, configs=cfg_list, endpoints=endpoints,
-                codes=out_codes, cem=cem)
+                codes=out_codes, cem=cem, two_part=two_part)
 
 
 def encode_blocks_ldr(px: np.ndarray, bw: int, bh: int,
                       has_alpha: bool, effort: int = 1) -> np.ndarray:
     """(B, bh*bw, 4) uint8 RGBA → (B, 16) ASTC LDR blocks."""
-    plan = _encode_blocks_core(px, bw, bh, has_alpha, effort)
+    plan = _encode_blocks_core(px, bw, bh, has_alpha, effort,
+                               allow_partitions=True)
     b = px.shape[0]
     out = np.zeros((b, 16), dtype=np.uint8)
     for i in range(b):
+        tp = plan["two_part"].get(i)
+        if tp is not None:
+            gw, gh, rng, wb, ep_rng, seed, lo_q, hi_q, codes = tp
+            out[i] = _pack_ldr_block2(plan["cem"], gw, gh, rng, wb, ep_rng,
+                                      seed, lo_q, hi_q, codes)
+            continue
         gw, gh, rng, wb, ep_rng = plan["configs"][plan["config"][i]]
         out[i] = _pack_ldr_block(
             plan["cem"], gw, gh, rng, wb, ep_rng,
             plan["endpoints"][i], plan["codes"][i])
     return out
+
+
+def _pack_ldr_block2(cem, gw, gh, rng, wb, ep_rng, seed, lo_q, hi_q, codes):
+    """One CEM 8/12 two-partition block: 11-bit mode, '01' partition
+    count, 10-bit seed, 6-bit all-same CEM, per-subset endpoint pairs."""
+    wmax = (1 << wb) - 1
+    comps = 3 if cem == 8 else 4
+    w = astc_pack._BlockWriter()
+    w.put(_find_block_mode(gw, gh, rng), 11)
+    w.put(1, 2)                             # 2 partitions
+    w.put(int(seed), 10)
+    w.put(cem << 2, 6)                      # all partitions share the CEM
+    vals = []
+    for s in range(2):
+        for c in range(comps):
+            vals += [int(lo_q[s][c]), int(hi_q[s][c])]
+    astc_pack._ise_encode(w, vals, ep_rng)
+    wbits = 0
+    nwb = gw * gh * wb
+    for i, cval in enumerate(codes):
+        wbits |= (int(cval) & wmax) << (wb * i)
+    rev = astc_pack._reverse_bits64(wbits, nwb)
+    w.put_at(rev, nwb, 128 - nwb)
+    return np.frombuffer(w.to_bytes(), dtype=np.uint8)
 
 
 def _pack_ldr_block(cem, gw, gh, rng, wb, ep_rng, vals, codes):
