@@ -55,6 +55,56 @@ def _measure_ours(imgs):
     return best
 
 
+def _measure_ours_uastc(imgs):
+    """UASTC LDR 4x4 encode Mpix/s (the north star is ETC1S+UASTC,
+    BASELINE.md:6); recorded as extra keys on the headline JSON line."""
+    from basis_universal_tpu import compressor
+    from basis_universal_tpu.formats.constants import BasisTexFormat
+
+    params = compressor.CompressorParams(
+        tex_format=BasisTexFormat.UASTC_LDR_4x4, effort=2)
+    sub = imgs[:2]
+    for img in sub:                      # warm-up / compile
+        compressor.compress(img, params)
+    best = 0.0
+    for _ in range(2):
+        t0 = time.time()
+        for img in sub:
+            compressor.compress(img, params)
+        dt = time.time() - t0
+        best = max(best, sum(i.shape[0] * i.shape[1] for i in sub) / 1e6 / dt)
+    return best
+
+
+def _measure_reference_uastc(imgs_paths):
+    if not ORACLE.exists():
+        return None
+    total_pix, total_t = 0, 0.0
+    for name in imgs_paths[:2]:
+        p = TEST_FILES / name
+        if not p.exists():
+            continue
+        best = None
+        for _ in range(3):
+            r = subprocess.run(
+                [str(ORACLE), str(p), "-uastc", "-uastc_level", "2",
+                 "-basis"],
+                cwd="/tmp", capture_output=True, text=True, timeout=600)
+            m = re.search(r"in ([0-9.]+) secs", r.stdout)
+            if not m:
+                return None
+            t = float(m.group(1))
+            best = t if best is None else min(best, t)
+        from PIL import Image
+
+        w, h = Image.open(p).size
+        total_pix += w * h
+        total_t += best
+    if total_t <= 0:
+        return None
+    return total_pix / 1e6 / total_t
+
+
 def _measure_reference(imgs_paths):
     """Reference CPU Mpix/s from the tool's own printed compression time.
 
@@ -96,12 +146,21 @@ def main():
         print(f"note: using recorded CPU baseline {ref} Mpix/s", file=sys.stderr)
     else:
         print(f"reference CPU: {ref:.3f} Mpix/s", file=sys.stderr)
-    print(json.dumps({
+    row = {
         "metric": "etc1s_encode_throughput",
         "value": round(ours, 4),
         "unit": "Mpix/s",
         "vs_baseline": round(ours / ref, 4),
-    }))
+    }
+    try:
+        u_ours = _measure_ours_uastc(imgs)
+        u_ref = _measure_reference_uastc(IMAGES)
+        row["uastc_mpix_s"] = round(u_ours, 4)
+        if u_ref:
+            row["uastc_vs_cpu"] = round(u_ours / u_ref, 4)
+    except Exception as exc:  # UASTC numbers are informational extras
+        print(f"note: uastc bench skipped: {exc}", file=sys.stderr)
+    print(json.dumps(row))
 
 
 if __name__ == "__main__":
