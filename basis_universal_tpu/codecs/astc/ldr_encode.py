@@ -200,6 +200,116 @@ def _masked_line_fit(v, m):
     return lo, hi, w
 
 
+@functools.lru_cache(maxsize=None)
+def _find_block_mode_dp(grid_w: int, grid_h: int, wrange: int) -> int:
+    """11-bit block mode for a DUAL-PLANE weight grid + range."""
+    for bm in range(2048):
+        cfg = ah.decode_block_mode_fields(bm)
+        if cfg is None:
+            continue
+        if cfg == (grid_w, grid_h, wrange, True):
+            return bm
+    raise ValueError(f"no dual-plane mode for {grid_w}x{grid_h} r{wrange}")
+
+
+@functools.lru_cache(maxsize=None)
+def _grid_configs_dp(bw: int, bh: int) -> tuple:
+    """Dual-plane configs: 2 planes of gw*gh weights (<= 64 total per the
+    spec), config = 11 (mode) + 2 (parts) + 4 (CEM) bits + 2 CCS bits
+    below the weights; endpoints are the 8 CEM-12 values."""
+    out = []
+    for gw, gh in ((4, 4), (4, 3), (3, 3), (5, 4), (5, 5), (3, 2)):
+        if gw > bw or gh > bh:
+            continue
+        for rng, wb in ((2, 2), (0, 1), (5, 3)):
+            nwb = 2 * gw * gh * wb
+            if not (24 <= nwb <= 96) or 2 * gw * gh > 64:
+                continue
+            try:
+                _find_block_mode_dp(gw, gh, rng)
+            except ValueError:
+                continue
+            remaining = 128 - 17 - 2 - nwb
+            ep_rng = -1
+            for r in range(4, 21):
+                if ah.ise_sequence_bits(8, r) <= remaining:
+                    ep_rng = r
+            if ep_rng >= 4:
+                out.append((gw, gh, rng, wb, ep_rng))
+    out.sort(key=lambda c: -(c[0] * c[1] * c[3]))
+    return tuple(out[:2])
+
+
+def _dual_plane_candidates(pxf, bw: int, bh: int, effort: int):
+    """CEM-12 dual-plane (CCS=3: separate alpha weight plane) trial.
+    Returns (err (B,), details per block) — the uncorrelated-alpha case
+    single-plane CEM 12 can't represent (reference dual-plane trials,
+    basisu_astc_ldr_encode.cpp)."""
+    b, nt = pxf.shape[:2]
+    configs = _grid_configs_dp(bw, bh)
+    if not configs:
+        return None, None
+    rgb = pxf[..., :3]
+    a = pxf[..., 3]
+    ones = np.ones((b, nt))
+
+    # RGB principal line + alpha min/max line
+    lo3, hi3, w_rgb = _masked_line_fit(rgb, ones)
+    a_lo = a.min(1)
+    a_hi = a.max(1)
+    den = np.maximum(a_hi - a_lo, 1e-9)
+    w_a = np.clip(64.0 * (a - a_lo[:, None]) / den[:, None], 0, 64)
+
+    # decode-order fixup: CEM 12 blue-contracts when sum(lo RGB) >
+    # sum(hi RGB); flip endpoints AND both planes' weight targets
+    fl = lo3.sum(-1) > hi3.sum(-1)
+    lo3, hi3 = (np.where(fl[:, None], hi3, lo3),
+                np.where(fl[:, None], lo3, hi3))
+    a_lo2 = np.where(fl, a_hi, a_lo)
+    a_hi2 = np.where(fl, a_lo, a_hi)
+    w_rgb = np.where(fl[:, None], 64.0 - w_rgb, w_rgb)
+    w_a = np.where(fl[:, None], 64.0 - w_a, w_a)
+
+    best_err = np.full(b, np.inf)
+    best = [None] * b
+    for (gw, gh, rng, wb, ep_rng) in configs:
+        inv, unq = _quant_tables(ep_rng)
+        m_in, pinv = _infill_matrix(gw, gh, bw, bh)
+        levels = np.array([ah.dequant_weight(x, rng) for x in range(1 << wb)])
+        lo_q = inv[np.clip(np.round(lo3), 0, 255).astype(np.int64)]
+        hi_q = inv[np.clip(np.round(hi3), 0, 255).astype(np.int64)]
+        al_q = inv[np.clip(np.round(a_lo2), 0, 255).astype(np.int64)]
+        ah_q = inv[np.clip(np.round(a_hi2), 0, 255).astype(np.int64)]
+        lo_u = unq[lo_q].astype(np.float64)
+        hi_u = unq[hi_q].astype(np.float64)
+        al_u = unq[al_q].astype(np.float64)
+        ah_u = unq[ah_q].astype(np.float64)
+
+        def fit_plane(w_tex):
+            grid_f = np.clip(w_tex @ pinv.T, 0, 64)
+            codes = np.abs(grid_f[..., None] - levels).argmin(-1)
+            up = np.clip((levels[codes] @ (m_in.T * 64.0) + 32
+                          ).astype(np.int64) >> 6, 0, 64)
+            return codes, up
+
+        c_rgb, up_rgb = fit_plane(w_rgb)
+        c_a, up_a = fit_plane(w_a)
+        rec_rgb = (lo_u[:, None, :] * (64 - up_rgb[..., None])
+                   + hi_u[:, None, :] * up_rgb[..., None] + 32) // 64
+        rec_a = (al_u[:, None] * (64 - up_a) + ah_u[:, None] * up_a
+                 + 32) // 64
+        err = (((rec_rgb - rgb) ** 2).sum(axis=(1, 2))
+               + ((rec_a - a) ** 2).sum(-1))
+        better = err < best_err
+        for i in np.flatnonzero(better):
+            lq, hq = _fix_subset_order(
+                np.concatenate([lo_q[i], [al_q[i]]]),
+                np.concatenate([hi_q[i], [ah_q[i]]]), ep_rng)
+            best[i] = (gw, gh, rng, wb, ep_rng, lq, hq, c_rgb[i], c_a[i])
+        best_err = np.where(better, err, best_err)
+    return best_err, best
+
+
 def _two_partition_candidates(pxf, v, bw: int, bh: int, cem: int,
                               effort: int):
     """Trial the top-K agreement-ranked 2-subset patterns per block.
@@ -393,6 +503,18 @@ def _encode_blocks_core(px: np.ndarray, bw: int, bh: int,
                 if details[i] is not None:
                     two_part[int(i)] = details[i]
 
+    dual_plane = {}
+    if allow_partitions and has_alpha and effort >= 1:
+        err_dp, details_dp = _dual_plane_candidates(pxf, bw, bh, effort)
+        if err_dp is not None:
+            tp_err = np.full(b, np.inf)
+            for i in two_part:
+                tp_err[i] = err2[i]
+            for i in np.flatnonzero(err_dp < np.minimum(best_err1, tp_err)):
+                if details_dp[i] is not None:
+                    dual_plane[int(i)] = details_dp[i]
+                    two_part.pop(int(i), None)
+
     endpoints = [None] * b
     out_codes = [None] * b
     cfg_list = []
@@ -419,7 +541,8 @@ def _encode_blocks_core(px: np.ndarray, bw: int, bh: int,
             endpoints[i] = vals
             out_codes[i] = cd
     return dict(config=best, configs=cfg_list, endpoints=endpoints,
-                codes=out_codes, cem=cem, two_part=two_part)
+                codes=out_codes, cem=cem, two_part=two_part,
+                dual_plane=dual_plane)
 
 
 def encode_blocks_ldr(px: np.ndarray, bw: int, bh: int,
@@ -430,6 +553,10 @@ def encode_blocks_ldr(px: np.ndarray, bw: int, bh: int,
     b = px.shape[0]
     out = np.zeros((b, 16), dtype=np.uint8)
     for i in range(b):
+        dp = plan["dual_plane"].get(i)
+        if dp is not None:
+            out[i] = _pack_ldr_block_dp(*dp)
+            continue
         tp = plan["two_part"].get(i)
         if tp is not None:
             gw, gh, rng, wb, ep_rng, seed, lo_q, hi_q, codes = tp
@@ -441,6 +568,30 @@ def encode_blocks_ldr(px: np.ndarray, bw: int, bh: int,
             plan["cem"], gw, gh, rng, wb, ep_rng,
             plan["endpoints"][i], plan["codes"][i])
     return out
+
+
+def _pack_ldr_block_dp(gw, gh, rng, wb, ep_rng, lo_q, hi_q, c_rgb, c_a):
+    """CEM-12 dual-plane single-partition block, CCS=3 (alpha plane)."""
+    wmax = (1 << wb) - 1
+    w = astc_pack._BlockWriter()
+    w.put(_find_block_mode_dp(gw, gh, rng), 11)
+    w.put(0, 2)
+    w.put(12, 4)
+    vals = []
+    for c in range(4):
+        vals += [int(lo_q[c]), int(hi_q[c])]
+    astc_pack._ise_encode(w, vals, ep_rng)
+    # weights: two planes interleaved per grid sample, reversed from 127
+    nw = gw * gh
+    wbits = 0
+    for i in range(nw):
+        wbits |= (int(c_rgb[i]) & wmax) << (wb * (2 * i))
+        wbits |= (int(c_a[i]) & wmax) << (wb * (2 * i + 1))
+    nwb = 2 * nw * wb
+    rev = astc_pack._reverse_bits64(wbits, nwb)
+    w.put_at(rev, nwb, 128 - nwb)
+    w.put_at(3, 2, 128 - nwb - 2)          # CCS = 3 (alpha)
+    return np.frombuffer(w.to_bytes(), dtype=np.uint8)
 
 
 def _pack_ldr_block2(cem, gw, gh, rng, wb, ep_rng, seed, lo_q, hi_q, codes):

@@ -213,7 +213,7 @@ def _mode7_seeds():
 
 
 def _mode_trial_2subset(px, wb: int, ep_range: int, comps: int, ls_iters: int,
-                        pattern_list: int = 2):
+                        pattern_list: int = 2, topk: int = 4):
     """2-subset mode trial: pick the best of the mode's common partitions
     (30 for modes 2/4/9/16, 19 for mode 7 whose ASTC patterns pair with BC7
     3-subset) by agreement with an ideal 2-cluster split, then fit the top
@@ -262,7 +262,7 @@ def _mode_trial_2subset(px, wb: int, ep_range: int, comps: int, ls_iters: int,
         + jnp.einsum("bi,pi->bp", (1 - ideal).astype(jnp.float32),
                      (1 - pats_j).astype(jnp.float32))
     score = jnp.maximum(agree, 16.0 - agree)               # polarity-free
-    TOPK = 4
+    TOPK = topk
     _, cand = jax.lax.top_k(score, TOPK)                   # (B,K)
 
     best_err = jnp.full(b, jnp.inf)
@@ -551,8 +551,9 @@ def _mode_trial_dualplane_la(px, wb: int, ep_range: int, ls_iters: int):
     return err, eps.astype(jnp.int32), w
 
 
-@functools.partial(jax.jit, static_argnames=("modes", "ls_iters", "extra"))
-def _search_device(px, modes: tuple, ls_iters: int, extra: tuple = ()):
+@functools.partial(jax.jit, static_argnames=("modes", "ls_iters", "extra", "topk"))
+def _search_device(px, modes: tuple, ls_iters: int, extra: tuple = (),
+                   topk: int = 4):
     errs, eps, ws = [], [], []
     for (mode, wb, ep_range, comps) in modes:
         e, ep, w = _mode_trial(px, wb, ep_range, comps, ls_iters)
@@ -568,11 +569,11 @@ def _search_device(px, modes: tuple, ls_iters: int, extra: tuple = ()):
     extra_results = {}
     for name in extra:
         if name == "mode2":
-            e2, ep2, w2, p2 = _mode_trial_2subset(px, 3, 8, 3, ls_iters)
+            e2, ep2, w2, p2 = _mode_trial_2subset(px, 3, 8, 3, ls_iters, topk=topk)
             extra_results["mode2"] = (e2, ep2, w2, p2)
             errs.append(e2)
         elif name == "mode4":
-            e4, ep4, w4, p4 = _mode_trial_2subset(px, 2, 12, 3, ls_iters)
+            e4, ep4, w4, p4 = _mode_trial_2subset(px, 2, 12, 3, ls_iters, topk=topk)
             extra_results["mode4"] = (e4, ep4, w4, p4)
             errs.append(e4)
         elif name == "mode6":
@@ -580,16 +581,16 @@ def _search_device(px, modes: tuple, ls_iters: int, extra: tuple = ()):
             extra_results["mode6"] = (e6, ep6, w6, c6)
             errs.append(e6)
         elif name == "mode9":
-            e9, ep9, w9, p9 = _mode_trial_2subset(px, 2, 8, 4, ls_iters)
+            e9, ep9, w9, p9 = _mode_trial_2subset(px, 2, 8, 4, ls_iters, topk=topk)
             extra_results["mode9"] = (e9, ep9, w9, p9)
             errs.append(e9)
         elif name == "mode7":
             e7, ep7, w7, p7 = _mode_trial_2subset(px, 2, 12, 3, ls_iters,
-                                                  pattern_list=7)
+                                                  pattern_list=7, topk=topk)
             extra_results["mode7"] = (e7, ep7, w7, p7)
             errs.append(e7)
         elif name == "mode16":
-            e16, ep16, w16, p16 = _mode_trial_2subset(px, 2, 20, 2, ls_iters)
+            e16, ep16, w16, p16 = _mode_trial_2subset(px, 2, 20, 2, ls_iters, topk=topk)
             extra_results["mode16"] = (e16, ep16, w16, p16)
             errs.append(e16)
         elif name == "mode3":
@@ -658,7 +659,7 @@ def encode_blocks(px_rgba: np.ndarray, effort: int = 2,
         modes += RGBA_MODES + LA_MODES
     if effort <= 1:
         modes = [m for m in modes if m[0] in (0, 10, 15)]
-    ls_iters = 1 if effort <= 3 else 2
+    ls_iters = 1 if effort <= 2 else 2
     modes_t = tuple(modes)
     extra = ()
     if effort >= 2:
@@ -668,13 +669,14 @@ def encode_blocks(px_rgba: np.ndarray, effort: int = 2,
             # uncorrelated alpha (edges/ramps over flat RGB) is only exactly
             # representable with a separate alpha weight plane
             extra += ("mode9", "mode11", "mode13", "mode17")
-    if effort >= 4:
+    if effort >= 3:
         extra += ("mode7", "mode3")
-        if has_alpha:
+        if has_alpha and effort >= 4:
             extra += ("mode16",)
 
     best, eps, ws, mean, extra_res = jax.device_get(_search_device(
-        jnp.asarray(px_rgba, dtype=jnp.float32), modes_t, ls_iters, extra))
+        jnp.asarray(px_rgba, dtype=jnp.float32), modes_t, ls_iters, extra,
+        topk=4 if effort < 3 else 8))
 
     # etc1 hints from a quick per-block ETC1S-style fit of the RGB mean/range
     # (affects only ETC1/ETC2 transcode quality, not UASTC correctness)

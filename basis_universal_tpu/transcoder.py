@@ -379,8 +379,9 @@ class XuastcLdrTranscodeEngine:
     basisu_transcoder.cpp:27633), then serves every target through the
     standard ASTC engine on the reconstructed physical blocks."""
 
-    def __init__(self, srgb: bool):
+    def __init__(self, srgb: bool, deblock=None):
         self.srgb = srgb
+        self.deblock = deblock
         self.bw = self.bh = 4
         self._cache = {}
 
@@ -398,7 +399,8 @@ class XuastcLdrTranscodeEngine:
                 orig_width: int, orig_height: int) -> np.ndarray:
         c, blocks = self.physical_blocks(data)
         eng = AstcLdrTranscodeEngine(c.block_w, c.block_h,
-                                     srgb=c.srgb_decode)
+                                     srgb=c.srgb_decode,
+                                     deblock=self.deblock)
         return eng.convert(fmt, blocks, nbx, nby, orig_width, orig_height)
 
 
@@ -599,13 +601,18 @@ class AstcLdrTranscodeEngine:
     Decodes via the size-generic ASTC decoder; block-compressed targets
     re-encode from the decoded RGBA on a 4x4 grid."""
 
-    def __init__(self, block_w: int, block_h: int, srgb: bool):
+    def __init__(self, block_w: int, block_h: int, srgb: bool,
+                 deblock=None):
         self.bw, self.bh = block_w, block_h
         self.srgb = srgb
+        # None = size default (>=10x8); KTX2 DeblockFilterID overrides
+        # (basisu_transcoder.cpp:20684-20695)
+        self.deblock = deblock
 
     def convert(self, fmt: TF, blocks: np.ndarray, nbx: int, nby: int,
                 orig_width: int, orig_height: int) -> np.ndarray:
         from .codecs.astc import helpers as ah
+        from .ops import deblock as db
 
         if fmt == TF.ASTC_4x4_RGBA and (self.bw, self.bh) == (4, 4):
             return blocks.reshape(nby, nbx, 16)
@@ -613,7 +620,14 @@ class AstcLdrTranscodeEngine:
                                     bw=self.bw, bh=self.bh)
         grid = px.reshape(nby, nbx, self.bh, self.bw, 4)
         img = grid.transpose(0, 2, 1, 3, 4).reshape(
-            nby * self.bh, nbx * self.bw, 4)[:orig_height, :orig_width]
+            nby * self.bh, nbx * self.bw, 4)
+        # transcode-time CPU deblocking for non-ASTC targets (the GPU
+        # shader handles native ASTC at sample time)
+        use_db = (db.default_deblock(self.bw, self.bh)
+                  if self.deblock is None else self.deblock)
+        if use_db:
+            img = db.deblock_rgba(img, self.bw, self.bh)
+        img = img[:orig_height, :orig_width]
         if fmt == TF.RGBA32:
             return img
         if fmt in (TF.RGB565, TF.BGR565, TF.RGBA4444):
@@ -799,6 +813,19 @@ class Ktx2Transcoder:
     def get_basis_tex_format(self) -> Optional[BasisTexFormat]:
         return self.file.basis_tex_format()
 
+    def get_deblocking_filter_index(self) -> int:
+        """DeblockFilterID key value, 0 if absent (ktx2_transcoder analog,
+        basisu_transcoder.h:1393, .cpp:20293-20308)."""
+        val = self.file.key_values.get("DeblockFilterID")
+        if val and val[:1] == b"1" and (len(val) == 1 or val[1] == 0):
+            return 1
+        return 0
+
+    def _deblock_filter_key(self):
+        """KTX2 files carry an explicit decision: the key's presence/value
+        fully overrides the block-size default (.cpp:20684-20695)."""
+        return self.get_deblocking_filter_index() >= 1
+
     @guard_parse
     def start_transcoding(self):
         if self._engine is None:
@@ -818,10 +845,12 @@ class Ktx2Transcoder:
             elif fmt in ASTC_LDR_BLOCK_SIZES:
                 bw, bh = ASTC_LDR_BLOCK_SIZES[fmt]
                 self._engine = AstcLdrTranscodeEngine(
-                    bw, bh, srgb=bool(self.file.is_srgb))
+                    bw, bh, srgb=bool(self.file.is_srgb),
+                    deblock=self._deblock_filter_key())
             elif fmt in XUASTC_LDR_FORMATS:
                 self._engine = XuastcLdrTranscodeEngine(
-                    srgb=bool(self.file.is_srgb))
+                    srgb=bool(self.file.is_srgb),
+                    deblock=self._deblock_filter_key())
             elif fmt == BasisTexFormat.XUBC7:
                 self._engine = Xubc7TranscodeEngine()
             else:

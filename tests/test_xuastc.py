@@ -240,3 +240,27 @@ def test_ktx2_array_and_mips(golden_dir, oracle):
             golden_dir / ("xu_ours_arr_unpacked_rgba_ASTC_LDR_4X4_RGBA_"
                           f"face_0_layer_{lay:04d}.png")).convert("RGBA"))
         np.testing.assert_array_equal(ours, ref)
+
+
+def test_transcode_deblocking_matches_oracle(golden_dir, oracle):
+    """KTX2 DeblockFilterID-driven CPU deblock on non-ASTC targets
+    (basisu_transcoder.h:273-280, deblock_block_region_interior
+    .cpp:42428): a >=10x8 reference file carries the key and our RGBA32
+    transcode must match basisu -unpack pixel-exactly; a 6x6 file carries
+    no key and must stay unfiltered."""
+    from basis_universal_tpu.formats.constants import (
+        TranscoderTextureFormat as TF)
+    from basis_universal_tpu.transcoder import Ktx2Transcoder
+
+    for mode, name, want_key in (("-ldr_10x10i", "xu_deblock_10x10", 1),
+                                 ("-ldr_6x6i", "xu_nodeblock_6x6", 0)):
+        _oracle_xuastc(golden_dir, oracle, "kodim23.png", mode, name,
+                       ("-quality", "75"))
+        tr = Ktx2Transcoder((golden_dir / f"{name}.ktx2").read_bytes())
+        tr.start_transcoding()
+        assert tr.get_deblocking_filter_index() == want_key
+        ours = tr.transcode_image_level(0, 0, 0, TF.RGBA32)
+        ref_png = sorted(
+            golden_dir.glob(f"{name}_unpacked_rgba_RGBA32*.png"))[0]
+        ref = np.asarray(Image.open(ref_png).convert("RGBA"))
+        np.testing.assert_array_equal(ours[..., :3], ref[..., :3])
