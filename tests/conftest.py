@@ -50,6 +50,35 @@ def oracle():
 
 
 @pytest.fixture(scope="session")
+def k23_crop_uastc(golden_dir, oracle, test_files):
+    """Reference-encoded UASTC .basis of a kodim23 crop + its RGBA unpack.
+
+    Each artifact (crop PNG, .basis, unpacked PNG) is checked and produced
+    independently, so partial state left by another test/session never
+    leaves a later consumer without its input.
+    """
+    import subprocess
+
+    import numpy as np
+    from PIL import Image
+
+    src = golden_dir / "k23_crop.png"
+    if not src.exists():
+        img = np.asarray(Image.open(test_files / "kodim23.png").convert("RGB"))
+        Image.fromarray(img[:128, :160]).save(src)
+    out = golden_dir / "k23_crop_uastc.basis"
+    if not out.exists():
+        subprocess.run([str(oracle), "-uastc", str(src), "-basis",
+                        "-output_file", str(out)],
+                       cwd=golden_dir, check=True, capture_output=True)
+    unp = golden_dir / "k23_crop_uastc_unpacked_rgba_RGBA32_0_0000.png"
+    if not unp.exists():
+        subprocess.run([str(oracle), "-unpack", str(out)],
+                       cwd=golden_dir, check=True, capture_output=True)
+    return out.read_bytes(), np.asarray(Image.open(unp).convert("RGBA"))
+
+
+@pytest.fixture(scope="session")
 def kodim23_basis(golden_dir, oracle, test_files):
     """Reference-encoded kodim23 ETC1S q128 .basis file."""
     import subprocess

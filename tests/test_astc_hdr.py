@@ -17,31 +17,17 @@ from basis_universal_tpu.transcoder import BasisTranscoder
 from basis_universal_tpu.utils.image_io import load_exr
 
 
-def test_general_astc_ldr_decode_matches_uastc(oracle_uastc_file):
+def test_general_astc_ldr_decode_matches_uastc(k23_crop_uastc):
     """The general ASTC decoder on our (byte-exact) ASTC repack must match
     the oracle-exact UASTC decoder pixel-for-pixel."""
     from basis_universal_tpu.codecs.uastc import astc_pack, decode as ud
 
-    f = BasisFile(oracle_uastc_file)
+    f = BasisFile(k23_crop_uastc[0])
     blocks = np.frombuffer(f.slice_data(0), dtype=np.uint8).reshape(-1, 16)[:512]
     astc = astc_pack.uastc_blocks_to_astc(blocks)
     ref = ud.decode_rgba(blocks)
     got = ah.decode_blocks_rgba8(astc, srgb=False)
     np.testing.assert_array_equal(ref, got)
-
-
-@pytest.fixture(scope="module")
-def oracle_uastc_file(golden_dir, oracle, test_files):
-    src = golden_dir / "k23_crop.png"
-    if not src.exists():
-        img = np.asarray(Image.open(test_files / "kodim23.png").convert("RGB"))
-        Image.fromarray(img[:128, :160]).save(src)
-    out = golden_dir / "k23_crop_uastc.basis"
-    if not out.exists():
-        subprocess.run([str(oracle), "-uastc", str(src), "-basis",
-                        "-output_file", str(out)],
-                       cwd=golden_dir, check=True, capture_output=True)
-    return out.read_bytes()
 
 
 @pytest.fixture(scope="module")
@@ -86,8 +72,9 @@ def test_uastc_hdr_targets(oracle_hdr):
     assert float(np.median(rel)) < 0.01
 
 
-def test_exr_zip_loader(golden_dir):
-    """The ZIP-compressed EXR reader (fixed prefix-sum predictor)."""
+def test_exr_zip_loader(oracle_hdr, golden_dir):
+    """The ZIP-compressed EXR reader (fixed prefix-sum predictor).
+    Depends on oracle_hdr, which produces the unpacked EXR it reads."""
     ref = load_exr(golden_dir / "mem_hdr_hdr_unpacked_rgb_RGB_HALF_0_0000.exr")
     assert np.isfinite(ref).all()
     assert 100.0 < float(ref.max()) < 300.0

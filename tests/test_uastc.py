@@ -26,21 +26,9 @@ def _psnr(a, b):
 
 
 @pytest.fixture(scope="module")
-def oracle_uastc(golden_dir, oracle, test_files):
-    """Reference-encoded UASTC .basis of a kodim23 crop + its RGBA unpack."""
-    src = golden_dir / "k23_crop.png"
-    if not src.exists():
-        img = np.asarray(Image.open(test_files / "kodim23.png").convert("RGB"))
-        Image.fromarray(img[:128, :160]).save(src)
-    out = golden_dir / "k23_crop_uastc.basis"
-    if not out.exists():
-        subprocess.run([str(oracle), "-uastc", str(src), "-basis",
-                        "-output_file", str(out)],
-                       cwd=golden_dir, check=True, capture_output=True)
-        subprocess.run([str(oracle), "-unpack", str(out)],
-                       cwd=golden_dir, check=True, capture_output=True)
-    unp = golden_dir / "k23_crop_uastc_unpacked_rgba_RGBA32_0_0000.png"
-    return out.read_bytes(), np.asarray(Image.open(unp).convert("RGBA"))
+def oracle_uastc(k23_crop_uastc):
+    """Shared session fixture (conftest.k23_crop_uastc): (.basis, RGBA)."""
+    return k23_crop_uastc
 
 
 def test_decode_oracle_exact(oracle_uastc):
