@@ -310,6 +310,161 @@ def _dual_plane_candidates(pxf, bw: int, bh: int, effort: int):
     return best_err, best
 
 
+@functools.lru_cache(maxsize=None)
+def _grid_configs_nvals(bw: int, bh: int, n_vals: int) -> tuple:
+    """Single-plane weight-grid configs with the endpoint range sized for
+    n_vals endpoint values (CEM 0/4 have 2/4 values → more headroom than
+    the CEM 8/12 default)."""
+    out = []
+    for (gw, gh, rng, wb) in _grid_configs(bw, bh):
+        remaining = 128 - 17 - gw * gh * wb
+        ep_rng = -1
+        for r in range(4, 21):
+            if ah.ise_sequence_bits(n_vals, r) <= remaining:
+                ep_rng = r
+        if ep_rng >= 4:
+            out.append((gw, gh, rng, wb, ep_rng))
+    return tuple(out[:4])
+
+
+@functools.lru_cache(maxsize=None)
+def _grid_configs_dp_nvals(bw: int, bh: int, n_vals: int) -> tuple:
+    """Dual-plane configs for a CEM with n_vals endpoint values."""
+    out = []
+    for gw, gh in ((4, 4), (4, 3), (3, 3), (5, 4), (5, 5), (3, 2), (6, 5)):
+        if gw > bw or gh > bh:
+            continue
+        for rng, wb in ((2, 2), (0, 1), (5, 3)):
+            nwb = 2 * gw * gh * wb
+            if not (24 <= nwb <= 96) or 2 * gw * gh > 64:
+                continue
+            try:
+                _find_block_mode_dp(gw, gh, rng)
+            except ValueError:
+                continue
+            remaining = 128 - 17 - 2 - nwb
+            ep_rng = -1
+            for r in range(4, 21):
+                if ah.ise_sequence_bits(n_vals, r) <= remaining:
+                    ep_rng = r
+            if ep_rng >= 4:
+                out.append((gw, gh, rng, wb, ep_rng))
+    out.sort(key=lambda c: -(c[0] * c[1] * c[3]))
+    return tuple(out[:2])
+
+
+def _la_candidates(pxf, bw: int, bh: int, has_alpha: bool, effort: int):
+    """CEM 0 (luminance) / CEM 4 (lum+alpha) single-plane and CEM-4
+    dual-plane (CCS=3) trials — grayscale-dominant content on which the
+    RGB/RGBA CEMs waste endpoint precision (the reference's trial tables
+    span these CEMs, transcoder/basisu_astc_cfgs.inl). Returns
+    (err (B,), list of LogBlock per block)."""
+    b, nt = pxf.shape[:2]
+    rgb = pxf[..., :3]
+    a = pxf[..., 3]
+    lum = rgb.mean(-1)                                  # LS-optimal gray
+    cem = 4 if has_alpha else 0
+    n_vals = 4 if has_alpha else 2
+
+    # alpha error of the implicit a=255 for CEM 0
+    a_pen = ((a - 255.0) ** 2).sum(-1) if not has_alpha else 0.0
+
+    best_err = np.full(b, np.inf)
+    best = [None] * b
+
+    def rec_err_gray(rec_l):
+        return ((rec_l[..., None] - rgb) ** 2).sum(axis=(1, 2))
+
+    # --- single-plane: joint (L[,A]) line fit
+    v2 = lum[..., None] if not has_alpha else np.stack([lum, a], -1)
+    ones = np.ones((b, nt))
+    lo2, hi2, w_tex = _masked_line_fit(v2, ones)
+    for (gw, gh, rng, wb, ep_rng) in _grid_configs_nvals(bw, bh, n_vals):
+        inv, unq = _quant_tables(ep_rng)
+        m_in, pinv = _infill_matrix(gw, gh, bw, bh)
+        levels = np.array([ah.dequant_weight(x, rng) for x in range(1 << wb)])
+        grid_f = np.clip(w_tex @ pinv.T, 0, 64)
+        codes = np.abs(grid_f[..., None] - levels).argmin(-1)
+        up = np.clip((levels[codes] @ (m_in.T * 64.0) + 32
+                      ).astype(np.int64) >> 6, 0, 64)
+        lo_r, hi_r = _ls_endpoints_masked(v2, up.astype(np.float64), ones)
+        lo_q = inv[np.clip(np.round(lo_r), 0, 255).astype(np.int64)]
+        hi_q = inv[np.clip(np.round(hi_r), 0, 255).astype(np.int64)]
+        lo_u = unq[lo_q].astype(np.float64)
+        hi_u = unq[hi_q].astype(np.float64)
+        rec = (lo_u[:, None, :] * (64 - up[..., None])
+               + hi_u[:, None, :] * up[..., None] + 32) // 64   # (B,nt,C2)
+        err = rec_err_gray(rec[..., 0]) + a_pen
+        if has_alpha:
+            err = err + ((rec[..., 1] - a) ** 2).sum(-1)
+        better = err < best_err
+        for i in np.flatnonzero(better):
+            eps = [int(lo_q[i, 0]), int(hi_q[i, 0])]
+            if has_alpha:
+                eps += [int(lo_q[i, 1]), int(hi_q[i, 1])]
+            best[i] = ah.LogBlock(
+                grid_width=gw, grid_height=gh, dual_plane=False,
+                weight_ise_range=rng, endpoint_ise_range=ep_rng,
+                num_partitions=1, cems=(cem,), endpoints=eps,
+                weights=[int(v) for v in codes[i]])
+        best_err = np.where(better, err, best_err)
+
+    # --- dual-plane CEM 4 (CCS=3): independent L and A weight planes
+    if has_alpha:
+        l_lo = lum.min(1)
+        l_hi = lum.max(1)
+        den = np.maximum(l_hi - l_lo, 1e-9)
+        w_l = np.clip(64.0 * (lum - l_lo[:, None]) / den[:, None], 0, 64)
+        a_lo = a.min(1)
+        a_hi = a.max(1)
+        den = np.maximum(a_hi - a_lo, 1e-9)
+        w_a = np.clip(64.0 * (a - a_lo[:, None]) / den[:, None], 0, 64)
+        for (gw, gh, rng, wb, ep_rng) in _grid_configs_dp_nvals(bw, bh, 4):
+            inv, unq = _quant_tables(ep_rng)
+            m_in, pinv = _infill_matrix(gw, gh, bw, bh)
+            levels = np.array([ah.dequant_weight(x, rng)
+                               for x in range(1 << wb)])
+
+            def fit_plane(w_tex_p, tgt):
+                grid_f = np.clip(w_tex_p @ pinv.T, 0, 64)
+                codes = np.abs(grid_f[..., None] - levels).argmin(-1)
+                up = np.clip((levels[codes] @ (m_in.T * 64.0) + 32
+                              ).astype(np.int64) >> 6, 0, 64)
+                lo_r, hi_r = _ls_endpoints_masked(
+                    tgt[..., None], up.astype(np.float64),
+                    np.ones((b, nt)))
+                return codes, up, lo_r[:, 0], hi_r[:, 0]
+
+            c_l, up_l, ll, lh = fit_plane(w_l, lum)
+            c_a, up_a, al, ahh = fit_plane(w_a, a)
+            ll_q = inv[np.clip(np.round(ll), 0, 255).astype(np.int64)]
+            lh_q = inv[np.clip(np.round(lh), 0, 255).astype(np.int64)]
+            al_q = inv[np.clip(np.round(al), 0, 255).astype(np.int64)]
+            ah_q = inv[np.clip(np.round(ahh), 0, 255).astype(np.int64)]
+            rec_l = (unq[ll_q].astype(np.float64)[:, None] * (64 - up_l)
+                     + unq[lh_q].astype(np.float64)[:, None] * up_l
+                     + 32) // 64
+            rec_a = (unq[al_q].astype(np.float64)[:, None] * (64 - up_a)
+                     + unq[ah_q].astype(np.float64)[:, None] * up_a
+                     + 32) // 64
+            err = rec_err_gray(rec_l) + ((rec_a - a) ** 2).sum(-1)
+            better = err < best_err
+            for i in np.flatnonzero(better):
+                wts = [0] * (2 * gw * gh)
+                for k in range(gw * gh):
+                    wts[2 * k] = int(c_l[i, k])
+                    wts[2 * k + 1] = int(c_a[i, k])
+                best[i] = ah.LogBlock(
+                    grid_width=gw, grid_height=gh, dual_plane=True,
+                    weight_ise_range=rng, endpoint_ise_range=ep_rng,
+                    num_partitions=1, cems=(4,), ccs=3,
+                    endpoints=[int(ll_q[i]), int(lh_q[i]),
+                               int(al_q[i]), int(ah_q[i])],
+                    weights=wts)
+            best_err = np.where(better, err, best_err)
+    return best_err, best
+
+
 def _two_partition_candidates(pxf, v, bw: int, bh: int, cem: int,
                               effort: int):
     """Trial the top-K agreement-ranked 2-subset patterns per block.
@@ -515,6 +670,20 @@ def _encode_blocks_core(px: np.ndarray, bw: int, bh: int,
                     dual_plane[int(i)] = details_dp[i]
                     two_part.pop(int(i), None)
 
+    log_override = {}
+    if allow_partitions:
+        cur_err = best_err1.copy()
+        for i in two_part:
+            cur_err[i] = err2[i]
+        for i in dual_plane:
+            cur_err[i] = err_dp[i]
+        err_la, la_blocks = _la_candidates(pxf, bw, bh, has_alpha, effort)
+        for i in np.flatnonzero(err_la < cur_err):
+            if la_blocks[i] is not None:
+                log_override[int(i)] = la_blocks[i]
+                two_part.pop(int(i), None)
+                dual_plane.pop(int(i), None)
+
     endpoints = [None] * b
     out_codes = [None] * b
     cfg_list = []
@@ -542,7 +711,7 @@ def _encode_blocks_core(px: np.ndarray, bw: int, bh: int,
             out_codes[i] = cd
     return dict(config=best, configs=cfg_list, endpoints=endpoints,
                 codes=out_codes, cem=cem, two_part=two_part,
-                dual_plane=dual_plane)
+                dual_plane=dual_plane, log_override=log_override)
 
 
 def encode_blocks_ldr(px: np.ndarray, bw: int, bh: int,
@@ -550,9 +719,15 @@ def encode_blocks_ldr(px: np.ndarray, bw: int, bh: int,
     """(B, bh*bw, 4) uint8 RGBA → (B, 16) ASTC LDR blocks."""
     plan = _encode_blocks_core(px, bw, bh, has_alpha, effort,
                                allow_partitions=True)
+    from .hdr6x6_decode import pack_log_block
+
     b = px.shape[0]
     out = np.zeros((b, 16), dtype=np.uint8)
     for i in range(b):
+        ov = plan["log_override"].get(i)
+        if ov is not None:
+            out[i] = np.frombuffer(pack_log_block(ov), dtype=np.uint8)
+            continue
         dp = plan["dual_plane"].get(i)
         if dp is not None:
             out[i] = _pack_ldr_block_dp(*dp)

@@ -1,29 +1,54 @@
-"""XUASTC LDR full-zstd encoder (v1).
+"""XUASTC LDR full-zstd encoder.
 
 Produces the supercompressed "JPEG for ASTC" stream decoded by
 xuastc_ldr.decode_log_blocks (spec: xuastc_ldr_decompress_image_full_zstd,
-transcoder/basisu_transcoder.cpp:27633). The per-block ASTC search reuses
-the direct LDR encoder's candidate machinery (ldr_encode.py: batched
-principal-axis endpoints + grid infill fits — the TPU-idiomatic dense scan);
-this module adds the XUASTC entropy layer:
+transcoder/basisu_transcoder.cpp:27633).
 
-  - RAW blocks with trial-mode coding (tm hash / truncated binary)
+Block sources:
+  - 4x4: the UASTC 19-mode search + byte-exact ASTC repack (the repo's
+    strongest 4x4 ASTC encoder), unpacked back to logical blocks — the
+    TPU analog of the reference's trial-mode tables spanning many CEMs
+    and subsets (encoder/basisu_astc_ldr_encode.cpp:4207-4321).
+  - other footprints: the direct LDR candidate search with 2-partition
+    and dual-plane trials enabled (ldr_encode.encode_blocks_plan).
+Weights are then re-picked under the true ASTC decode semantics
+(codecs/astc/refine.py) before entropy coding.
+
+Entropy layer (emission mirrors the decoder xuastc_ldr.decode_log_blocks
+state machine exactly):
+  - RAW blocks with trial-mode coding (tm hash / truncated binary),
+    IS_BASE_OFS CEM promotion, canonical-unique partition patterns
+    (part hash / truncated binary), any CEM/partition/dual-plane config
+    present in the trial-mode table
+  - config reuse from the left/up/diag neighbor (cfg_reuse < 3) and full
+    config+endpoint REUSE modes — the stream's cheap-block vocabulary
   - BISE endpoint emission into the raw-bits stream
-  - rank-space weight DPCM into the per-width side streams
+  - rank-space weight DPCM into the per-width side streams (per plane)
+  - optional weight-grid DCT (quality 1-100, per plane) with the
+    reference's fallback gates (compress_image_full_zstd,
+    encoder/basisu_astc_ldr_encode.cpp:12671-12748)
   - SOLID blocks (DPCM vs the previous block's midpoint predictor)
   - RUN coding of repeated blocks
   - the 21-length full-zstd container (Zstd side streams)
-
-v1 encodes without the weight-grid DCT (use_dct=0): quality equals the
-direct ASTC encoder's, and the entropy layer is lossless on top of it.
 """
+
+import functools
 
 import numpy as np
 
+from ..uastc import tables as T
 from ..uastc.tables import BISE_RANGE_TABLE
+from . import helpers as ah
 from . import ldr_encode
+from . import refine as refine_mod
 from . import xuastc_cems as XC
+from . import xuastc_dct as XD
 from . import xuastc_tables as XT
+
+_MODE_BYTE_IS_BASE_OFS = 1 << 3
+_MODE_BYTE_PART_HASH_HIT = 1 << 4
+_MODE_BYTE_TM_HASH_HIT = 1 << 6
+_MODE_BYTE_USE_DCT = 1 << 7
 
 
 class _LsbWriter:
@@ -107,6 +132,7 @@ def encode_values(w: _LsbWriter, vals, ise_range: int):
         w.put(v & mask, bits)
 
 
+@functools.lru_cache(maxsize=None)
 def _tm_lookup(block_size_index: int):
     tms = XT.encoder_trial_modes(block_size_index)
     return {(t.grid_width, t.grid_height, t.cem, t.ccs_index,
@@ -114,25 +140,173 @@ def _tm_lookup(block_size_index: int):
             for i, t in enumerate(tms)}, len(tms)
 
 
-class _BlkShim:
-    """log_astc_block-shaped view of one planned block for the weight-grid
-    DCT helpers (xuastc_dct.get_max_span_len / code / decode)."""
+@functools.lru_cache(maxsize=None)
+def _canon_partition_map(bsi: int, num_parts: int):
+    """canonical-pattern tuple → (unique_pat_index, canonical_seed,
+    canonical-seed raw pattern)."""
+    bw, bh = XT.ASTC_BLOCK_SIZES[bsi]
+    small = bw * bh < 31
+    out = {}
+    for upi, seed in enumerate(XT.unique_partitions(bsi, num_parts)):
+        pat = tuple(T.astc_select_partition(seed, x, y, 0, num_parts, small)
+                    for y in range(bh) for x in range(bw))
+        m = {}
+        canon = []
+        for v in pat:
+            if v not in m:
+                m[v] = len(m)
+            canon.append(m[v])
+        out[tuple(canon)] = (upi, seed, pat)
+    return out
 
-    __slots__ = ("cems", "endpoints", "endpoint_ise_range", "num_partitions",
-                 "dual_plane", "ccs", "grid_width", "grid_height",
-                 "weight_ise_range", "weights")
 
-    def __init__(self, cem, eps, ep_rng, gw, gh, wrng, weights):
-        self.cems = (cem,)
-        self.endpoints = list(eps)
-        self.endpoint_ise_range = ep_rng
-        self.num_partitions = 1
-        self.dual_plane = False
-        self.ccs = -1
-        self.grid_width = gw
-        self.grid_height = gh
-        self.weight_ise_range = wrng
-        self.weights = list(weights)
+def _canonicalize_partition(blk, bsi: int):
+    """Rewrite blk.partition_id to the stream's canonical seed for its
+    pattern, permuting per-subset endpoints to match. Returns the
+    unique_pat_index, or None if the pattern is not representable
+    (doesn't use all subsets)."""
+    bw, bh = XT.ASTC_BLOCK_SIZES[bsi]
+    small = bw * bh < 31
+    np_ = blk.num_partitions
+    pat = tuple(T.astc_select_partition(blk.partition_id, x, y, 0, np_, small)
+                for y in range(bh) for x in range(bw))
+    if len(set(pat)) != np_:
+        return None
+    m = {}
+    canon = []
+    for v in pat:
+        if v not in m:
+            m[v] = len(m)
+        canon.append(m[v])
+    entry = _canon_partition_map(bsi, np_).get(tuple(canon))
+    if entry is None:
+        return None
+    upi, seed, cpat = entry
+    if seed != blk.partition_id:
+        # label permutation: canonical subset cpat[i] holds the endpoints
+        # of our subset pat[i]
+        sigma = {}
+        for i in range(len(pat)):
+            sigma[pat[i]] = cpat[i]
+        nv = XT.cem_num_values(blk.cems[0])
+        new_eps = [0] * (np_ * nv)
+        for s in range(np_):
+            d = sigma[s]
+            new_eps[d * nv:(d + 1) * nv] = blk.endpoints[s * nv:(s + 1) * nv]
+        blk.endpoints = new_eps
+        blk.partition_id = seed
+    return upi
+
+
+def _blk_key(blk):
+    if blk.solid_ldr:
+        return ("s",) + tuple(blk.solid_color)
+    return (blk.cems, blk.num_partitions, blk.partition_id, blk.dual_plane,
+            blk.ccs, blk.grid_width, blk.grid_height, blk.weight_ise_range,
+            blk.endpoint_ise_range, tuple(blk.endpoints), tuple(blk.weights))
+
+
+def _cfg_key(blk):
+    return (blk.cems, blk.num_partitions, blk.partition_id, blk.dual_plane,
+            blk.ccs, blk.grid_width, blk.grid_height, blk.weight_ise_range,
+            blk.endpoint_ise_range)
+
+
+def _solid_log_block(rgba, has_alpha: bool):
+    r, g, b, a = (int(v) for v in rgba)
+    if not has_alpha:
+        a = 255
+    return ah.LogBlock(solid_ldr=True,
+                       solid_color=(r | (r << 8), g | (g << 8),
+                                    b | (b << 8), a | (a << 8)))
+
+
+def _plan_4x4(px: np.ndarray, has_alpha: bool, effort: int):
+    """UASTC 19-mode search → byte-exact ASTC repack → LogBlocks."""
+    from ..uastc import astc_pack
+    from ..uastc import encode as uastc_encode
+
+    ub = uastc_encode.encode_blocks(px.astype(np.float32),
+                                    effort=min(max(effort, 0), 4),
+                                    has_alpha=has_alpha)
+    astc = astc_pack.uastc_blocks_to_astc(ub)
+    out = []
+    for i in range(astc.shape[0]):
+        blk = ah.unpack_block(astc[i].tobytes(), 4, 4)
+        if blk is None:
+            raise ValueError("repacked ASTC block failed to unpack")
+        out.append(blk)
+    return out
+
+
+def _plan_direct(px: np.ndarray, bw: int, bh: int, has_alpha: bool,
+                 effort: int):
+    """Direct LDR candidate search (with partition/dual-plane trials) →
+    LogBlocks. Partition/dual-plane winners whose config has no trial-mode
+    entry fall back to the block's single-partition candidate."""
+    bsi = XT.ASTC_BLOCK_SIZES.index((bw, bh))
+    lookup, _ = _tm_lookup(bsi)
+    plan = ldr_encode.encode_blocks_plan(px, bw, bh, has_alpha,
+                                         effort=effort,
+                                         allow_partitions=True)
+    cem = plan["cem"]
+    out = []
+    for i in range(px.shape[0]):
+        ov = plan["log_override"].get(i)
+        if ov is not None:
+            base = ov.cems[0] - 1 if ov.cems[0] in (9, 13) else ov.cems[0]
+            key = (ov.grid_width, ov.grid_height, base,
+                   ov.ccs if ov.dual_plane else -1,
+                   ov.endpoint_ise_range, ov.weight_ise_range,
+                   ov.num_partitions)
+            if key in lookup:
+                out.append(ov)
+                continue
+        dp = plan["dual_plane"].get(i)
+        if dp is not None and (dp[0], dp[1], 12, 3, dp[4], dp[2], 1) \
+                not in lookup:
+            dp = None
+        tp = plan["two_part"].get(i)
+        if tp is not None and (tp[0], tp[1], cem, -1, tp[4], tp[2], 2) \
+                not in lookup:
+            tp = None
+        if dp is not None:
+            gw, gh, rng, wb, ep_rng, lo_q, hi_q, c_rgb, c_a = dp
+            wts = [0] * (2 * gw * gh)
+            for k in range(gw * gh):
+                wts[2 * k] = int(c_rgb[k])
+                wts[2 * k + 1] = int(c_a[k])
+            eps = []
+            for c in range(4):
+                eps += [int(lo_q[c]), int(hi_q[c])]
+            out.append(ah.LogBlock(
+                grid_width=gw, grid_height=gh, dual_plane=True,
+                weight_ise_range=rng, endpoint_ise_range=ep_rng,
+                num_partitions=1, cems=(12,), ccs=3,
+                endpoints=eps, weights=wts))
+            continue
+        if tp is not None:
+            gw, gh, rng, wb, ep_rng, seed, lo_q, hi_q, codes = tp
+            comps = 3 if cem == 8 else 4
+            eps = []
+            for s in range(2):
+                for c in range(comps):
+                    eps += [int(lo_q[s][c]), int(hi_q[s][c])]
+            out.append(ah.LogBlock(
+                grid_width=gw, grid_height=gh, dual_plane=False,
+                weight_ise_range=rng, endpoint_ise_range=ep_rng,
+                num_partitions=2, partition_id=int(seed),
+                cems=(cem, cem), endpoints=eps,
+                weights=[int(v) for v in codes]))
+            continue
+        gw, gh, rng, wb, ep_rng = plan["configs"][plan["config"][i]]
+        out.append(ah.LogBlock(
+            grid_width=gw, grid_height=gh, dual_plane=False,
+            weight_ise_range=rng, endpoint_ise_range=ep_rng,
+            num_partitions=1, cems=(cem,),
+            endpoints=[int(v) for v in plan["endpoints"][i]],
+            weights=[int(v) for v in plan["codes"][i]]))
+    return out
 
 
 def encode_image(rgba: np.ndarray, block_w: int, block_h: int,
@@ -156,12 +330,93 @@ def encode_image(rgba: np.ndarray, block_w: int, block_h: int,
 
     bsi = XT.ASTC_BLOCK_SIZES.index((block_w, block_h))
     lookup, n_tms = _tm_lookup(bsi)
-    cem = 12 if has_alpha else 8
+    trial_modes = XT.encoder_trial_modes(bsi)
+    n_blocks = nbx * nby
 
-    plan = ldr_encode.encode_blocks_plan(px, block_w, block_h, has_alpha,
-                                         effort=effort)
+    solid = np.all(px == px[:, :1, :], axis=(1, 2))
 
-    # streams
+    # --- per-block logical plan
+    if (block_w, block_h) == (4, 4):
+        planned = _plan_4x4(px, has_alpha, effort)
+    else:
+        planned = _plan_direct(px, block_w, block_h, has_alpha, effort)
+
+    use_dct = dct_quality is not None and 0.0 < float(dct_quality) <= 100.0
+    q = float(dct_quality) if use_dct else 0.0
+
+    # --- resolve emission info per block; canonicalize partitions, find
+    # trial modes, apply the decode-true weight refinement, run the DCT
+    blocks = [None] * n_blocks          # final LogBlock per position
+    info = [None] * n_blocks            # (tm_index, base_ofs, upi, dct)
+    coeff_thresh_cache = {}
+    for i in range(n_blocks):
+        if solid[i]:
+            blocks[i] = _solid_log_block(px[i, 0], has_alpha)
+            continue
+        blk = planned[i]
+        if blk.solid_ldr:
+            blocks[i] = blk
+            continue
+        upi = None
+        if blk.num_partitions > 1:
+            upi = _canonicalize_partition(blk, bsi)
+            if upi is None:
+                # pattern not canonical-representable (doesn't use every
+                # subset); re-plan this block single-partition
+                p1 = ldr_encode.encode_blocks_plan(
+                    px[i:i + 1], block_w, block_h, has_alpha,
+                    effort=effort, allow_partitions=False)
+                gw, gh, rng, wb, ep_rng = p1["configs"][p1["config"][0]]
+                blk = ah.LogBlock(
+                    grid_width=gw, grid_height=gh, dual_plane=False,
+                    weight_ise_range=rng, endpoint_ise_range=ep_rng,
+                    num_partitions=1, cems=(p1["cem"],),
+                    endpoints=[int(v) for v in p1["endpoints"][0]],
+                    weights=[int(v) for v in p1["codes"][0]])
+        cem = blk.cems[0]
+        base_cem = cem - 1 if cem in (9, 13) else cem
+        ccs = blk.ccs if blk.dual_plane else -1
+        key = (blk.grid_width, blk.grid_height, base_cem, ccs,
+               blk.endpoint_ise_range, blk.weight_ise_range,
+               blk.num_partitions)
+        tm_index = lookup.get(key)
+        if tm_index is None:
+            raise ValueError(f"no trial mode for config {key}")
+
+        refine_mod.refine_log_block_weights(blk, px[i], block_w, block_h,
+                                            srgb)
+
+        dct = None
+        if use_dct:
+            spans = XD.get_max_span_len(blk, XC)
+            total_planes = 2 if blk.dual_plane else 1
+            thresh = coeff_thresh_cache.setdefault(
+                (blk.grid_width, blk.grid_height),
+                (blk.grid_width * blk.grid_height * 45 + 64) >> 7)
+            plane_syms = []
+            ok = True
+            for plane in range(total_planes):
+                dc_sym, ndc, coeffs, max_mag = XD.code_block_weights(
+                    q, plane, blk, block_w, block_h, spans[plane])
+                ncoded = sum(1 for _, c in coeffs if c is not None)
+                if not (coeffs and max_mag <= 255 and ncoded <= thresh):
+                    ok = False
+                plane_syms.append((dc_sym, ndc, tuple(coeffs)))
+            if ok:
+                dct = tuple(plane_syms)
+            # replace weights with the post-quant reconstruction (the
+            # reference does this before emission even when the block
+            # falls back to DPCM)
+            for plane in range(total_planes):
+                dc_sym, ndc, coeffs = plane_syms[plane]
+                XD.decode_block_weights_from_syms(
+                    q, plane, blk, block_w, block_h, dc_sym,
+                    [c for c in coeffs if c[1] is not None], spans[plane])
+
+        blocks[i] = blk
+        info[i] = (tm_index, cem in (9, 13), upi, dct)
+
+    # --- emission, mirroring the decoder's ring/hash state
     raw = _LsbWriter()
     mode_w = _SimpleWriter()
     solid_w = _SimpleWriter()
@@ -175,7 +430,6 @@ def encode_image(rgba: np.ndarray, block_w: int, block_h: int,
     coeff_w = _SimpleWriter()
     sign_w = _SimpleWriter()
 
-    use_dct = dct_quality is not None and 0.0 < float(dct_quality) <= 100.0
     raw.put(0x01, 5)                      # FULL_ZSTD_HEADER_MARKER
     raw.put(bsi, 4)
     raw.put(1 if srgb else 0, 1)
@@ -184,161 +438,162 @@ def encode_image(rgba: np.ndarray, block_w: int, block_h: int,
     raw.put(1 if has_alpha else 0, 1)
     raw.put(1 if use_dct else 0, 1)
     if use_dct:
-        q = float(dct_quality)
         raw.put(int(round(q * 2.0)), 8)   # dct_q stored in half-steps
-    else:
-        q = 0.0
 
     tm_hash = [-1] * XT.TM_HASH_SIZE
+    part2_hash = [-1] * XT.PART_HASH_SIZE
+    part3_hash = [-1] * XT.PART_HASH_SIZE
+    log_ring = [[None] * nbx for _ in range(8)]
+    tm_ring = [[-1] * nbx for _ in range(2)]
+    keys = [_blk_key(b) for b in blocks]
 
-    solid = np.all(px == px[:, :1, :], axis=(1, 2))
-    uniq_color = px[:, 0, :]
-
-    # per-block emitted state for solid prediction / runs
-    prev_fields = None                    # last emitted block tuple
-    run_left = 0
-
-    def weight_writer(n_levels):
+    def emit_weights_dpcm(blk):
+        wtab = XT.weight_tab(blk.weight_ise_range)
+        n_levels = int(wtab.ise_to_val.shape[0])
         if n_levels <= 4:
-            return w2, 2, (3 if n_levels == 4 else None)
-        if n_levels <= 8:
-            return w3, 4, (7 if n_levels == 8 else None)
-        if n_levels <= 16:
-            return w4, 4, (15 if n_levels == 16 else None)
-        return w8, 8, None
-
-    # precompute per-block emit tuples so runs can compare cheaply.
-    # tuple: ("raw", tm_index, endpoints, weight_codes, n_weights,
-    #         weight_range, dct_syms-or-None)
-    from . import xuastc_dct as XD
-
-    coeff_thresh_cache = {}
-    tuples = []
-    for bi in range(nbx * nby):
-        if solid[bi]:
-            tuples.append(("solid", tuple(int(v) for v in uniq_color[bi])))
-            continue
-        ci = plan["config"][bi]
-        gw, gh, wrng, wb, ep_rng = plan["configs"][ci]
-        key = (gw, gh, cem, -1, ep_rng, wrng, 1)
-        tm_index = lookup.get(key)
-        if tm_index is None:
-            raise ValueError(f"no trial mode for config {key}")
-        eps = tuple(int(v) for v in plan["endpoints"][bi])
-        codes = tuple(int(v) for v in plan["codes"][bi])
-        dct_syms = None
-        if use_dct:
-            blk = _BlkShim(cem, eps, ep_rng, gw, gh, wrng, codes)
-            span = XD.get_max_span_len(blk, XC)[0]
-            dc_sym, ndc, coeffs, max_mag = XD.code_block_weights(
-                q, 0, blk, block_w, block_h, span)
-            # fallback gates (compress_image_full_zstd,
-            # encoder/basisu_astc_ldr_encode.cpp:12671-12696)
-            thresh = coeff_thresh_cache.setdefault(
-                (gw, gh), (gw * gh * 45 + 64) >> 7)
-            ncoded = sum(1 for _, c in coeffs if c is not None)
-            if coeffs and max_mag <= 255 and ncoded <= thresh:
-                dct_syms = (dc_sym, ndc, tuple(coeffs))
-            # reconstruct the post-quant weights the decoder will see (the
-            # reference replaces the block's weights before emission even
-            # when the block later falls back to DPCM)
-            blk.weights = [0] * (gw * gh)
-            XD.decode_block_weights_from_syms(
-                q, 0, blk, block_w, block_h, dc_sym,
-                [c for c in coeffs if c[1] is not None], span)
-            codes = tuple(int(v) for v in blk.weights)
-        tuples.append(("raw", tm_index, eps, codes, gw * gh, wrng,
-                       dct_syms))
-
-    prev_mid = None                      # decoded midpoint for solid DPCM
-
-    def solid_pred(i):
-        # the decoder predicts from the LEFT neighbor, else the one ABOVE
-        bx, by = i % nbx, i // nbx
-        if bx:
-            prev = tuples[i - 1]
-        elif by:
-            prev = tuples[i - nbx]
+            wr, nb = w2, 2
+        elif n_levels <= 8:
+            wr, nb = w3, 4
+        elif n_levels <= 16:
+            wr, nb = w4, 4
         else:
-            return (0, 0, 0, 0)
-        if prev[0] == "solid":
-            return prev[1]
-        _, tm_index, eps = prev[:3]
-        tms = XT.encoder_trial_modes(bsi)
-        t = tms[tm_index]
-        pl, ph = XC.decode_endpoints(cem, list(eps), t.endpoint_ise_range)
-        return tuple((pl[i] + ph[i] + 1) >> 1 for i in range(4))
+            wr, nb = w8, 8
+        total_planes = 2 if blk.dual_plane else 1
+        nw = blk.grid_width * blk.grid_height
+        for plane in range(total_planes):
+            prev_w = n_levels // 2
+            for k in range(nw):
+                cur = int(wtab.ise_to_rank[
+                    blk.weights[k * total_planes + plane]])
+                wr.put((cur - prev_w) % n_levels, nb)
+                prev_w = cur
+
+    def emit_weights_dct(blk, dct):
+        for plane in range(2 if blk.dual_plane else 1):
+            dc_sym, ndc, coeffs = dct[plane]
+            if ndc == XD.DCT_MEAN_LEVELS1:
+                mean1_w.put(dc_sym, 8)
+            else:
+                mean0_w.put(dc_sym, 4)
+            for num_zeros, coeff in coeffs:
+                if coeff is None:             # EOB
+                    run_w.put(XD.DCT_RUN_LEN_EOB_SYM_INDEX, 8)
+                else:
+                    run_w.put(num_zeros, 8)
+                    sign_w.put(1 if coeff < 0 else 0, 1)
+                    coeff_w.put(abs(coeff) - 1, 8)
 
     i = 0
-    n_blocks = nbx * nby
-    prev_tuple = None
     while i < n_blocks:
         bx = i % nbx
         by = i // nbx
-        t = tuples[i]
-        # run detection: identical to previous emitted block, same row
-        if prev_tuple is not None and bx != 0 and t == prev_tuple:
+        blk = blocks[i]
+        left_tm = tm_ring[by & 1][bx - 1] if bx else -1
+        up_tm = tm_ring[(by - 1) & 1][bx] if by else -1
+        diag_tm = tm_ring[(by - 1) & 1][bx - 1] if (bx and by) else -1
+
+        # RUN: repeat of left (or, at a row start, the block above)
+        prev_blk = (log_ring[by & 7][bx - 1] if bx
+                    else (log_ring[(by - 1) & 7][bx] if by else None))
+        if prev_blk is not None and keys[i] == _blk_key(prev_blk):
             run_len = 1
             max_run = min(64, nbx - bx)
             while (run_len < max_run and i + run_len < n_blocks
-                   and tuples[i + run_len] == prev_tuple):
+                   and keys[i + run_len] == keys[i]):
                 run_len += 1
             mode_w.put(0b01 | ((run_len - 1) << 2), 8)
+            for j in range(run_len):
+                cx = bx + j
+                log_ring[by & 7][cx] = prev_blk
+                tm_ring[by & 1][cx] = (tm_ring[by & 1][cx - 1] if cx
+                                       else up_tm)
             i += run_len
             continue
 
-        if t[0] == "solid":
-            pred = solid_pred(i)
-            r, g, b, a = t[1]
+        if blk.solid_ldr:
+            prev_c = [0, 0, 0, 0]
+            if prev_blk is not None:
+                if prev_blk.solid_ldr:
+                    prev_c = [v >> 8 for v in prev_blk.solid_color]
+                else:
+                    pl, ph = XC.decode_endpoints(
+                        prev_blk.cems[0], prev_blk.endpoints,
+                        prev_blk.endpoint_ise_range)
+                    prev_c = [(pl[k] + ph[k] + 1) >> 1 for k in range(4)]
+            col = [v >> 8 for v in blk.solid_color]
             mode_w.put(0b0011, 8)
-            solid_w.put((r - pred[0]) & 0xFF, 8)
-            solid_w.put((g - pred[1]) & 0xFF, 8)
-            solid_w.put((b - pred[2]) & 0xFF, 8)
+            solid_w.put((col[0] - prev_c[0]) & 0xFF, 8)
+            solid_w.put((col[1] - prev_c[1]) & 0xFF, 8)
+            solid_w.put((col[2] - prev_c[2]) & 0xFF, 8)
             if has_alpha:
-                solid_w.put((a - pred[3]) & 0xFF, 8)
+                solid_w.put((col[3] - prev_c[3]) & 0xFF, 8)
+            log_ring[by & 7][bx] = blk
+            tm_ring[by & 1][bx] = -1
+            i += 1
+            continue
+
+        tm_index, base_ofs, upi, dct = info[i]
+        dct_flag = _MODE_BYTE_USE_DCT if dct is not None else 0
+
+        # full config+endpoint REUSE from a neighbor
+        neigh = ((0, log_ring[by & 7][bx - 1] if bx else None, left_tm),
+                 (1, log_ring[(by - 1) & 7][bx] if by else None, up_tm),
+                 (2, log_ring[(by - 1) & 7][bx - 1] if (bx and by) else None,
+                  diag_tm))
+        reuse_idx = -1
+        cfg_idx = -1
+        my_cfg = _cfg_key(blk)
+        for idx, nb_blk, nb_tm in neigh:
+            if nb_blk is None or nb_blk.solid_ldr or nb_tm < 0:
+                continue
+            if _cfg_key(nb_blk) != my_cfg or nb_tm != tm_index:
+                continue
+            if cfg_idx < 0:
+                cfg_idx = idx
+            if (reuse_idx < 0
+                    and list(nb_blk.endpoints) == list(blk.endpoints)):
+                reuse_idx = idx
+        if reuse_idx >= 0:
+            mode_w.put(((reuse_idx + 1) << 2) | 0b11 | dct_flag, 8)
+        elif cfg_idx >= 0:
+            mode_w.put((cfg_idx << 1) | dct_flag, 8)
+            encode_values(raw, list(blk.endpoints), blk.endpoint_ise_range)
         else:
-            _, tm_index, eps, codes, nw, wrng, dct_syms = t
+            mode_byte = 0b110 | dct_flag
             hit = tm_hash[XT.tm_hash_index(tm_index)] == tm_index
-            mode_byte = 0b110                     # RAW, cfg_reuse=3
             if hit:
-                mode_byte |= 1 << 6               # TM_HASH_HIT
-            if dct_syms is not None:
-                mode_byte |= 1 << 7               # XUASTC_LDR_MODE_BYTE_USE_DCT
+                mode_byte |= _MODE_BYTE_TM_HASH_HIT
+            if base_ofs:
+                mode_byte |= _MODE_BYTE_IS_BASE_OFS
+            phash = None
+            phit = False
+            if blk.num_partitions > 1:
+                phash = part2_hash if blk.num_partitions == 2 else part3_hash
+                phit = phash[XT.part_hash_index(upi)] == upi
+                if phit:
+                    mode_byte |= _MODE_BYTE_PART_HASH_HIT
             mode_w.put(mode_byte, 8)
             if hit:
                 raw.put(XT.tm_hash_index(tm_index), XT.TM_HASH_BITS)
             else:
                 raw.put_truncated_binary(tm_index, n_tms)
                 tm_hash[XT.tm_hash_index(tm_index)] = tm_index
-            tms = XT.encoder_trial_modes(bsi)
-            encode_values(raw, list(eps), tms[tm_index].endpoint_ise_range)
-            if dct_syms is not None:
-                # DCT symbol streams (compress_image_full_zstd weight
-                # emission, encoder/basisu_astc_ldr_encode.cpp:12708-12748)
-                dc_sym, ndc, coeffs = dct_syms
-                from . import xuastc_dct as _XD
-                if ndc == _XD.DCT_MEAN_LEVELS1:
-                    mean1_w.put(dc_sym, 8)
+            if blk.num_partitions > 1:
+                if phit:
+                    raw.put(XT.part_hash_index(upi), XT.PART_HASH_BITS)
                 else:
-                    mean0_w.put(dc_sym, 4)
-                for num_zeros, coeff in coeffs:
-                    if coeff is None:             # EOB
-                        run_w.put(_XD.DCT_RUN_LEN_EOB_SYM_INDEX, 8)
-                    else:
-                        run_w.put(num_zeros, 8)
-                        sign_w.put(1 if coeff < 0 else 0, 1)
-                        coeff_w.put(abs(coeff) - 1, 8)
-            else:
-                # weight DPCM (rank space; plain-bit ranges: rank == symbol)
-                wtab = XT.weight_tab(wrng)
-                n_levels = int(wtab.ise_to_val.shape[0])
-                wr, nb, _mask = weight_writer(n_levels)
-                prev_w = n_levels // 2
-                for cidx in range(nw):
-                    cur = int(wtab.ise_to_rank[codes[cidx]])
-                    wr.put((cur - prev_w) % n_levels, nb)
-                    prev_w = cur
-        prev_tuple = t
+                    raw.put_truncated_binary(
+                        upi, XT.get_total_unique_patterns(
+                            bsi, blk.num_partitions))
+                    phash[XT.part_hash_index(upi)] = upi
+            encode_values(raw, list(blk.endpoints), blk.endpoint_ise_range)
+
+        if dct is not None:
+            emit_weights_dct(blk, dct)
+        else:
+            emit_weights_dpcm(blk)
+        log_ring[by & 7][bx] = blk
+        tm_ring[by & 1][bx] = tm_index
         i += 1
 
     raw.put(0xAF, 8)                      # FINAL_SYNC_MARKER

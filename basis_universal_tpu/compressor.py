@@ -463,11 +463,19 @@ def _compress_astc_ldr(images, params: CompressorParams,
             h, w = lvl.shape[:2]
             by, bx = -(-h // bh), -(-w // bw)
             if (bw, bh) == (4, 4):
+                from .codecs.astc import refine as astc_refine
+
                 blocks = image_to_blocks(lvl).astype(np.float32)
                 ub = uastc_encode.encode_blocks(
                     blocks.reshape(by * bx, 16, 4), effort=params.effort,
                     has_alpha=has_alpha)
                 astc = astc_pack.uastc_blocks_to_astc(ub)
+                # the UASTC search scored under UASTC decode semantics;
+                # re-pick weights under the true ASTC decode (sRGB expands
+                # endpoints |0x80) now that the blocks are plain ASTC
+                astc = astc_refine.refine_astc_blocks(
+                    astc, blocks.reshape(by * bx, 16, 4).astype(np.uint8),
+                    4, 4, srgb=params.perceptual)
             else:
                 pad = np.zeros((by * bh, bx * bw, 4), dtype=np.uint8)
                 pad[:h, :w] = lvl

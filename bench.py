@@ -23,6 +23,35 @@ ORACLE = pathlib.Path("/tmp/refbuild/basisu")
 # measured from its own printed compression time on kodim23 (0.393 Mpix):
 FALLBACK_CPU_MPIX_S = 0.59
 
+
+def _ensure_oracle() -> bool:
+    """Build the reference CLI into /tmp/refbuild when it is absent so
+    vs_baseline is a LIVE measurement, not the recorded constant. The
+    build drops basisu into /root/reference/bin; move it out and keep the
+    reference tree pristine."""
+    if ORACLE.exists():
+        return True
+    ref = pathlib.Path("/root/reference")
+    if not (ref / "CMakeLists.txt").exists():
+        return False
+    try:
+        ORACLE.parent.mkdir(parents=True, exist_ok=True)
+        subprocess.run(
+            ["cmake", str(ref), "-DCMAKE_BUILD_TYPE=Release",
+             "-DBASISU_SSE=OFF", "-GNinja"],
+            cwd=ORACLE.parent, check=True, capture_output=True, timeout=300)
+        subprocess.run(["ninja", "basisu"], cwd=ORACLE.parent, check=True,
+                       capture_output=True, timeout=1200)
+        built = ref / "bin" / "basisu"
+        if built.exists():
+            ORACLE.write_bytes(built.read_bytes())
+            ORACLE.chmod(0o755)
+            built.unlink()
+        return ORACLE.exists()
+    except Exception as exc:
+        print(f"note: oracle build failed: {exc}", file=sys.stderr)
+        return False
+
 IMAGES = [f"kodim{i:02}.png" for i in range(1, 9)]
 
 
@@ -140,9 +169,12 @@ def _measure_reference(imgs_paths):
 def main():
     imgs = _load_images()
     ours = _measure_ours(imgs)
+    _ensure_oracle()
     ref = _measure_reference(IMAGES)
+    baseline_source = "live"
     if ref is None:
         ref = FALLBACK_CPU_MPIX_S
+        baseline_source = "recorded"
         print(f"note: using recorded CPU baseline {ref} Mpix/s", file=sys.stderr)
     else:
         print(f"reference CPU: {ref:.3f} Mpix/s", file=sys.stderr)
@@ -151,6 +183,7 @@ def main():
         "value": round(ours, 4),
         "unit": "Mpix/s",
         "vs_baseline": round(ours / ref, 4),
+        "baseline_source": baseline_source,
     }
     try:
         u_ours = _measure_ours_uastc(imgs)
