@@ -536,64 +536,38 @@ def _encode_values(bw: _BitWriter, vals, rng: int):
             bw.put(v & ((1 << b) - 1), b)
 
 
-# v1 encode mode set: single-partition CEM 11, no dual plane
-_ENC_MODES = (0, 9, 10)   # 6x6 grid w3lvl / 4x4 grid w16lvl / 3x3 w16lvl
-
-
 def encode_6x6_hdr(px_half: np.ndarray, width: int, height: int,
-                   effort: int = 1) -> bytes:
+                   effort: int = 1, quality: int = 100) -> bytes:
     """(B,36,3) uint16 half bits (raster 6x6 blocks) → intermediate stream.
 
-    v1: BLOCK(cRaw) with per-block best of a few single-partition CEM-11
-    modes, RUN for repeated blocks, SOLID for flat blocks.  The reference
-    encoder (encoder/basisu_astc_hdr_6x6_enc.cpp) adds reuse, deltas,
-    partitions and RDO on top of the same stream syntax."""
-    from .hdr_encode import _infill_matrix, half_to_qlog16, _qlog16_to_half_lut
+    Blocks come from the shared multi-mode planner
+    (hdr_encode.plan_blocks_hdr_6x6: CEM 11 submodes + CEM 7 across the
+    1-partition block-mode set). The stream uses the full cheap-block
+    vocabulary: RUN for repeats, SOLID for flat blocks, REUSE when a
+    window neighbor shares (mode, endpoints), BLOCK(cRaw) otherwise.
+    quality < 100 runs the RDO pass first (reuse-with-refit within a
+    lambda-scaled error budget — the reference's rate lever,
+    encoder/basisu_astc_hdr_6x6_enc.h:16-121)."""
+    from .hdr_encode import plan_blocks_hdr_6x6, _rdo_reuse_6x6i
 
     b = px_half.shape[0]
-    q16 = half_to_qlog16(px_half).astype(np.int64)
-    q12 = q16 >> 4
-    lo12, hi12 = q12.min(axis=1), q12.max(axis=1)
-    prec = np.array([4, 4, 5])
-    lo_q = lo12 >> prec
-    hi_q = np.minimum(-(-hi12 >> prec.astype(np.int64)),
-                      np.array([255, 255, 127]))
-    le = (lo_q << prec) << 4
-    he = (hi_q << prec) << 4
-    d = (he - le).astype(np.float64)
-    num = ((q16 - le[:, None, :]) * d[:, None, :]).sum(-1)
-    den = np.maximum((d * d).sum(-1), 1e-9)
-    w_tex = np.clip(64.0 * num / den[:, None], 0, 64)
-    lut = _qlog16_to_half_lut().astype(np.int64)
-    tgt_h = lut[np.clip(q16, 0, 65535)]
+    nbx = -(-width // 6)
+    plan = plan_blocks_hdr_6x6(px_half, effort)
+    solid = (px_half.max(axis=1) == px_half.min(axis=1)).all(-1)
+    if quality < 100:
+        # full-copy first (enables RUN records), then endpoint reuse
+        _rdo_reuse_6x6i(plan, px_half, quality, nbx, solid, refit=False)
+        _rdo_reuse_6x6i(plan, px_half, quality, nbx, solid, refit=True)
 
-    solid = (q16.max(axis=1) == q16.min(axis=1)).all(-1) if False else \
-        (px_half.max(axis=1) == px_half.min(axis=1)).all(-1)
+    # delta index lookup for the REUSE window
+    delta_index = {d: k for k, d in enumerate(HT.REUSE_XY_DELTAS)}
 
-    cand_codes, cand_err = [], []
-    for mi in _ENC_MODES:
-        (_dp, _cem, _np, gx, gy, e_r, w_r, _te, _tw, _lv, _c) = \
-            HT.BLOCK_MODE_DESCS[mi]
-        m, pinv = _infill_matrix(gx, gy, 6, 6)
-        grid_f = np.clip(w_tex @ pinv.T, 0, 64)
-        dqw, qw = _weight_tabs(w_r)
-        codes = np.abs(grid_f[..., None] - dqw[None, None, :]).argmin(-1)
-        gq = dqw[codes]
-        up = np.clip((gq @ (m.T * 64.0) + 32).astype(np.int64) >> 6, 0, 64)
-        rec = (le[:, None, :] * (64 - up[..., None])
-               + he[:, None, :] * up[..., None] + 32) >> 6
-        rec_h = lut[np.clip(rec, 0, 65535)]
-        cand_err.append(((rec_h - tgt_h) ** 2).sum(axis=(1, 2)))
-        cand_codes.append(codes)
-    best = np.argmin(np.stack(cand_err, axis=1), axis=1)
+    desc = plan["desc"]
+    eps = plan["ep_codes"]
+    wcodes = plan["w_codes"]
 
-    eps_bytes = np.zeros((b, 6), dtype=np.int64)
-    eps_bytes[:, 0] = lo_q[:, 0]
-    eps_bytes[:, 1] = hi_q[:, 0]
-    eps_bytes[:, 2] = lo_q[:, 1]
-    eps_bytes[:, 3] = hi_q[:, 1]
-    eps_bytes[:, 4] = lo_q[:, 2] | 0x80
-    eps_bytes[:, 5] = hi_q[:, 2] | 0x80
+    def cfg_key(i):
+        return (int(desc[i]), eps[i].tobytes())
 
     bw = _BitWriter()
     bw.put(SIG1, 16)
@@ -606,9 +580,8 @@ def encode_6x6_hdr(px_half: np.ndarray, width: int, height: int,
         nonlocal run_len
         if run_len:
             bw.put(0b000, 3)
-            # vlc(5)
             v = run_len - 1
-            while True:
+            while True:                                  # vlc(5)
                 chunk = v & 31
                 v >>= 5
                 bw.put(chunk | (32 if v else 0), 6)
@@ -616,32 +589,57 @@ def encode_6x6_hdr(px_half: np.ndarray, width: int, height: int,
                     break
             run_len = 0
 
+    solid_i = set(np.flatnonzero(solid).tolist())
+    keys = [None] * b
     for i in range(b):
-        if solid[i]:
-            key = ("s", px_half[i, 0, 0], px_half[i, 0, 1], px_half[i, 0, 2])
+        if i in solid_i:
+            keys[i] = ("s", int(px_half[i, 0, 0]), int(px_half[i, 0, 1]),
+                       int(px_half[i, 0, 2]))
         else:
-            mi = _ENC_MODES[best[i]]
-            key = ("b", mi, eps_bytes[i].tobytes(),
-                   cand_codes[best[i]][i].tobytes())
-        if key == prev_key and i:
+            (_dp, cem, _np, gx, gy, e_r, w_r, _te, _tw, _lv, _c) = \
+                HT.BLOCK_MODE_DESCS[int(desc[i])]
+            nv = 6 if cem == 11 else 4
+            keys[i] = ("b", int(desc[i]), eps[i, :nv].tobytes(),
+                       wcodes[i, :gx * gy].tobytes())
+
+    for i in range(b):
+        if i and keys[i] == prev_key:
             run_len += 1
             continue
         flush_run()
-        prev_key = key
-        if solid[i]:
+        prev_key = keys[i]
+        if i in solid_i:
             bw.put(0b100, 3)
             for c in range(3):
                 bw.put(int(px_half[i, 0, c]) & 0x7FFF, 15)
             continue
-        mi = _ENC_MODES[best[i]]
         (_dp, cem, _np, gx, gy, e_r, w_r, _te, _tw, _lv, _c) = \
-            HT.BLOCK_MODE_DESCS[mi]
+            HT.BLOCK_MODE_DESCS[int(desc[i])]
+        nv = 6 if cem == 11 else 4
+        # REUSE: a window neighbor with the same mode + endpoint codes
+        bx, by = i % nbx, i // nbx
+        reuse_k = -1
+        my_cfg = cfg_key(i)
+        for (dx, dy), k in delta_index.items():
+            px_, py_ = bx + dx, by + dy
+            j = px_ + py_ * nbx
+            if px_ < 0 or px_ >= nbx or py_ < 0 or j >= i or j < 0:
+                continue
+            if j in solid_i or keys[j][0] != "b":
+                continue
+            if cfg_key(j) == my_cfg:
+                reuse_k = k
+                break
+        if reuse_k >= 0:
+            bw.put(0b10, 2)                          # REUSE
+            bw.put(reuse_k, 5)
+            _encode_values(bw, [int(v) for v in wcodes[i, :gx * gy]], w_r)
+            continue
         bw.put(1, 1)                                 # BLOCK
-        bw.truncated_binary(mi, len(HT.BLOCK_MODE_DESCS))
+        bw.truncated_binary(int(desc[i]), len(HT.BLOCK_MODE_DESCS))
         bw.truncated_binary(0, 5)                    # endpoint mode cRaw
-        eps = _requant_endpoints(cem, eps_bytes[i], 20, e_r)
-        _encode_values(bw, eps, e_r)
-        _encode_values(bw, [int(v) for v in cand_codes[best[i]][i]], w_r)
+        _encode_values(bw, [int(v) for v in eps[i, :nv]], e_r)
+        _encode_values(bw, [int(v) for v in wcodes[i, :gx * gy]], w_r)
     flush_run()
     bw.put(END_MARKER, 16)
     return bw.to_bytes()

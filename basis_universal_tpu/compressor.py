@@ -705,7 +705,8 @@ def _compress_astc_hdr_6x6(images, params: CompressorParams) -> CompressorOutput
                 pad[:, w:] = pad[:, w - 1:w]
             blocks = pad.reshape(by, 6, bx, 6, 3).transpose(0, 2, 1, 3, 4)
             ub = hdr_encode.encode_blocks_hdr_6x6(
-                blocks.reshape(by * bx, 36, 3), effort=params.effort)
+                blocks.reshape(by * bx, 36, 3), effort=params.effort,
+                quality=params.quality_level, nbx=bx)
             slices.append(dict(
                 image_index=image_index, level_index=level_index,
                 orig_width=w, orig_height=h, num_blocks_x=bx,
@@ -758,7 +759,8 @@ def _compress_uastc_hdr_6x6i(images, params: CompressorParams) -> CompressorOutp
         pad[:, w:] = pad[:, w - 1:w]
     blocks = pad.reshape(by, 6, bx, 6, 3).transpose(0, 2, 1, 3, 4)
     stream = hd.encode_6x6_hdr(
-        blocks.reshape(by * bx, 36, 3), w, h, effort=params.effort)
+        blocks.reshape(by * bx, 36, 3), w, h, effort=params.effort,
+        quality=params.quality_level)
     descs = [basis_file.SliceDesc(
         image_index=0, level_index=0, flags=0,
         orig_width=w, orig_height=h, num_blocks_x=bx, num_blocks_y=by,
