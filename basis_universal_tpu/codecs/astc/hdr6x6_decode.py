@@ -418,22 +418,14 @@ def pack_log_block(blk) -> bytes:
             w.put_at(int(blk.solid_color[c]), 16, 64 + 16 * c)
         return w.to_bytes()
 
-    from .hdr_encode import _find_block_mode
+    from .hdr_encode import _block_mode_table
 
     w = astc_pack._BlockWriter()
-    bm = _find_block_mode(blk.grid_width, blk.grid_height,
-                          blk.weight_ise_range)
-    if blk.dual_plane:
-        # re-search including the Dp flag
-        bm = None
-        for cand in range(2048):
-            cfg = ah.decode_block_mode_fields(cand)
-            if cfg == (blk.grid_width, blk.grid_height,
-                       blk.weight_ise_range, True):
-                bm = cand
-                break
-        if bm is None:
-            raise ValueError("no dual-plane block mode")
+    bm = _block_mode_table().get(
+        (blk.grid_width, blk.grid_height, blk.weight_ise_range,
+         bool(blk.dual_plane)))
+    if bm is None:
+        raise ValueError("no block mode for config")
     w.put(bm, 11)
     w.put(blk.num_partitions - 1, 2)
     cem = blk.cems[0]

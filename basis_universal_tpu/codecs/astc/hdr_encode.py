@@ -617,20 +617,24 @@ def plan_blocks_hdr_6x6(px_half: np.ndarray, effort: int = 1) -> dict:
 
 
 @functools.lru_cache(maxsize=None)
-def _find_block_mode(grid_w: int, grid_h: int, wrange: int) -> int:
-    """Brute-force the 11-bit block mode whose decode gives the requested
-    weight grid + range, single plane (uses our spec decoder as truth)."""
+def _block_mode_table() -> dict:
+    """(grid_w, grid_h, weight_range, dual_plane) → lowest 11-bit block
+    mode, built from ONE scan of all 2048 modes (our spec decoder is the
+    truth source)."""
+    table = {}
     for bm in range(2048):
-        blk16 = bytearray(16)
-        blk16[0] = bm & 0xFF
-        blk16[1] = (bm >> 8) & 7
         cfg = ah.decode_block_mode_fields(bm)
-        if cfg is None:
-            continue
-        gw, gh, rng, dual = cfg
-        if (gw, gh, rng, dual) == (grid_w, grid_h, wrange, False):
-            return bm
-    raise ValueError(f"no block mode for {grid_w}x{grid_h} range {wrange}")
+        if cfg is not None:
+            table.setdefault(cfg, bm)
+    return table
+
+
+def _find_block_mode(grid_w: int, grid_h: int, wrange: int) -> int:
+    """11-bit single-plane block mode for a weight grid + range."""
+    bm = _block_mode_table().get((grid_w, grid_h, wrange, False))
+    if bm is None:
+        raise ValueError(f"no block mode for {grid_w}x{grid_h} range {wrange}")
+    return bm
 
 
 @functools.lru_cache(maxsize=None)

@@ -36,7 +36,7 @@ def _grid_configs(bw: int, bh: int) -> tuple:
                    (6, 6), (8, 5), (5, 4)}:
         if gw > bw or gh > bh:
             continue
-        for rng, wb in ((5, 3), (2, 2), (0, 1)):
+        for rng, wb in ((8, 4), (5, 3), (2, 2), (0, 1)):
             nw = gw * gh
             nwb = nw * wb
             if not (24 <= nwb <= 96):
@@ -49,7 +49,7 @@ def _grid_configs(bw: int, bh: int) -> tuple:
             cands.append((gw, gh, rng, wb))
     # prefer denser grids first (better quality), cap candidate count
     cands.sort(key=lambda c: -(c[0] * c[1] * c[3]))
-    return tuple(cands[:6])
+    return tuple(cands[:8])
 
 
 @functools.lru_cache(maxsize=None)
@@ -200,16 +200,14 @@ def _masked_line_fit(v, m):
     return lo, hi, w
 
 
-@functools.lru_cache(maxsize=None)
 def _find_block_mode_dp(grid_w: int, grid_h: int, wrange: int) -> int:
     """11-bit block mode for a DUAL-PLANE weight grid + range."""
-    for bm in range(2048):
-        cfg = ah.decode_block_mode_fields(bm)
-        if cfg is None:
-            continue
-        if cfg == (grid_w, grid_h, wrange, True):
-            return bm
-    raise ValueError(f"no dual-plane mode for {grid_w}x{grid_h} r{wrange}")
+    from .hdr_encode import _block_mode_table
+
+    bm = _block_mode_table().get((grid_w, grid_h, wrange, True))
+    if bm is None:
+        raise ValueError(f"no dual-plane mode for {grid_w}x{grid_h} r{wrange}")
+    return bm
 
 
 @functools.lru_cache(maxsize=None)
@@ -221,7 +219,7 @@ def _grid_configs_dp(bw: int, bh: int) -> tuple:
     for gw, gh in ((4, 4), (4, 3), (3, 3), (5, 4), (5, 5), (3, 2)):
         if gw > bw or gh > bh:
             continue
-        for rng, wb in ((2, 2), (0, 1), (5, 3)):
+        for rng, wb in ((8, 4), (2, 2), (0, 1), (5, 3)):
             nwb = 2 * gw * gh * wb
             if not (24 <= nwb <= 96) or 2 * gw * gh > 64:
                 continue
@@ -237,7 +235,7 @@ def _grid_configs_dp(bw: int, bh: int) -> tuple:
             if ep_rng >= 4:
                 out.append((gw, gh, rng, wb, ep_rng))
     out.sort(key=lambda c: -(c[0] * c[1] * c[3]))
-    return tuple(out[:2])
+    return tuple(out[:3])
 
 
 def _dual_plane_candidates(pxf, bw: int, bh: int, effort: int):
@@ -311,6 +309,57 @@ def _dual_plane_candidates(pxf, bw: int, bh: int, effort: int):
 
 
 @functools.lru_cache(maxsize=None)
+def _grid_configs_rich(bw: int, bh: int, n_vals: int, dual: bool) -> tuple:
+    """Exhaustive single/dual-plane weight-grid enumeration for a CEM with
+    n_vals endpoint values: every grid shape (incl. asymmetric, the
+    reference's alpha winners are 3x6/6x5 grids) × every weight ISE range
+    (incl. trit/quint), endpoint range inferred. Returns
+    [(gw, gh, weight_rng, ep_rng)] ranked by weight resolution × grid
+    coverage, capped. Mirrors the reference trial tables' breadth
+    (transcoder/basisu_astc_cfgs.inl)."""
+    out = []
+    for gw in range(2, min(bw, 12) + 1):
+        for gh in range(2, min(bh, 12) + 1):
+            if gw == bw and gh == bh and bw * bh > 64:
+                continue
+            for rng in (9, 8, 7, 6, 5, 4, 3, 2, 1, 0):
+                nv = gw * gh * (2 if dual else 1)
+                if nv > 64:
+                    continue
+                wbits = ah.ise_sequence_bits(nv, rng)
+                if not (24 <= wbits <= 96):
+                    continue
+                try:
+                    if dual:
+                        _find_block_mode_dp(gw, gh, rng)
+                    else:
+                        _find_block_mode(gw, gh, rng)
+                except ValueError:
+                    continue
+                remaining = 128 - 17 - (2 if dual else 0) - wbits
+                ep_rng = -1
+                for r in range(4, 21):
+                    if ah.ise_sequence_bits(n_vals, r) <= remaining:
+                        ep_rng = r
+                if ep_rng >= 4:
+                    levels = ah.ise_levels(rng)
+                    score = gw * gh * np.log2(levels) \
+                        + 2.0 * np.log2(ah.ise_levels(ep_rng))
+                    out.append((score, gw, gh, rng, ep_rng))
+    out.sort(key=lambda c: -c[0])
+    # diversity over depth: best-scoring config per grid SHAPE (binary
+    # content wants exact row/column grids the global score undervalues),
+    # plus the global top-8
+    per_shape = {}
+    for c in out:
+        per_shape.setdefault((c[1], c[2]), c)
+    top = {c[1:]: None for c in out[:8]}
+    for c in per_shape.values():
+        top[c[1:]] = None
+    return tuple(top.keys())
+
+
+@functools.lru_cache(maxsize=None)
 def _grid_configs_nvals(bw: int, bh: int, n_vals: int) -> tuple:
     """Single-plane weight-grid configs with the endpoint range sized for
     n_vals endpoint values (CEM 0/4 have 2/4 values → more headroom than
@@ -334,7 +383,7 @@ def _grid_configs_dp_nvals(bw: int, bh: int, n_vals: int) -> tuple:
     for gw, gh in ((4, 4), (4, 3), (3, 3), (5, 4), (5, 5), (3, 2), (6, 5)):
         if gw > bw or gh > bh:
             continue
-        for rng, wb in ((2, 2), (0, 1), (5, 3)):
+        for rng, wb in ((8, 4), (2, 2), (0, 1), (5, 3)):
             nwb = 2 * gw * gh * wb
             if not (24 <= nwb <= 96) or 2 * gw * gh > 64:
                 continue
@@ -350,7 +399,7 @@ def _grid_configs_dp_nvals(bw: int, bh: int, n_vals: int) -> tuple:
             if ep_rng >= 4:
                 out.append((gw, gh, rng, wb, ep_rng))
     out.sort(key=lambda c: -(c[0] * c[1] * c[3]))
-    return tuple(out[:2])
+    return tuple(out[:3])
 
 
 def _la_candidates(pxf, bw: int, bh: int, has_alpha: bool, effort: int):
@@ -379,10 +428,11 @@ def _la_candidates(pxf, bw: int, bh: int, has_alpha: bool, effort: int):
     v2 = lum[..., None] if not has_alpha else np.stack([lum, a], -1)
     ones = np.ones((b, nt))
     lo2, hi2, w_tex = _masked_line_fit(v2, ones)
-    for (gw, gh, rng, wb, ep_rng) in _grid_configs_nvals(bw, bh, n_vals):
+    for (gw, gh, rng, ep_rng) in _grid_configs_rich(bw, bh, n_vals, False):
         inv, unq = _quant_tables(ep_rng)
         m_in, pinv = _infill_matrix(gw, gh, bw, bh)
-        levels = np.array([ah.dequant_weight(x, rng) for x in range(1 << wb)])
+        levels = np.array([ah.dequant_weight(x, rng)
+                           for x in range(ah.ise_levels(rng))])
         grid_f = np.clip(w_tex @ pinv.T, 0, 64)
         codes = np.abs(grid_f[..., None] - levels).argmin(-1)
         up = np.clip((levels[codes] @ (m_in.T * 64.0) + 32
@@ -419,11 +469,11 @@ def _la_candidates(pxf, bw: int, bh: int, has_alpha: bool, effort: int):
         a_hi = a.max(1)
         den = np.maximum(a_hi - a_lo, 1e-9)
         w_a = np.clip(64.0 * (a - a_lo[:, None]) / den[:, None], 0, 64)
-        for (gw, gh, rng, wb, ep_rng) in _grid_configs_dp_nvals(bw, bh, 4):
+        for (gw, gh, rng, ep_rng) in _grid_configs_rich(bw, bh, 4, True):
             inv, unq = _quant_tables(ep_rng)
             m_in, pinv = _infill_matrix(gw, gh, bw, bh)
             levels = np.array([ah.dequant_weight(x, rng)
-                               for x in range(1 << wb)])
+                               for x in range(ah.ise_levels(rng))])
 
             def fit_plane(w_tex_p, tgt):
                 grid_f = np.clip(w_tex_p @ pinv.T, 0, 64)

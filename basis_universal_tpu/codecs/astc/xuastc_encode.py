@@ -309,9 +309,45 @@ def _plan_direct(px: np.ndarray, bw: int, bh: int, has_alpha: bool,
     return out
 
 
+def _solid_rdo(blocks, info, px: np.ndarray, bw: int, bh: int,
+               has_alpha: bool, srgb: bool, q: float) -> None:
+    """Lossy-mode solid substitution (the dominant rate move in the
+    reference's bounded RDO: at q25 the reference emits ~48% solid blocks,
+    measured on kodim23; windowed RDO at
+    encoder/basisu_astc_ldr_encode.cpp:11843). A block becomes a solid
+    color whenever the solid's error does not exceed the DCT-coded
+    block's actual decode error by more than the quality-scaled budget —
+    at low q the weight-grid DCT often mangles smooth blocks worse than
+    a flat fill that costs ~4 bytes."""
+    from . import helpers as ah
+
+    n = len(blocks)
+    nt = bw * bh
+    srcf = px.astype(np.int64)
+    mean = np.round(px.astype(np.float64).mean(axis=1)).astype(np.int64)
+    if not has_alpha:
+        mean[:, 3] = 255
+    err_solid = ((srcf - mean[:, None, :]) ** 2).sum(axis=(1, 2))
+
+    # budget: fraction of the per-texel variance scale, growing as q drops
+    lam = max(0.0, (100.0 - float(q)) / 100.0)
+    budget = lam * lam * 8.0 * nt
+
+    for i in range(n):
+        blk = blocks[i]
+        if blk.solid_ldr:
+            continue
+        dec = np.asarray(ah.decode_block(blk, bw, bh, srgb=srgb),
+                         dtype=np.int64).reshape(nt, 4)
+        err_coded = ((dec - srcf[i]) ** 2).sum()
+        if err_solid[i] <= err_coded + budget:
+            blocks[i] = _solid_log_block(mean[i], has_alpha)
+            info[i] = None
+
+
 def encode_image(rgba: np.ndarray, block_w: int, block_h: int,
                  has_alpha: bool, srgb: bool, effort: int = 1,
-                 dct_quality=None) -> bytes:
+                 dct_quality=None, rdo_quality=None) -> bytes:
     """(H, W, 4) uint8 → full-zstd XUASTC LDR stream.
 
     dct_quality: None = lossless entropy layer; 1-100 = weight-grid DCT
@@ -415,6 +451,10 @@ def encode_image(rgba: np.ndarray, block_w: int, block_h: int,
 
         blocks[i] = blk
         info[i] = (tm_index, cem in (9, 13), upi, dct)
+
+    if use_dct:
+        _solid_rdo(blocks, info, px, block_w, block_h, has_alpha, srgb,
+                   q if rdo_quality is None else float(rdo_quality))
 
     # --- emission, mirroring the decoder's ring/hash state
     raw = _LsbWriter()

@@ -591,12 +591,19 @@ def _compress_xuastc_ldr(images, params: CompressorParams,
     from .codecs.astc import xuastc_encode
 
     q = params.quality_level
-    dct_q = float(q) if 1 <= q <= 99 else None
+    # DCT quality calibration: our solid-RDO pass frees ~15% rate vs the
+    # reference at equal dct_quality, so spend it on a gentler weight DCT
+    # (measured on the kodim parity grid: at q25 we are -16% size; +12
+    # internal steps re-lands on the reference's RD curve, tapering off
+    # as the DCT approaches lossless)
+    bump = 12 if q <= 60 else (8 if q <= 80 else (4 if q <= 92 else 0))
+    dct_q = float(min(q + bump, 99)) if 1 <= q <= 99 else None
     slices = _xu_encode_slices(
         images, params,
         lambda img, ha: xuastc_encode.encode_image(
             img, bw, bh, has_alpha=ha, srgb=params.perceptual,
-            effort=params.effort, dct_quality=dct_q),
+            effort=params.effort, dct_quality=dct_q,
+            rdo_quality=float(q) if 1 <= q <= 99 else None),
         bw, bh)
     descs, streams, flags = _xu_basis_slices(slices, params)
     data = basis_file.write_basis_file(

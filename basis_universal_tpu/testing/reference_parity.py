@@ -55,26 +55,32 @@ GATES = {
     # measure <= 0.23 dB; the e3 rows sit at 0.37 — next ratchet target)
     "etc1s":           (0.30, 0.08),
     "uastc":           (0.40, 0.08),
-    # ASTC LDR direct: single-partition CEM 8/12 vs the reference's
-    # partition/dual-plane search — PSNR deficit grows with block size
-    "astc_ldr_4x4":    (1.00, 0.05),
-    "astc_ldr_6x6":    (2.00, 0.05),
-    "astc_ldr_8x8":    (2.60, 0.05),
-    "astc_ldr_10x10":  (3.10, 0.05),
-    "astc_ldr_12x12":  (3.60, 0.05),
-    # XUASTC: same per-block encoder feeding the DCT entropy layer; size
-    # gap additionally reflects missing RDO/bounded-window search
-    "xuastc_ldr_4x4":  (1.20, 0.90),
-    "xuastc_ldr_6x6":  (2.20, 0.90),
-    "xuastc_ldr_10x10": (3.20, 0.90),
-    "xuastc_ldr_12x12": (3.70, 0.90),
-    # XUBC7 lossless: size-dominated (PSNR tracks the BC7 source encoder)
-    "xubc7":           (1.20, 0.45),
-    # HDR: v1 CEM-11 encoders vs the reference's multi-mode searches
-    "uastc_hdr_4x4":   (6.00, 0.05),
-    "astc_hdr_6x6":    (7.00, 0.60),
-    "uastc_hdr_6x6i":  (7.00, 0.60),
+    # ASTC LDR direct (round-4 ratchet; worst measured row + ~0.3 margin)
+    "astc_ldr_4x4":    (0.80, 0.05),
+    "astc_ldr_6x6":    (1.60, 0.05),
+    "astc_ldr_8x8":    (2.00, 0.05),
+    "astc_ldr_10x10":  (0.70, 0.05),
+    "astc_ldr_12x12":  (1.40, 0.05),
+    # XUASTC: solid-RDO + DCT-quality calibration landed the lossy ladder
+    # on the reference RD curve (round 4); size gates drop 0.90 → ~0.30
+    "xuastc_ldr_4x4":  (1.10, 0.25),
+    "xuastc_ldr_6x6":  (2.10, 0.30),
+    "xuastc_ldr_10x10": (1.00, 0.30),
+    "xuastc_ldr_12x12": (1.50, 0.30),
+    # XUBC7: PSNR >= reference on every row; size reflects the missing
+    # repeat/solid/endpoint RDO families
+    "xubc7":           (0.30, 0.45),
+    # HDR (round-4 multi-mode encoders: measured -1.0/-0.55 dB 4x4,
+    # 6x6/6x6i now BEAT the reference's PSNR at q0)
+    "uastc_hdr_4x4":   (1.50, 0.10),
+    "astc_hdr_6x6":    (0.80, 0.30),
+    "uastc_hdr_6x6i":  (0.80, 0.40),
 }
+
+# The reference's own regression runner relaxes the size check for tiny
+# files (basisu_tool.cpp:7950-7960); below this absolute excess a
+# percentage gate is noise
+SIZE_FLOOR_BYTES = 1024
 
 # ---------------------------------------------------------------------------
 # Codec registry: oracle CLI flags + our CompressorParams construction.
@@ -330,7 +336,8 @@ def check_rows(rows: List[ParityRow]) -> List[str]:
             bad.append(f"{r.key()}: RGBA PSNR {r.our_rgba_psnr} vs ref "
                        f"{r.ref_rgba_psnr} ({r.rgba_psnr_delta:+.3f} dB, "
                        f"gate {max_deficit})")
-        if r.size_rel > max_excess:
+        if (r.size_rel > max_excess
+                and r.our_size - r.ref_size > SIZE_FLOOR_BYTES):
             bad.append(f"{r.key()}: size {r.our_size} vs ref {r.ref_size} "
                        f"({r.size_rel:+.1%}, gate {max_excess:.0%})")
     return bad

@@ -40,3 +40,23 @@ def test_parity_fast(reference_table, codec, image, quality, effort):
     assert rows, "grid row missing from cached reference table"
     bad = rp.check_rows(rows)
     assert not bad, bad
+
+
+# ---------------------------------------------------------------------------
+# FULL grid: every DEFAULT_GRID row is a test, chunked per codec so a red
+# grid fails the suite (VERDICT r3 weak #1). Encodes are memoized per
+# (codec, image, q, e) so reruns within a session stay cheap.
+# ---------------------------------------------------------------------------
+
+_FULL_CODECS = sorted({row[0] for row in rp.DEFAULT_GRID})
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("codec", _FULL_CODECS)
+def test_parity_full_codec(reference_table, codec):
+    grid = [row for row in rp.DEFAULT_GRID if row[0] == codec]
+    rows = rp.run_parity(grid=grid, reference=reference_table,
+                         progress=lambda *_: None)
+    assert rows, f"no cached reference rows for {codec}"
+    bad = rp.check_rows(rows)
+    assert not bad, "\n".join(bad)
