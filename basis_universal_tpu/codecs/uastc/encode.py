@@ -1020,6 +1020,278 @@ def _pack_mode_dualplane(mode, wb, ep_range, eps, ws, ccs, etc1_inten,
     return _lanes_to_bytes(lanes)
 
 
+# --- UASTC RDO: LZ-aware selector-bit-range matching ------------------------
+
+# per-mode (first_selector_bit, total_selector_bits) — the weight region
+# of the 128-bit block (encoder/basisu_uastc_enc.cpp:3729
+# g_uastc_mode_selector_bits; spec constants of the UASTC layout)
+SELECTOR_BITS = ((65, 63), (69, 31), (73, 46), (89, 29), (89, 30), (68, 47),
+                 (66, 62), (89, 30), (0, 0), (97, 30), (65, 63), (66, 62),
+                 (81, 47), (94, 30), (92, 31), (62, 63), (98, 30), (61, 62),
+                 (49, 79))
+
+_TDEFL_SMALL_DIST_EXTRA = [0, 0, 0, 0, 1, 1, 2, 2] + [3] * 8 + [4] * 16 \
+    + [5] * 32 + [6] * 64 + [7] * 128 + [8] * 256
+_TDEFL_LARGE_DIST_EXTRA = [0, 0, 9, 9] + [10] * 4 + [11] * 8 + [12] * 16 \
+    + [13] * 32 + [14] * 64
+
+_RDO_SKIP_RMS = 8.0
+_RDO_MAX_RMS_RATIO = 10.0
+_RDO_SMOOTH_STD = 18.0
+_RDO_SMOOTH_SCALE = 10.0
+
+
+def _match_cost_bits(dist: int) -> int:
+    """tdefl-style LZ match cost estimate
+    (encoder/basisu_uastc_enc.cpp:3775)."""
+    cost = 7 + 5
+    if dist < 512:
+        cost += _TDEFL_SMALL_DIST_EXTRA[dist & 511]
+    else:
+        cost += _TDEFL_LARGE_DIST_EXTRA[min(dist, 32767) >> 8]
+        while dist >= 32768:
+            cost += 1
+            dist >>= 1
+    return cost
+
+
+def rdo_selector_match(blocks: np.ndarray, px_rgba: np.ndarray,
+                       lam: float, dict_size: int = 4096) -> np.ndarray:
+    """Partial-bit-range RDO (uastc_rdo analog,
+    encoder/basisu_uastc_enc.cpp:3824-4161): for each block, try splicing
+    an earlier same-mode block's SELECTOR bits (weight region only —
+    mode/endpoints/hints stay) so the LZ stage finds long byte matches,
+    scored J = ms_err·smooth_scale + bits·lambda against a tdefl cost
+    model with a selector-pattern history.
+
+    The per-candidate error is a dense one-hot contraction: with the
+    block's per-texel/per-level error table E (B,t,L) and candidate
+    weight patterns as one-hots (C,t,L), all trial errors are one
+    einsum — the matmul-shaped reformulation of the reference's
+    per-candidate decode loop. Single-plane modes only (dual-plane
+    splices couple two weight streams; those blocks keep their coding).
+    """
+    if lam <= 0.0:
+        return blocks
+    from .decode import decode_rgba, unpack_blocks
+
+    blocks = np.ascontiguousarray(blocks, dtype=np.uint8).reshape(-1, 16)
+    n = blocks.shape[0]
+    if n < 2:
+        return blocks
+    u = unpack_blocks(blocks)
+    dec = decode_rgba(blocks).reshape(n, 16, 4).astype(np.int64)
+    px = px_rgba.reshape(n, 16, 4).astype(np.int64)
+    base_err = ((dec - px) ** 2).sum(axis=(1, 2))
+    base_ms = base_err / 64.0
+    std = px[..., :4].astype(np.float64).std(axis=1).max(-1)       # (n,)
+    yl = np.clip(std / _RDO_SMOOTH_STD, 0.0, 1.0) ** 2
+    smooth_scale = _RDO_SMOOTH_SCALE + (1.0 - _RDO_SMOOTH_SCALE) * yl
+
+    max_back = max(1, dict_size // 16)
+    out = blocks.copy()
+    sel_history = {}           # (mode, sel_bytes) -> last global index
+
+    for mode in np.unique(u.mode):
+        if mode == T.MODE_SOLID or int(T.MODE_PLANES[mode]) != 1:
+            continue
+        first_bit, nbits = SELECTOR_BITS[mode]
+        if nbits == 0:
+            continue
+        idx = np.flatnonzero(u.mode == mode)
+        g = len(idx)
+        if g < 2:
+            continue
+        wb = int(T.MODE_WEIGHT_BITS[mode])
+        L = 1 << wb
+        wunq = T.weight_unquant_table(wb).astype(np.int64)         # (L,)
+
+        # error table E[b, t, l]: block b's texel t decoded with weight
+        # level l (fixed endpoints); UASTC LDR interpolation semantics
+        subsets = int(T.MODE_SUBSETS[mode])
+        comps = int(T.MODE_COMPS[mode])
+        cem = int(T.MODE_CEM[mode])
+        unq = T.color_unquant_table(int(T.MODE_ENDPOINT_RANGES[mode]))
+        eps = unq[u.endpoints[idx, :comps * 2 * subsets]].astype(np.int64)
+        eps = eps.reshape(g, subsets, comps, 2)
+        lo8 = np.zeros((g, subsets, 4), dtype=np.int64)
+        hi8 = np.zeros((g, subsets, 4), dtype=np.int64)
+        if cem == 8:
+            lo8[..., :3] = eps[..., :3, 0]
+            hi8[..., :3] = eps[..., :3, 1]
+            lo8[..., 3] = hi8[..., 3] = 255
+        elif cem == 12:
+            lo8[...] = eps[..., :4, 0]
+            hi8[...] = eps[..., :4, 1]
+        else:            # CEM 4 LA
+            for c in range(3):
+                lo8[..., c] = eps[..., 0, 0]
+                hi8[..., c] = eps[..., 0, 1]
+            lo8[..., 3] = eps[..., 1, 0]
+            hi8[..., 3] = eps[..., 1, 1]
+        if subsets == 1:
+            pat = np.zeros((g, 16), dtype=np.int64)
+        else:
+            pat = np.zeros((g, 16), dtype=np.int64)
+            for k, cp in enumerate(u.common_pattern[idx]):
+                seed = T.mode_pattern_seed(mode, int(cp))
+                pat[k] = T.partition_pattern(seed, subsets)
+        rows = np.arange(g)[:, None]
+        tlo = lo8[rows, pat]                                       # (g,16,4)
+        thi = hi8[rows, pat]
+        wlev = wunq[np.arange(L)]
+        l16 = (tlo.astype(np.int64) << 8) | tlo
+        h16 = (thi.astype(np.int64) << 8) | thi
+        rec = ((l16[:, :, None, :] * (64 - wlev)[None, None, :, None]
+                + h16[:, :, None, :] * wlev[None, None, :, None] + 32)
+               >> 6) >> 8                                          # (g,16,L,4)
+        diff = rec - px[idx][:, :, None, :]
+        E = (diff * diff).sum(-1).astype(np.float32)               # (g,16,L)
+
+        wsel = u.weights[idx, :16].astype(np.int64)                # (g,16)
+        onehot = np.zeros((g, 16, L), dtype=np.float32)
+        np.put_along_axis(onehot, wsel[..., None], 1.0, axis=2)
+
+        sel_bytes = [None] * g
+        for k in range(g):
+            bits = int.from_bytes(bytes(blocks[idx[k]]), "little")
+            sel_bytes[k] = (bits >> first_bit) & ((1 << nbits) - 1)
+
+        # LZ match-cost LUT over block distances (the tdefl estimate is a
+        # step function of byte distance)
+        dist_lut = np.array([_match_cost_bits(max(d, 1) * 16)
+                             for d in range(max_back + 2)],
+                            dtype=np.float32)
+
+        CH = 512
+        rms = np.sqrt(base_ms[idx])
+        scale_g = smooth_scale[idx]
+        for s0 in range(0, g, CH):
+            s1 = min(s0 + CH, g)
+            c0 = max(0, s0 - max_back)
+            errs = np.einsum("btl,ctl->bc", E[s0:s1],
+                             onehot[c0:s1]) / 64.0                  # (B,C)
+            kk = np.arange(s0, s1)
+            cc = np.arange(c0, s1)
+            dist = idx[kk][:, None] - idx[cc][None, :]              # blocks
+            valid = (cc[None, :] < kk[:, None]) & (dist <= max_back)
+            bits_c = dist_lut[np.clip(dist, 0, max_back + 1)]
+            t_mat = errs * scale_g[kk][:, None] + bits_c * float(lam)
+            ratio_ok = errs <= (base_ms[idx[kk]]
+                                * _RDO_MAX_RMS_RATIO ** 2)[:, None]
+            t_mat = np.where(valid & ratio_ok, t_mat, np.inf)
+            best_c_rel = t_mat.argmin(1)
+            best_t_cand = t_mat[np.arange(s1 - s0), best_c_rel]
+            for k in range(s0, s1):
+                i_glob = int(idx[k])
+                key = (int(mode), sel_bytes[k])
+                if rms[k] >= _RDO_SKIP_RMS:
+                    sel_history[key] = i_glob
+                    continue
+                prev = sel_history.get(key)
+                cur_bits = nbits if prev is None \
+                    else _match_cost_bits((i_glob - prev) * 16)
+                cur_t = base_ms[i_glob] * scale_g[k] + cur_bits * lam
+                if best_t_cand[k - s0] < cur_t:
+                    c = int(best_c_rel[k - s0]) + c0
+                    spliced = int.from_bytes(bytes(out[i_glob]), "little")
+                    spliced &= ~(((1 << nbits) - 1) << first_bit)
+                    spliced |= sel_bytes[c] << first_bit
+                    out[i_glob] = np.frombuffer(
+                        spliced.to_bytes(16, "little"), np.uint8)
+                    sel_bytes[k] = sel_bytes[c]
+                sel_history[(int(mode), sel_bytes[k])] = i_glob
+        del E, onehot
+
+    # endpoint refinement on every modified block (the reference's
+    # m_endpoint_refinement, on by default): endpoints are LZ literals, so
+    # re-fitting them to the spliced weights recovers error at no rate cost
+    changed = np.flatnonzero((out != blocks).any(1))
+    if changed.size:
+        _refine_spliced_endpoints(out, changed, u, px)
+    return out
+
+
+def _refine_spliced_endpoints(out: np.ndarray, changed: np.ndarray,
+                              u, px: np.ndarray) -> None:
+    """LS-refit the endpoint fields of modified single-subset single-plane
+    CEM 8/12 blocks in place, keeping mode/hints/weights bits untouched."""
+    from .decode import unpack_blocks
+
+    u2 = unpack_blocks(out[changed])
+    for mode in np.unique(u2.mode):
+        if mode == T.MODE_SOLID or int(T.MODE_SUBSETS[mode]) != 1 \
+                or int(T.MODE_PLANES[mode]) != 1:
+            continue
+        cem = int(T.MODE_CEM[mode])
+        if cem not in (8, 12):
+            continue
+        sel = np.flatnonzero(u2.mode == mode)
+        gi = changed[sel]
+        comps = int(T.MODE_COMPS[mode])
+        wb = int(T.MODE_WEIGHT_BITS[mode])
+        ep_range = int(T.MODE_ENDPOINT_RANGES[mode])
+        wunq = T.weight_unquant_table(wb).astype(np.float64)
+        uu = wunq[u2.weights[sel, :16]]                        # (m,16) 0..64
+        a = (64.0 - uu) / 64.0
+        bb = uu / 64.0
+        A = (a * a).sum(1)
+        Bm = (a * bb).sum(1)
+        C = (bb * bb).sum(1)
+        det = A * C - Bm * Bm
+        ok = np.abs(det) > 1e-6
+        det = np.where(ok, det, 1.0)
+        v = px[gi, :, :comps].astype(np.float64)               # (m,16,comps)
+        P = np.einsum("mi,mic->mc", a, v)
+        Q = np.einsum("mi,mic->mc", bb, v)
+        lo = np.clip((C[:, None] * P - Bm[:, None] * Q) / det[:, None],
+                     0, 255)
+        hi = np.clip((A[:, None] * Q - Bm[:, None] * P) / det[:, None],
+                     0, 255)
+        inv, unq = quant_luts(ep_range)
+        lo_q = inv[np.round(lo).astype(np.int64)]
+        hi_q = inv[np.round(hi).astype(np.int64)]
+
+        # old vs new reconstruction error; keep refits that help
+        old_eps = u2.endpoints[sel, :comps * 2].astype(np.int64)
+        def rec_err(lo_c, hi_c):
+            lo_u = unq[lo_c].astype(np.float64)                # (m,comps)
+            hi_u = unq[hi_c].astype(np.float64)
+            rec = (lo_u[:, None, :] * a[..., None]
+                   + hi_u[:, None, :] * bb[..., None])
+            return ((np.round(rec) - v) ** 2).sum(axis=(1, 2))
+        err_old = rec_err(old_eps[:, 0::2], old_eps[:, 1::2])
+        err_new = rec_err(lo_q, hi_q)
+        better = ok & (err_new < err_old)
+        if not better.any():
+            continue
+
+        # rebuild the endpoint field bits and splice them in place
+        eps = np.zeros((int(better.sum()), comps * 2), dtype=np.int64)
+        eps[:, 0::2] = lo_q[better]
+        eps[:, 1::2] = hi_q[better]
+        scratch = np.zeros((eps.shape[0], 2), dtype=np.uint64)
+        nbits_ep = _emit_endpoints(scratch, 0, eps, ep_range, comps * 2)
+        # endpoint field offset: huffman code + hint fields
+        code, size = T.MODE_HUFF_CODES[mode]
+        ofs = size
+        ofs += int(T.MODE_HAS_BC1_HINT0[mode]) + int(T.MODE_HAS_BC1_HINT1[mode])
+        ofs += 1 + 1 + 3 + 3
+        if T.MODE_HAS_ETC1_BIAS[mode]:
+            ofs += 5
+        if T.MODE_HAS_ALPHA[mode]:
+            ofs += 8
+        tgt = gi[better]
+        for k in range(tgt.shape[0]):
+            field = (int(scratch[k, 0]) | (int(scratch[k, 1]) << 64)) \
+                & ((1 << nbits_ep) - 1)
+            whole = int.from_bytes(bytes(out[tgt[k]]), "little")
+            whole &= ~(((1 << nbits_ep) - 1) << ofs)
+            whole |= field << ofs
+            out[tgt[k]] = np.frombuffer(whole.to_bytes(16, "little"),
+                                        np.uint8)
+
+
 # --- UASTC RDO: LZ-aware full-block replacement -----------------------------
 
 

@@ -334,10 +334,10 @@ def _compress_uastc(images, params: CompressorParams) -> CompressorOutput:
                 blocks.reshape(by * bx, 16, 4), effort=params.effort,
                 has_alpha=has_alpha)
             if params.rdo_uastc_quality > 0.0:
-                ub = uastc_encode.rdo_replace(
+                ub = uastc_encode.rdo_selector_match(
                     ub, blocks.reshape(by * bx, 16, 4),
                     params.rdo_uastc_quality,
-                    window=params.rdo_uastc_dict_size)
+                    dict_size=params.rdo_uastc_dict_size)
             slices.append(dict(
                 image_index=image_index, level_index=level_index,
                 orig_width=w, orig_height=h, num_blocks_x=bx,

@@ -2,8 +2,10 @@
 
 Replaces the reference's separable polyphase resampler
 (encoder/basisu_resampler.cpp, filters in basisu_resample_filters.cpp:23-290).
-Round 1 provides box + tent + kaiser-windowed-sinc separable filters with
-optional sRGB-correct filtering; the filter bank widens in later phases.
+True separable polyphase resampling (per-destination fractional
+contribution tables, kernel stretched by the minification ratio, any
+src/dst ratio incl. upsampling) with the reference's full filter bank and
+optional sRGB-correct / premultiplied / wrapped filtering.
 """
 
 import numpy as np
@@ -111,42 +113,53 @@ FILTERS = {
 }
 
 
-def _filter_kernel(name: str, scale: int):
+def _filter_fn(name: str):
+    """Continuous kernel + support for any filter name (legacy aliases
+    included)."""
     if name == "box":
-        k = np.ones(scale, dtype=np.float64)
-    elif name == "tent":
-        k = 1.0 - np.abs(np.arange(2 * scale) - (2 * scale - 1) / 2.0) / scale
-        k = np.maximum(k, 0)
-    elif name == "kaiser":
-        n = 4 * scale
-        t = (np.arange(n) - (n - 1) / 2.0) / scale
-        sinc = np.sinc(t)
-        k = sinc * np.kaiser(n, 4.0)
-    elif name in FILTERS:
-        fn, support = FILTERS[name]
-        n = max(1, int(np.ceil(2.0 * support * scale)))
-        t = (np.arange(n) - (n - 1) / 2.0) / scale
-        k = fn(t)
-    else:
-        raise ValueError(f"unknown filter {name}")
-    return (k / k.sum()).astype(np.float32)
+        return (lambda t: (np.abs(t) <= 0.5).astype(np.float64), 0.5)
+    if name == "tent":
+        return (lambda t: np.maximum(1.0 - np.abs(t), 0.0), 1.0)
+    if name == "kaiser":
+        return (_kaiser_att40, 3.0)
+    if name in FILTERS:
+        return FILTERS[name]
+    raise ValueError(f"unknown filter {name}")
 
 
-def _downsample_axis(img: np.ndarray, axis: int, out_size: int,
-                     kernel: np.ndarray, wrap: bool = False):
-    """Separable convolution + decimation along one axis (edge-clamped, or
-    wrapped for tiling textures — the reference's m_mip_wrapping)."""
+def _axis_contribs(n_src: int, n_dst: int, name: str, wrap: bool):
+    """Polyphase contribution table for one axis: (src_idx (n_dst, taps),
+    weights (n_dst, taps)). Mirrors Resampler::make_clist
+    (encoder/basisu_resampler.cpp:76-230): per-destination fractional
+    centers, kernel stretched by the downsample ratio, weights normalized;
+    handles any src/dst ratio including upsampling."""
+    fn, support = _filter_fn(name)
+    xscale = n_dst / n_src
+    stretch = max(1.0, 1.0 / xscale)        # widen kernel when minifying
+    half = support * stretch
+    centers = (np.arange(n_dst) + 0.5) / xscale - 0.5
+    left = np.floor(centers - half).astype(np.int64)
+    ntaps = int(np.ceil(2.0 * half)) + 2
+    src = left[:, None] + np.arange(ntaps)[None, :]
+    t = (centers[:, None] - src) / stretch
+    w = np.asarray(fn(t), dtype=np.float64)
+    s = w.sum(1, keepdims=True)
+    w = np.where(s != 0.0, w / np.where(s == 0.0, 1.0, s), 0.0)
+    src = src % n_src if wrap else np.clip(src, 0, n_src - 1)
+    return src, w.astype(np.float32)
+
+
+def _resample_axis(img: np.ndarray, axis: int, out_size: int, name: str,
+                   wrap: bool = False):
+    """Separable polyphase resample along one axis (down or up), edge-
+    clamped or wrapped (the reference's m_mip_wrapping)."""
     n = img.shape[axis]
-    scale = max(1, n // out_size)
-    k = kernel
-    pad = len(k) // 2
-    idx = np.arange(out_size) * scale + (scale - 1) / 2.0
-    src = np.round(idx[:, None] + (np.arange(len(k)) - pad)[None, :]).astype(np.int64)
-    src = src % n if wrap else np.clip(src, 0, n - 1)
+    if n == out_size:
+        return img
+    src, w = _axis_contribs(n, out_size, name, wrap)
     moved = np.moveaxis(img, axis, 0)
-    # gather then weighted sum (simple and correct)
     gathered = moved[src]                       # (out, taps, ...)
-    out = np.tensordot(gathered, k, axes=([1], [0]))
+    out = np.einsum("ot...,ot->o...", gathered, w)
     return np.moveaxis(out, 0, axis)
 
 
@@ -168,10 +181,8 @@ def resample(img: np.ndarray, out_w: int, out_h: int, filter: str = "kaiser",
         f = img.astype(np.float32) / 255.0
     if premultiplied and img.shape[-1] == 4:
         f[..., :3] *= f[..., 3:4]
-    ky = _filter_kernel(filter, max(1, h // out_h))
-    kx = _filter_kernel(filter, max(1, w // out_w))
-    f = _downsample_axis(f, 0, out_h, ky, wrap=wrap)
-    f = _downsample_axis(f, 1, out_w, kx, wrap=wrap)
+    f = _resample_axis(f, 0, out_h, filter, wrap=wrap)
+    f = _resample_axis(f, 1, out_w, filter, wrap=wrap)
     if premultiplied and img.shape[-1] == 4:
         f[..., :3] /= np.maximum(f[..., 3:4], 1e-6)
     if srgb:
@@ -236,11 +247,8 @@ def resample_hdr(img: np.ndarray, out_w: int, out_h: int,
     """Downsample an (H, W, C) float32 linear-light image (HDR mip path:
     no sRGB transfer, no quantization)."""
     f = np.asarray(img, dtype=np.float32)
-    h, w = f.shape[:2]
-    ky = _filter_kernel(filter, max(1, h // out_h))
-    kx = _filter_kernel(filter, max(1, w // out_w))
-    f = _downsample_axis(f, 0, out_h, ky)
-    f = _downsample_axis(f, 1, out_w, kx)
+    f = _resample_axis(f, 0, out_h, filter)
+    f = _resample_axis(f, 1, out_w, filter)
     return np.maximum(f, 0.0)
 
 

@@ -8,14 +8,40 @@ from basis_universal_tpu.ops import resample as R
 
 
 @pytest.mark.parametrize("name", sorted(R.FILTERS) + ["box", "tent", "kaiser"])
-def test_kernel_normalized_and_shapes(name):
-    for scale in (2, 3, 4):
-        k = R._filter_kernel(name, scale)
-        assert abs(float(k.sum()) - 1.0) < 1e-5
+def test_contribs_normalized_and_shapes(name):
+    for n_src, n_dst in ((32, 16), (24, 11), (13, 32)):
+        src, w = R._axis_contribs(n_src, n_dst, name, wrap=False)
+        assert src.shape == w.shape and src.shape[0] == n_dst
+        assert (np.abs(w.sum(1) - 1.0) < 1e-5).all()
+        assert (src >= 0).all() and (src < n_src).all()
     img = np.random.default_rng(0).integers(
         0, 256, (32, 24, 4), dtype=np.uint8)
     out = R.resample(img, 12, 16, filter=name)
     assert out.shape == (16, 12, 4)
+
+
+def test_polyphase_non_pow2_and_upsample():
+    """Fractional ratios and magnification must both work (the reference's
+    Resampler handles any src/dst ratio, encoder/basisu_resampler.cpp)."""
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (25, 37, 4), dtype=np.uint8)
+    down = R.resample(img, 14, 9, filter="kaiser", srgb=False)
+    assert down.shape == (9, 14, 4)
+    up = R.resample(img, 74, 50, filter="catmullrom", srgb=False)
+    assert up.shape == (50, 74, 4)
+    # mean brightness preserved within a few codes either way
+    assert abs(float(down.mean()) - float(img.mean())) < 6.0
+    assert abs(float(up.mean()) - float(img.mean())) < 3.0
+
+
+def test_linear_ramp_preserved_exactly():
+    """A linear ramp resampled to half size must stay linear (polyphase
+    fractional phase correctness; integer-decimation misaligns centers)."""
+    ramp = np.tile(np.arange(0, 256, 2, dtype=np.uint8)[None, :, None],
+                   (16, 1, 3))
+    out = R.resample(ramp, 64, 8, filter="tent", srgb=False)
+    d = np.diff(out[4, :, 0].astype(np.int64))
+    assert d.min() >= 2 and d.max() <= 6
 
 
 def test_flat_image_invariant():
