@@ -18,6 +18,7 @@ with neighbor references clipped to the stripe tile, and a seek table
 concurrently — mirrored from xbc7_decode._decode_stripe.
 """
 
+import dataclasses
 import math
 import struct
 
@@ -28,17 +29,23 @@ from .xbc7_decode import (
     BLOB_MAGIC_BEGIN, BLOB_MAGIC_END,
     B_HEADER, B_COMMANDS, B_CONFIG, B_PART2, B_PART3, B_PREDICTORS,
     B_DC_SMALL, B_AC, B_SIGNS, B_PBITS,
-    B_EP_FINE_R, B_EP_COARSE_R,
+    B_EP_FINE_R, B_EP_COARSE_R, B_EP_BLOCK_INDEX,
     B_EP_RAW, B_RAW_WEIGHTS, B_SOLID_DELTAS, B_SEEK,
     B_WT_RESID2, B_WT_RESID3, B_WT_RESID4,
     CMD_REPEAT_LAST, CMD_REPEAT_UPPER, CMD_SOLID_DPCM, CMD_NEW_CONFIG,
     CMD_REUSE_LEFT, CMD_REUSE_UPPER, CMD_REUSE_LDIAG, CMD_REUSE_RDIAG,
     EP_RAW, EP_DPCM_LEFT, EP_DPCM_UP, EP_DPCM_LDIAG, EP_DPCM_RDIAG,
+    EP_DPCM_BLOCK_INDEX, EP_DPCM_LEFT_S1, EP_DPCM_UP_S1,
     CAND_ABSOLUTE, CAND_LU_BLEND, CAND_GRADIENT, CAND_MED,
     CAND_FIRST_XY_DELTA, TOTAL_CANDIDATES, ONE,
+    XY_DELTAS, NUM_XY_DELTAS,
     dct_forward_weights, dct_inverse_weights,
     eval_weight_predictor, _stripe_ranges,
 )
+
+# m_ldr_channel_weights default (perceptual), basisu_comp.h:879-882
+PERCEPTUAL_WEIGHTS = (9, 11, 1, 11)
+UNIFORM_WEIGHTS = (1, 1, 1, 1)
 
 # weight predictor shortlist: absolute + copy-left/up + the structural
 # predictors that win most often (full 50-candidate search is the
@@ -73,11 +80,258 @@ class _LsbBitWriter:
             self.bit += 1
 
 
+# ---------------------------------------------------------------------------
+# "Poor man's RDO" pre-passes (parity: encoder/basisu_xbc7_encode.cpp:
+# 1640-1935 block_reuse_rdo_pass / endpoint_dpcm_rdo_pass and the
+# set_rdo_level(..) knob mapping :665-703). They run on the logical-block
+# grid after the BC7 base pack and BEFORE stripe coding; serial per stripe
+# (causal: each block predicts from already-finalized neighbors).
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class RdoOptions:
+    """set_rdo_level analog: one [0,100] level fans out into per-pass
+    tolerated PSNR drops (encoder/basisu_xbc7_encode.cpp:685-703)."""
+    repeat_drop: float = 0.0        # dB a block may drop to become a Repeat
+    solid_drop: float = 0.0         # ... to become a solid-color block
+    endpoint_drop: float = 0.0      # ... to adopt a neighbor's endpoints
+    min_block_psnr: float = 33.0    # shared quality floor (m_rdo_min_block_psnr)
+    weights: tuple = PERCEPTUAL_WEIGHTS
+
+    @classmethod
+    def from_level(cls, level: int, perceptual: bool = True):
+        level = max(0, min(int(level), 100))
+        frac = level / 100.0
+        w = PERCEPTUAL_WEIGHTS if perceptual else UNIFORM_WEIGHTS
+        if not level:
+            return cls(weights=w)
+        return cls(repeat_drop=4.0 * frac, solid_drop=4.0 * frac,
+                   endpoint_drop=10.0 * frac, weights=w)
+
+    @property
+    def enabled(self):
+        return (self.repeat_drop > 0 or self.solid_drop > 0
+                or self.endpoint_drop > 0)
+
+
+_functools_dq = {}
+
+
+def _dq_table(nb: int) -> np.ndarray:
+    tab = _functools_dq.get(nb)
+    if tab is None:
+        tab = np.array([L.dequant_weight(w, nb) for w in range(1 << nb)],
+                       np.int64)
+        _functools_dq[nb] = tab
+    return tab
+
+
+def _block_geometry(blk):
+    """(subs[16], eps[S,2,4]) for vectorized decode."""
+    subs = np.array([L.texel_subset(blk, i) for i in range(16)], np.int64)
+    eps = np.array([L.unpack_endpoints(blk, s)
+                    for s in range(blk.num_partitions)], np.int64)
+    return subs, eps
+
+
+def _channel_planes(blk):
+    """Storage-plane index driving each PRE-rotation channel (RGB, A)."""
+    if blk.num_planes == 1:
+        return [0, 0, 0, 0]
+    sel = blk.mode4_index_selector
+    return [sel, sel, sel, 1 - sel]
+
+
+def _fast_unpack(blk) -> np.ndarray:
+    """(16,4) int64 decoded RGBA — vectorized L.unpack_rgba."""
+    subs, eps = _block_geometry(blk)
+    planes = _channel_planes(blk)
+    num_comps = blk.get_num_comps()
+    out = np.empty((16, 4), np.int64)
+    for c in range(4):
+        if c == 3 and num_comps < 4:
+            out[:, 3] = 255
+            continue
+        p = planes[c]
+        wb = blk.weight_bits[p]
+        dw = _dq_table(wb)[blk.weights[p]]
+        lo, hi = eps[subs, 0, c], eps[subs, 1, c]
+        out[:, c] = (lo * (64 - dw) + hi * dw + 32) >> 6
+    if blk.dp_rotation_index:
+        r = blk.dp_rotation_index - 1
+        out[:, [r, 3]] = out[:, [3, r]]
+    return out
+
+
+def _wsse_psnr(src: np.ndarray, dec: np.ndarray, cw) -> float:
+    """xbc7_block_wsse_psnr (encoder/basisu_xbc7_encode.cpp:440-450)."""
+    d = src.astype(np.int64) - dec.astype(np.int64)
+    wsse = int((d * d * np.asarray(cw, np.int64)).sum())
+    wmse = wsse / (float(sum(cw)) * 16.0)
+    return 10000.0 if wmse <= 1e-5 else \
+        20.0 * math.log10(255.0 / math.sqrt(wmse))
+
+
+def optimize_block_weights(blk, src_px: np.ndarray, cw):
+    """Recompute optimal per-texel weights for FIXED config+endpoints
+    (optimize_block_weights, encoder/basisu_xbc7_encode.cpp:452-530).
+    Sweeps each plane's weight values; per-texel argmin of weighted SSE.
+    Returns a new block (input untouched)."""
+    out = blk.copy()
+    subs, eps = _block_geometry(out)
+    planes = _channel_planes(out)
+    num_comps = out.get_num_comps()
+    cw = np.asarray(cw, np.int64)
+    src = src_px.astype(np.int64)
+    if out.dp_rotation_index:
+        # work in pre-rotation space: un-rotate the source instead
+        r = out.dp_rotation_index - 1
+        src = src.copy()
+        src[:, [r, 3]] = src[:, [3, r]]
+        cw = cw.copy()
+        cw[[r, 3]] = cw[[3, r]]
+    for p in range(out.num_planes):
+        wb = out.weight_bits[p]
+        nW = 1 << wb
+        dwv = _dq_table(wb)                                   # (W,)
+        err = np.zeros((nW, 16), np.int64)
+        for c in range(4):
+            if c == 3 and num_comps < 4:
+                continue
+            if planes[c] != p:
+                continue
+            lo, hi = eps[subs, 0, c], eps[subs, 1, c]         # (16,)
+            dec = (lo[None] * (64 - dwv[:, None])
+                   + hi[None] * dwv[:, None] + 32) >> 6       # (W,16)
+            d = dec - src[None, :, c]
+            err += d * d * int(cw[c])
+        out.weights[p][:] = np.argmin(err, axis=0)
+    return out
+
+
+def _mean_solid_candidate(src_px: np.ndarray, has_alpha: bool):
+    s = src_px.astype(np.int64).sum(axis=0)
+    mean = [(int(v) + 8) >> 4 for v in s]
+    if not has_alpha:
+        mean[3] = 255
+    return L.create_solid_blk(mean)
+
+
+def _is_solid_log(blk) -> bool:
+    px = _fast_unpack(blk)
+    return bool((px == px[0]).all())
+
+
+def run_rdo_passes(src_blocks: np.ndarray, log_blks, phys, nbx: int,
+                   stripes, opts: RdoOptions, has_alpha: bool):
+    """Both RDO pre-passes over the logical grid, then re-packs changed
+    blocks into phys. src_blocks: (N,16,4) uint8 source pixels."""
+    cw = opts.weights
+    floor = opts.min_block_psnr
+    for first_row, n_rows in stripes:
+        for by in range(first_row, first_row + n_rows):
+            for bx in range(nbx):
+                i = by * nbx + bx
+                blk = log_blks[by][bx]
+                src = src_blocks[i]
+                orig_psnr = _wsse_psnr(src, _fast_unpack(blk), cw)
+
+                # ---- repeat: copy a causal neighbor wholesale ----
+                if opts.repeat_drop > 0:
+                    best, best_p = None, 0.0
+                    for nb_blk in ((log_blks[by][bx - 1] if bx >= 1 else None),
+                                   (log_blks[by - 1][bx]
+                                    if by > first_row else None)):
+                        if nb_blk is None:
+                            continue
+                        p = _wsse_psnr(src, _fast_unpack(nb_blk), cw)
+                        if (p >= floor and p >= orig_psnr - opts.repeat_drop
+                                and (best is None or p > best_p)):
+                            best, best_p = nb_blk, p
+                    if best is not None:
+                        pb = L.pack_phys(best)
+                        phys[i] = pb
+                        log_blks[by][bx] = L.unpack_phys(pb)
+                        continue
+
+                # ---- solid: replace with the block's mean color ----
+                if opts.solid_drop > 0 and not _is_solid_log(blk):
+                    cand = _mean_solid_candidate(src, has_alpha)
+                    p = _wsse_psnr(src, _fast_unpack(cand), cw)
+                    if p >= floor and p >= orig_psnr - opts.solid_drop:
+                        pb = L.pack_phys(cand)
+                        phys[i] = pb
+                        log_blks[by][bx] = L.unpack_phys(pb)
+                        continue
+
+                # ---- endpoints: slam to a causal neighbor's prediction ----
+                if opts.endpoint_drop <= 0 or _is_solid_log(blk):
+                    continue
+                if ((bx >= 1 and phys[i] == phys[i - 1])
+                        or (by > first_row and phys[i] == phys[i - nbx])):
+                    continue                    # already codes as a Repeat
+                best_cand, best_psnr = None, 0.0
+                preds = []
+                if bx >= 1:
+                    preds.append(log_blks[by][bx - 1])
+                if by > first_row:
+                    preds.append(log_blks[by - 1][bx])
+                    if bx >= 1:
+                        preds.append(log_blks[by - 1][bx - 1])
+                    if bx + 1 < nbx:
+                        preds.append(log_blks[by - 1][bx + 1])
+                for pred in preds:
+                    cand = blk.copy()
+                    for s in range(cand.num_partitions):
+                        L.endpoint_dpcm_decode(pred, 0, cand, s,
+                                               [0] * 8, [0, 0])
+                    cand = optimize_block_weights(cand, src, cw)
+                    p = _wsse_psnr(src, _fast_unpack(cand), cw)
+                    if best_cand is None or p > best_psnr:
+                        best_cand, best_psnr = cand, p
+                if (best_cand is not None and best_psnr >= floor
+                        and best_psnr >= orig_psnr - opts.endpoint_drop):
+                    pb = L.pack_phys(best_cand)
+                    phys[i] = pb
+                    log_blks[by][bx] = L.unpack_phys(pb)
+
+
+def _unpack_eps_cached(blk, subset):
+    """unpack_endpoints memoized on the block instance (the wide predictor
+    scan touches the same neighbor blocks repeatedly)."""
+    cache = getattr(blk, "_ep_cache", None)
+    if cache is None:
+        cache = {}
+        blk._ep_cache = cache
+    r = cache.get(subset)
+    if r is None:
+        r = L.unpack_endpoints(blk, subset)
+        cache[subset] = r
+    return r
+
+
+_pack_ep_memo = {}
+
+
+def _pack_endpoints_memo(mode, lo, hi):
+    """pack_endpoints_int memoized on (mode, 8-bit endpoint tuple): the
+    wide XY-delta predictor scan hits the same prediction values often."""
+    key = (mode, tuple(lo), tuple(hi))
+    r = _pack_ep_memo.get(key)
+    if r is None:
+        if len(_pack_ep_memo) > 1 << 17:
+            _pack_ep_memo.clear()
+        r = L.pack_endpoints_int(mode, lo, hi)
+        _pack_ep_memo[key] = r
+    return r
+
+
 def _ep_dpcm_residuals(pred_blk, pred_subset, blk, subset, has_alpha):
     """Inverse of L.endpoint_dpcm_decode: residual bytes (+ per-byte cost
     moduli) and pbit residuals that reconstruct blk.endpoints[subset]
     exactly through the decoder."""
-    pred = L.unpack_endpoints(pred_blk, pred_subset)
+    pred = [list(e) for e in _unpack_eps_cached(pred_blk, pred_subset)]
     if pred_blk.is_dual_plane():
         pccs = pred_blk.get_color_component_selector()
         pred[0][pccs], pred[0][3] = pred[0][3], pred[0][pccs]
@@ -87,7 +341,7 @@ def _ep_dpcm_residuals(pred_blk, pred_subset, blk, subset, has_alpha):
         pred[0][ccs], pred[0][3] = pred[0][3], pred[0][ccs]
         pred[1][ccs], pred[1][3] = pred[1][3], pred[1][ccs]
 
-    packed_lo, packed_hi, packed_pbits = L.pack_endpoints_int(
+    packed_lo, packed_hi, packed_pbits = _pack_endpoints_memo(
         blk.mode, pred[0], pred[1])
     num_comps = blk.get_num_comps()
     fmt = L.ENDPOINT_FORMATS[blk.mode]
@@ -124,7 +378,7 @@ def _ep_dpcm_residuals(pred_blk, pred_subset, blk, subset, has_alpha):
 
 
 def _encode_stripe(stripe, nbx, log_blks, phys, has_alpha, streams, bits,
-                   global_q=100):
+                   global_q=100, num_ep_deltas=NUM_XY_DELTAS):
     first_row, n_rows = stripe
     end_row = first_row + n_rows
     tile = (0, first_row, nbx - 1, end_row - 1)
@@ -149,6 +403,7 @@ def _encode_stripe(stripe, nbx, log_blks, phys, has_alpha, streams, bits,
                 4: streams[B_WT_RESID4]}
     ep_fine = [streams[B_EP_FINE_R + c] for c in range(4)]
     ep_coarse = [streams[B_EP_COARSE_R + c] for c in range(4)]
+    ep_blk_index = streams[B_EP_BLOCK_INDEX]
     ep_raw = bits[B_EP_RAW]
     pbits_r = bits[B_PBITS]
 
@@ -220,27 +475,63 @@ def _encode_stripe(stripe, nbx, log_blks, phys, has_alpha, streams, bits,
             raw_bits = blk.num_partitions * 2 * sum(
                 blk.endpoint_bits[c == 3] for c in range(num_comps)) \
                 + blk.num_pbits
-            best = (EP_RAW, float(raw_bits), None)
+            best = (EP_RAW, float(raw_bits), None, 0)
             # no-alpha mode-6 DPCM decode forces A endpoints to 127; only
             # lossless when the input block already carries them
             dpcm_ok = not ((not has_alpha) and blk.mode == 6
                            and not (blk.endpoints[0][0][3] == 127
                                     and blk.endpoints[0][1][3] == 127))
-            for em, pred_blk in ((EP_DPCM_LEFT, left), (EP_DPCM_UP, up),
-                                 (EP_DPCM_LDIAG, ldiag),
-                                 (EP_DPCM_RDIAG, rdiag)):
+            ep_cands = [(EP_DPCM_LEFT, left, 0, 0.0, None),
+                        (EP_DPCM_UP, up, 0, 0.0, None),
+                        (EP_DPCM_LDIAG, ldiag, 0, 0.0, None),
+                        (EP_DPCM_RDIAG, rdiag, 0, 0.0, None)]
+            if left is not None and left.num_partitions >= 2:
+                ep_cands.append((EP_DPCM_LEFT_S1, left, 1, 0.0, None))
+            if up is not None and up.num_partitions >= 2:
+                ep_cands.append((EP_DPCM_UP_S1, up, 1, 0.0, None))
+            # wide XY-delta scan (ep:blk_index, decoder XY_DELTAS table);
+            # the index byte costs ~5 bits entropy-coded. Skip the first 2
+            # deltas ((-1,0)/(0,-1)) — identical to the free LEFT/UP modes.
+            # Cheap prefilter: rank all available deltas by 8-bit endpoint
+            # L1 distance to the target (a monotone proxy of the DPCM
+            # residual cost), full-cost only the best few.
+            if num_ep_deltas and dpcm_ok:
+                tgt = _unpack_eps_cached(blk, 0)
+                tflat = tgt[0] + tgt[1]
+                scored = []
+                for di in range(num_ep_deltas):
+                    dx, dy = XY_DELTAS[di]
+                    if (dx, dy) in ((-1, 0), (0, -1)):
+                        continue
+                    nb_blk = neighbor(bx + dx, by + dy)
+                    if nb_blk is None:
+                        continue
+                    pe = _unpack_eps_cached(nb_blk, 0)
+                    pflat = pe[0] + pe[1]
+                    d = 0
+                    for a, b2 in zip(tflat, pflat):
+                        d += a - b2 if a >= b2 else b2 - a
+                    scored.append((d, di, nb_blk))
+                scored.sort(key=lambda s: s[0])
+                for d, di, nb_blk in scored[:4]:
+                    ep_cands.append((EP_DPCM_BLOCK_INDEX, nb_blk, 0, 5.0, di))
+            for em, pred_blk, psub, extra, di in ep_cands:
                 if pred_blk is None or not dpcm_ok:
                     continue
-                cost = 0.0
+                if psub and pred_blk.num_partitions < 2:
+                    continue
+                cost = extra
                 payload = []
                 for subset in range(blk.num_partitions):
                     res, mods, rp = _ep_dpcm_residuals(
-                        pred_blk, 0, blk, subset, has_alpha)
+                        pred_blk, psub, blk, subset, has_alpha)
                     cost += sum(_resid_cost(r, m)
                                 for r, m in zip(res, mods)) + len(rp)
                     payload.append((res, rp))
+                    if cost >= best[1]:
+                        break
                 if cost < best[1]:
-                    best = (em, cost, payload)
+                    best = (em, cost, payload, di)
 
             ep_mode = best[0]
             cmd_pos = len(commands)
@@ -266,6 +557,8 @@ def _encode_stripe(stripe, nbx, log_blks, phys, has_alpha, streams, bits,
                 for pb in range(blk.num_pbits):
                     ep_raw.put(int(blk.pbits[pb]), 1)
             else:
+                if ep_mode == EP_DPCM_BLOCK_INDEX:
+                    ep_blk_index.append(best[3])
                 fine = blk.endpoint_bits[0] >= 6
                 for res, rp in best[2]:
                     for k in range(0, len(res), 2):
@@ -393,12 +686,19 @@ def _encode_stripe(stripe, nbx, log_blks, phys, has_alpha, streams, bits,
 
 
 def encode_blocks(phys_blocks, width: int, height: int,
-                  num_stripes: int = 0, quality: int = 100) -> bytes:
+                  num_stripes: int = 0, quality: int = 100,
+                  src_pixels=None, rdo: "RdoOptions" = None,
+                  effort: int = 2) -> bytes:
     """Physical BC7 blocks ((N,16) uint8 / list of 16-byte chunks), row-major
     → XUBC7 blob container. quality 100 (default) is lossless —
     xbc7_decode.decode_bc7 returns the input bytes; 1-99 enables the lossy
     weight-grid DCT (the reference's m_dct_q,
-    encoder/basisu_xbc7_encode.h:31) at that quality."""
+    encoder/basisu_xbc7_encode.h:31) at that quality.
+
+    src_pixels ((N,16,4) uint8 source pixels) + rdo enable the reference's
+    repeat/solid/endpoint RDO pre-passes (basisu_xbc7_encode.cpp:1640-1935)
+    before stripe coding. effort scales the XY-delta endpoint predictor
+    scan width."""
     import zstandard
 
     quality = int(quality) if 1 <= int(quality) <= 99 else 100
@@ -410,6 +710,7 @@ def encode_blocks(phys_blocks, width: int, height: int,
     if not num_stripes:
         num_stripes = min(nby, 8)
     num_stripes = max(1, min(num_stripes, nby))
+    stripes = _stripe_ranges(nby, num_stripes)
 
     # has_alpha from decoded content (affects solid-delta channel count)
     has_alpha = False
@@ -418,12 +719,19 @@ def encode_blocks(phys_blocks, width: int, height: int,
             has_alpha = True
             break
 
+    if rdo is not None and rdo.enabled and src_pixels is not None:
+        grid = [[L.unpack_phys(phys[by * nbx + bx]) for bx in range(nbx)]
+                for by in range(nby)]
+        run_rdo_passes(np.asarray(src_pixels, np.uint8), grid, phys, nbx,
+                       stripes, rdo, has_alpha)
+
+    num_ep_deltas = NUM_XY_DELTAS if effort >= 2 else (8 if effort else 0)
+
     log_blks = [[None] * nbx for _ in range(nby)]
     bit_ids = (B_SIGNS, B_PBITS, B_EP_RAW)
     streams = {bid: bytearray() for bid in range(1, 26) if bid not in bit_ids}
     bits = {bid: _LsbBitWriter() for bid in bit_ids}
 
-    stripes = _stripe_ranges(nby, num_stripes)
     # start offset of every stripe in every stream (bytes; bits for bit blobs)
     starts = {bid: [] for bid in range(1, 26)}
     for s in range(num_stripes):
@@ -431,7 +739,8 @@ def encode_blocks(phys_blocks, width: int, height: int,
             starts[bid].append(bits[bid].bit if bid in bit_ids
                                else len(streams[bid]))
         _encode_stripe(stripes[s], nbx, log_blks, phys, has_alpha,
-                       streams, bits, global_q=quality)
+                       streams, bits, global_q=quality,
+                       num_ep_deltas=num_ep_deltas)
 
     blobs = {B_HEADER: struct.pack("<HHBBB", width, height, quality,
                                    1 if has_alpha else 0, num_stripes)}

@@ -100,6 +100,10 @@ class CompressorParams:
     # basisu_comp.h:314-315): 0 disables; 1.0 = default strength
     rdo_uastc_quality: float = 0.0
     rdo_uastc_dict_size: int = 4096
+    # XUBC7 "poor man's RDO" level 0-100 (m_xubc7_rdo_level,
+    # basisu_comp.h:931 → pack_options::set_rdo_level): 0 = off (reference
+    # default); >0 enables the repeat/solid/endpoint RDO pre-passes
+    xubc7_rdo_level: int = 0
     seed: int = 0
 
 
@@ -655,10 +659,23 @@ def _compress_xubc7(images, params: CompressorParams) -> CompressorOutput:
                 np.uint8).reshape(-1, 16)
         else:
             from .codecs.bc7 import encode as bc7_encode
+            # lossy (dct_q < 100): single-subset mode-5/6 base blocks, the
+            # bc7f operating point the reference feeds its lossy path
+            # (basisu_comp.cpp:1852-1876 picks bc7f at these settings) —
+            # partition modes buy fidelity the weight-DCT then discards,
+            # at ~2x the endpoint rate. Measured on kodim23 q50: 5/6-base
+            # is -24% size AND within 0.4 dB of the all-mode base.
             bc7 = bc7_encode.encode_blocks(
                 px.astype(np.uint8), effort=params.effort,
-                perceptual=params.perceptual)
-        return xbc7_encode.encode_blocks(bc7, w, h, quality=dct_q)
+                perceptual=params.perceptual,
+                modes=(5, 6) if dct_q < 100 else None)
+        rdo = None
+        if params.xubc7_rdo_level:
+            rdo = xbc7_encode.RdoOptions.from_level(
+                params.xubc7_rdo_level, perceptual=params.perceptual)
+        return xbc7_encode.encode_blocks(
+            bc7, w, h, quality=dct_q, src_pixels=px.astype(np.uint8),
+            rdo=rdo, effort=params.effort)
 
     slices = _xu_encode_slices(images, params, encode_one, 4, 4)
     descs, streams, flags = _xu_basis_slices(slices, params)

@@ -273,3 +273,188 @@ def unpack_fxt1(blocks, width, height):
                     ramp, sel[..., None, None], axis=2)[..., 0, :]
                 out[y::4, (half * 4 + x)::8, :3] = px
     return out[:height, :width]
+
+
+def unpack_bc7(blocks):
+    """(N,16) uint8 physical BC7 → (N,16,4) uint8 RGBA (texel-major).
+
+    Fully vectorized all-mode unpack (unpack_block cBC7,
+    basisu_gpu_texture.cpp; semantics = bc7u::unpack_bc7): blocks are
+    grouped by mode, and within a mode every field is a static bit range
+    except the weight grid, whose per-texel widths depend on the
+    anchor-texel positions — handled with per-block anchor lookups and a
+    cumulative-offset gather over an (N,128) little-endian bit matrix."""
+    from ..codecs.bc7 import logical as L
+
+    blocks = np.ascontiguousarray(np.asarray(blocks, np.uint8)).reshape(-1, 16)
+    n = blocks.shape[0]
+    out = np.zeros((n, 16, 4), np.uint8)
+    if not n:
+        return out
+    bits = np.unpackbits(blocks, axis=1, bitorder="little")   # (N,128)
+    mode = np.argmax(bits[:, :8], axis=1)
+    mode[bits[:, :8].sum(1) == 0] = 0        # invalid → treated as mode 0
+    t = L.tables()
+    dq = {nb: np.array([L.dequant_weight(i, nb) for i in range(1 << nb)],
+                       np.int64) for nb in (2, 3, 4)}
+
+    def get_field(sub, ofs, width):
+        """Static bit range [ofs, ofs+width) of each selected block."""
+        sl = sub[:, ofs:ofs + width].astype(np.int64)
+        return (sl << np.arange(width, dtype=np.int64)).sum(1)
+
+    def gather_var(sub, offs, widths, max_w):
+        """Per-block variable-offset gather: value[k] = bits[offs[k]..]."""
+        m = sub.shape[0]
+        rows = np.arange(m)[:, None]
+        vals = np.zeros((m,) + offs.shape[1:], np.int64)
+        for k in range(max_w):
+            take = k < widths
+            idx = np.minimum(offs + k, 127)   # masked lanes may point past end
+            vals |= (sub[rows, idx] & take).astype(np.int64) << k
+        return vals
+
+    for md in range(8):
+        sel = np.nonzero(mode == md)[0]
+        if not sel.size:
+            continue
+        sub = bits[sel]
+        m = sel.size
+        blk = L.init_log_blk(md)
+        fmt = L.ENDPOINT_FORMATS[md]
+        nsub, pbits_n = blk.num_partitions, blk.num_pbits
+        eb, ab = fmt[0], fmt[1]
+        wb0 = blk.weight_bits[0]
+        ofs = md + 1
+
+        rot = np.zeros(m, np.int64)
+        idxsel = np.zeros(m, np.int64)
+        if md in (4, 5):
+            rot = get_field(sub, ofs, 2)
+            ofs += 2
+            if md == 4:
+                idxsel = get_field(sub, ofs, 1)
+                ofs += 1
+
+        pat = np.zeros(m, np.int64)
+        if blk.pattern_bits:
+            pat = get_field(sub, ofs, blk.pattern_bits)
+            ofs += blk.pattern_bits
+
+        # endpoints[subset][e][c] in the mode's field order
+        num_comps = 4 if ab else 3
+        eps = np.zeros((m, nsub, 2, 4), np.int64)
+        if md in (4, 5):
+            for c in range(4):
+                nb = ab if c == 3 else eb
+                for e in range(2):
+                    eps[:, 0, e, c] = get_field(sub, ofs, nb)
+                    ofs += nb
+        elif md == 6:
+            for c in range(4):
+                for e in range(2):
+                    eps[:, 0, e, c] = get_field(sub, ofs, 7)
+                    ofs += 7
+        else:
+            for c in range(num_comps):
+                for s in range(nsub):
+                    for e in range(2):
+                        eps[:, s, e, c] = get_field(sub, ofs, eb)
+                        ofs += eb
+        pb = np.zeros((m, 6), np.int64)
+        for p in range(pbits_n):
+            pb[:, p] = get_field(sub, ofs, 1)
+            ofs += 1
+
+        # per-texel subset + anchor flags
+        if nsub == 2:
+            subs = np.asarray(t["partition2"], np.int64)[pat]      # (m,16)
+            anchors = np.stack([np.zeros(m, np.int64),
+                                np.asarray(t["anchor2"], np.int64)[pat]], 1)
+        elif nsub == 3:
+            subs = np.asarray(t["partition3"], np.int64)[pat]
+            anchors = np.stack([np.zeros(m, np.int64),
+                                np.asarray(t["anchor3a"], np.int64)[pat],
+                                np.asarray(t["anchor3b"], np.int64)[pat]], 1)
+        else:
+            subs = np.zeros((m, 16), np.int64)
+            anchors = np.zeros((m, 1), np.int64)
+
+        is_anchor = (anchors[:, :, None]
+                     == np.arange(16)[None, None, :]).any(1)       # (m,16)
+        is_anchor[:, 0] = True
+
+        # weight grids: plane 0 then (modes 4/5) plane 1
+        planes_w = []
+        for p in range(blk.num_planes):
+            wb = blk.weight_bits[p] if blk.num_planes == 2 else wb0
+            if blk.num_planes == 2:
+                # dual-plane: only texel 0 is the anchor of each plane
+                widths = np.full((m, 16), wb, np.int64)
+                widths[:, 0] = wb - 1
+            else:
+                widths = wb - is_anchor.astype(np.int64)
+            offs = ofs + np.concatenate(
+                [np.zeros((m, 1), np.int64),
+                 np.cumsum(widths[:, :-1], axis=1)], axis=1)
+            planes_w.append(gather_var(sub, offs, widths, wb))
+            # per-block totals are equal within a mode (anchor count is
+            # fixed), so the next field's base offset stays static
+            ofs += int(widths.sum(1)[0])
+        w0 = planes_w[0]
+        w1 = planes_w[1] if blk.num_planes == 2 else w0
+
+        # dequantize endpoints (+ pbits)
+        rows = np.arange(m)[:, None]
+        e8 = np.zeros((m, nsub, 2, 4), np.int64)
+        for s in range(nsub):
+            for e in range(2):
+                for c in range(num_comps):
+                    nb = ab if c == 3 else eb
+                    v = eps[:, s, e, c]
+                    if pbits_n:
+                        pbi = pb[:, s] if blk.shared_pbits else pb[:, s * 2 + e]
+                        total = nb + 1
+                        v2 = ((v << 1) | pbi) << (8 - total)
+                        e8[:, s, e, c] = (v2 | (v2 >> total)) & 0xFF
+                    else:
+                        v2 = v << (8 - nb)
+                        e8[:, s, e, c] = (v2 | (v2 >> nb)) & 0xFF
+            if num_comps == 3:
+                e8[:, s, :, 3] = 255
+
+        # interpolate
+        lo = e8[rows, subs]                                 # (m,16,2,4)
+        hi = lo[:, :, 1, :]
+        lo = lo[:, :, 0, :]
+        res = np.empty((m, 16, 4), np.int64)
+        if blk.num_planes == 2:
+            # mode 4: plane0=2b, plane1=3b; index_selector swaps the
+            # color/alpha roles of the two planes (mode 5: selector 0)
+            dw0 = dq[blk.weight_bits[0]][w0]
+            dw1 = dq[blk.weight_bits[1]][w1]
+            flip = idxsel[:, None].astype(bool)
+            dw_c = np.where(flip, dw1, dw0)
+            dw_a = np.where(flip, dw0, dw1)
+            for c in range(3):
+                res[..., c] = (lo[..., c] * (64 - dw_c) + hi[..., c] * dw_c
+                               + 32) >> 6
+            res[..., 3] = (lo[..., 3] * (64 - dw_a) + hi[..., 3] * dw_a
+                           + 32) >> 6
+            # rotation: swap channel (rot-1) with alpha
+            for r in (1, 2, 3):
+                mask = rot == r
+                if mask.any():
+                    tmp = res[mask][..., r - 1].copy()
+                    res[mask, :, r - 1] = res[mask][..., 3]
+                    res[mask, :, 3] = tmp
+        else:
+            dw = dq[wb0][w0]
+            for c in range(4):
+                if c == 3 and num_comps == 3:
+                    res[..., 3] = 255
+                    continue
+                res[..., c] = (lo[..., c] * (64 - dw) + hi[..., c] * dw
+                               + 32) >> 6
+        out[sel] = res.astype(np.uint8)
+    return out

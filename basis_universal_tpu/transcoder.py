@@ -538,12 +538,7 @@ class DdsTranscoder:
             elif fmt == "BC5":
                 dec = gpu_unpack.unpack_bc5(blocks)
             elif fmt == "BC7":
-                from .codecs.bc7 import logical as bc7l
-
-                dec = np.zeros((len(blocks), 16, 4), np.uint8)
-                for i in range(len(blocks)):
-                    dec[i] = bc7l.unpack_rgba(
-                        bc7l.unpack_phys(bytes(blocks[i])))
+                dec = gpu_unpack.unpack_bc7(blocks)      # (N,16,4) texel-major
             else:
                 raise NotImplementedError(f"DDS {fmt} decode")
             out = etc1_ops.blocks_to_image(
@@ -724,6 +719,11 @@ class BasisTranscoder:
                 bw, bh = ASTC_LDR_BLOCK_SIZES[self.tex_format]
                 self._engine = AstcLdrTranscodeEngine(
                     bw, bh, srgb=bool(h.flags & HeaderFlags.SRGB))
+            elif self.tex_format in XUASTC_LDR_FORMATS:
+                self._engine = XuastcLdrTranscodeEngine(
+                    srgb=bool(h.flags & HeaderFlags.SRGB))
+            elif self.tex_format == BasisTexFormat.XUBC7:
+                self._engine = Xubc7TranscodeEngine()
             else:
                 raise NotImplementedError(
                     f"{self.tex_format.name} .basis decode not implemented yet")
@@ -757,7 +757,9 @@ class BasisTranscoder:
         self.start_transcoding()
         entry = self._slice_map[(image_index, level_index)]
         sd = self.file.slices[entry["rgb"]]
-        if isinstance(self._engine, Hdr6x6IntermediateEngine):
+        if isinstance(self._engine, (Hdr6x6IntermediateEngine,
+                                     XuastcLdrTranscodeEngine,
+                                     Xubc7TranscodeEngine)):
             return self._engine.convert(
                 fmt, self.file.slice_data(entry["rgb"]), sd.num_blocks_x,
                 sd.num_blocks_y, sd.orig_width, sd.orig_height)
