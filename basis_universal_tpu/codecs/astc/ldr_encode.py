@@ -613,7 +613,8 @@ def _two_partition_candidates(pxf, v, bw: int, bh: int, cem: int,
 
 def encode_blocks_plan(px: np.ndarray, bw: int, bh: int,
                        has_alpha: bool, effort: int = 1,
-                       allow_partitions: bool = False) -> dict:
+                       allow_partitions: bool = False,
+                       want_candidates: bool = False) -> dict:
     """Candidate search only: returns the per-block encode decisions
     without packing, shared by the physical-ASTC writer and the XUASTC
     entropy layer. Keys: config (B,) index into configs;
@@ -622,15 +623,43 @@ def encode_blocks_plan(px: np.ndarray, bw: int, bh: int,
     codes (list of per-block weight ISE symbols, inverted on swap);
     two_part {block_index: (gw, gh, rng, wb, ep_rng, seed, lo_q, hi_q,
     codes)} for blocks where a 2-subset encode won (only when
-    allow_partitions)."""
+    allow_partitions).
+
+    want_candidates (truthy; pass the string "srgb" for sRGB decode
+    semantics) additionally returns the full single-partition candidate
+    bank for the SCD deblocking passes: cand_rec (B, ncfg, nt, 4) uint8
+    decode-true reconstructions and cand_pack [(codes, lo_c, hi_c)] per
+    config (see codecs/astc/scd.py)."""
     plan = _encode_blocks_core(px, bw, bh, has_alpha, effort,
-                               allow_partitions)
+                               allow_partitions, want_candidates)
     return plan
+
+
+def config_candidate_block(plan: dict, i: int, ci: int):
+    """(endpoint ISE values, weight codes) of single-partition candidate
+    ci for block i from the plan's candidate bank — the identical s0<=s1
+    canonicalization the winner assembly applies."""
+    gw, gh, rng, wb, ep_rng = plan["configs"][ci]
+    codes, lo_c, hi_c = plan["cand_pack"][ci]
+    _, unq = _quant_tables(ep_rng)
+    lc, hc, cd = lo_c[i], hi_c[i], codes[i]
+    s0 = int(unq[lc[0]] + unq[lc[1]] + unq[lc[2]])
+    s1 = int(unq[hc[0]] + unq[hc[1]] + unq[hc[2]])
+    if s0 > s1:
+        lc, hc = hc, lc
+        cd = ((1 << wb) - 1) - cd
+    vals = []
+    for comp in range(3):
+        vals += [int(lc[comp]), int(hc[comp])]
+    if plan["cem"] == 12:
+        vals += [int(lc[3]), int(hc[3])]
+    return vals, cd
 
 
 def _encode_blocks_core(px: np.ndarray, bw: int, bh: int,
                         has_alpha: bool, effort: int = 1,
-                        allow_partitions: bool = False) -> dict:
+                        allow_partitions: bool = False,
+                        want_candidates: bool = False) -> dict:
     b = px.shape[0]
     nt = bw * bh
     pxf = px.astype(np.float64)
@@ -694,7 +723,22 @@ def _encode_blocks_core(px: np.ndarray, bw: int, bh: int,
         err = ((rec - v) ** 2).sum(axis=(1, 2))
         if not has_alpha:
             err = err + ((pxf[..., 3] - 255.0) ** 2).sum(-1)
-        cand.append((err, codes, lo_c, hi_c, ep_rng))
+        rec_u8 = None
+        if want_candidates:
+            # decode-true reconstruction for the SCD candidate bank:
+            # 16-bit endpoint expansion (v<<8)|(srgb?0x80:v), interp,
+            # top byte (basisu_astc_helpers.h:3601-3612) — the 8-bit
+            # `rec` above is a search-time approximation
+            lo_i = unq[lo_c].astype(np.int64)
+            hi_i = unq[hi_c].astype(np.int64)
+            ext = 0x80 if want_candidates == "srgb" else 0
+            l16 = (lo_i << 8) | (ext if ext else lo_i)
+            h16 = (hi_i << 8) | (ext if ext else hi_i)
+            rec_t = (((l16[:, None, :] * (64 - up[..., None])
+                       + h16[:, None, :] * up[..., None] + 32) >> 6) >> 8)
+            rec_u8 = np.full((b, nt, 4), 255, np.uint8)
+            rec_u8[..., :comps] = np.clip(rec_t, 0, 255).astype(np.uint8)
+        cand.append((err, codes, lo_c, hi_c, ep_rng, rec_u8))
     err_mat = np.stack([cc[0] for cc in cand], 1)
     best = np.argmin(err_mat, axis=1)
     best_err1 = err_mat[np.arange(b), best]
@@ -738,7 +782,7 @@ def _encode_blocks_core(px: np.ndarray, bw: int, bh: int,
     out_codes = [None] * b
     cfg_list = []
     for ci, (gw, gh, rng, wb) in enumerate(configs):
-        err, codes, lo_c, hi_c, ep_rng = cand[ci]
+        err, codes, lo_c, hi_c, ep_rng, _rec = cand[ci]
         cfg_list.append((gw, gh, rng, wb, ep_rng))
         idx = np.flatnonzero(best == ci)
         if not idx.size:
@@ -759,16 +803,32 @@ def _encode_blocks_core(px: np.ndarray, bw: int, bh: int,
                 vals += [int(lc[3]), int(hc[3])]
             endpoints[i] = vals
             out_codes[i] = cd
-    return dict(config=best, configs=cfg_list, endpoints=endpoints,
+    plan = dict(config=best, configs=cfg_list, endpoints=endpoints,
                 codes=out_codes, cem=cem, two_part=two_part,
                 dual_plane=dual_plane, log_override=log_override)
+    if want_candidates:
+        plan["cand_rec"] = np.stack([cc[5] for cc in cand], axis=1)
+        plan["cand_err"] = err_mat
+        plan["cand_pack"] = [(cc[1], cc[2], cc[3]) for cc in cand]
+    return plan
 
 
 def encode_blocks_ldr(px: np.ndarray, bw: int, bh: int,
-                      has_alpha: bool, effort: int = 1) -> np.ndarray:
-    """(B, bh*bw, 4) uint8 RGBA → (B, 16) ASTC LDR blocks."""
+                      has_alpha: bool, effort: int = 1,
+                      scd_grid=None, srgb: bool = False) -> np.ndarray:
+    """(B, bh*bw, 4) uint8 RGBA → (B, 16) ASTC LDR blocks.
+
+    scd_grid=(nbx, nby): run the SCD deblocking-aware candidate descent
+    (codecs/astc/scd.py) when the footprint deblocks at transcode."""
+    from ...ops import deblock as deblock_ops
+    from . import scd as scd_mod
+
+    run_scd = (scd_grid is not None and scd_mod.scd_num_passes(effort) > 0
+               and deblock_ops.default_deblock(bw, bh))
     plan = _encode_blocks_core(px, bw, bh, has_alpha, effort,
-                               allow_partitions=True)
+                               allow_partitions=True,
+                               want_candidates=(("srgb" if srgb else True)
+                                                if run_scd else False))
     from .hdr6x6_decode import pack_log_block
 
     b = px.shape[0]
@@ -792,6 +852,28 @@ def encode_blocks_ldr(px: np.ndarray, bw: int, bh: int,
         out[i] = _pack_ldr_block(
             plan["cem"], gw, gh, rng, wb, ep_rng,
             plan["endpoints"][i], plan["codes"][i])
+
+    if run_scd and "cand_rec" in plan:
+        nbx, nby = scd_grid
+        chosen_px = ah.decode_blocks_rgba8(out, srgb=srgb, bw=bw, bh=bh)
+        pad_img = px.reshape(nby, nbx, bh, bw, 4).transpose(
+            0, 2, 1, 3, 4).reshape(nby * bh, nbx * bw, 4)
+        changes = scd_mod.orchestrate(
+            plan, chosen_px, px, pad_img, nbx, nby, bw, bh,
+            has_alpha, effort, preserve_chroma=srgb)
+        for i, action in changes.items():
+            if action[0] == "solid":
+                r, g, bl, a = action[1]
+                blk = ah.LogBlock(solid_ldr=True,
+                                  solid_color=(r | (r << 8), g | (g << 8),
+                                               bl | (bl << 8), a | (a << 8)))
+                out[i] = np.frombuffer(pack_log_block(blk), dtype=np.uint8)
+                continue
+            ci = action[1]
+            gw, gh, rng, wb, ep_rng = plan["configs"][ci]
+            vals, cd = config_candidate_block(plan, i, ci)
+            out[i] = _pack_ldr_block(plan["cem"], gw, gh, rng, wb, ep_rng,
+                                     vals, cd)
     return out
 
 

@@ -240,15 +240,16 @@ def _plan_4x4(px: np.ndarray, has_alpha: bool, effort: int):
 
 
 def _plan_direct(px: np.ndarray, bw: int, bh: int, has_alpha: bool,
-                 effort: int):
+                 effort: int, want_candidates: bool = False):
     """Direct LDR candidate search (with partition/dual-plane trials) →
-    LogBlocks. Partition/dual-plane winners whose config has no trial-mode
-    entry fall back to the block's single-partition candidate."""
+    (LogBlocks, plan). Partition/dual-plane winners whose config has no
+    trial-mode entry fall back to the block's single-partition candidate."""
     bsi = XT.ASTC_BLOCK_SIZES.index((bw, bh))
     lookup, _ = _tm_lookup(bsi)
     plan = ldr_encode.encode_blocks_plan(px, bw, bh, has_alpha,
                                          effort=effort,
-                                         allow_partitions=True)
+                                         allow_partitions=True,
+                                         want_candidates=want_candidates)
     cem = plan["cem"]
     out = []
     for i in range(px.shape[0]):
@@ -306,7 +307,7 @@ def _plan_direct(px: np.ndarray, bw: int, bh: int, has_alpha: bool,
             num_partitions=1, cems=(cem,),
             endpoints=[int(v) for v in plan["endpoints"][i]],
             weights=[int(v) for v in plan["codes"][i]]))
-    return out
+    return out, plan
 
 
 def _solid_rdo(blocks, info, px: np.ndarray, bw: int, bh: int,
@@ -371,14 +372,29 @@ def encode_image(rgba: np.ndarray, block_w: int, block_h: int,
 
     solid = np.all(px == px[:, :1, :], axis=(1, 2))
 
+    use_dct = dct_quality is not None and 0.0 < float(dct_quality) <= 100.0
+    q = float(dct_quality) if use_dct else 0.0
+
+    # SCD deblocking-aware descent: default on >=10x8 footprints, effort
+    # >= 2, incompatible with lossy supercompression (the reference
+    # disables DCT when SCD is on, basisu_comp.cpp:1655-1666,
+    # basisu_astc_ldr_encode.cpp:14887)
+    from ...ops import deblock as deblock_ops
+    from . import scd
+    run_scd = (not use_dct and scd.scd_num_passes(effort) > 0
+               and deblock_ops.default_deblock(block_w, block_h))
+
     # --- per-block logical plan
+    direct_plan = None
     if (block_w, block_h) == (4, 4):
         planned = _plan_4x4(px, has_alpha, effort)
     else:
-        planned = _plan_direct(px, block_w, block_h, has_alpha, effort)
-
-    use_dct = dct_quality is not None and 0.0 < float(dct_quality) <= 100.0
-    q = float(dct_quality) if use_dct else 0.0
+        planned, direct_plan = _plan_direct(
+            px, block_w, block_h, has_alpha, effort,
+            want_candidates=(("srgb" if srgb else True)
+                             if run_scd else False))
+    run_scd = run_scd and direct_plan is not None \
+        and "cand_rec" in direct_plan
 
     # --- resolve emission info per block; canonicalize partitions, find
     # trial modes, apply the decode-true weight refinement, run the DCT
@@ -455,6 +471,42 @@ def encode_image(rgba: np.ndarray, block_w: int, block_h: int,
     if use_dct:
         _solid_rdo(blocks, info, px, block_w, block_h, has_alpha, srgb,
                    q if rdo_quality is None else float(rdo_quality))
+
+    if run_scd:
+        # SCD: re-pick per-block candidates under the deblock filter the
+        # transcoder will apply (codecs/astc/scd.py)
+        chosen_px = np.zeros((n_blocks, block_h, block_w, 4), np.uint8)
+        for i in range(n_blocks):
+            chosen_px[i] = np.asarray(
+                ah.decode_block(blocks[i], block_w, block_h, srgb=srgb))
+        cem = direct_plan["cem"]
+
+        def _cfg_ok(cfg):
+            gw, gh, rng, wb, ep_rng = cfg
+            return (gw, gh, cem, -1, ep_rng, rng, 1) in lookup
+
+        changes = scd.orchestrate(
+            direct_plan, chosen_px, px, pad, nbx, nby, block_w, block_h,
+            has_alpha, effort, preserve_chroma=srgb, config_ok=_cfg_ok)
+        for i, action in changes.items():
+            if action[0] == "solid":
+                blocks[i] = _solid_log_block(
+                    np.array(action[1], np.uint8), has_alpha)
+                info[i] = None
+                continue
+            ci = action[1]
+            gw, gh, rng, wb, ep_rng = direct_plan["configs"][ci]
+            vals, cd = ldr_encode.config_candidate_block(direct_plan, i, ci)
+            blk = ah.LogBlock(
+                grid_width=gw, grid_height=gh, dual_plane=False,
+                weight_ise_range=rng, endpoint_ise_range=ep_rng,
+                num_partitions=1, cems=(cem,), endpoints=vals,
+                weights=[int(v) for v in cd])
+            refine_mod.refine_log_block_weights(blk, px[i], block_w,
+                                                block_h, srgb)
+            blocks[i] = blk
+            info[i] = (lookup[(gw, gh, cem, -1, ep_rng, rng, 1)],
+                       False, None, None)
 
     # --- emission, mirroring the decoder's ring/hash state
     raw = _LsbWriter()

@@ -490,7 +490,8 @@ def _compress_astc_ldr(images, params: CompressorParams,
                 pb = pad.reshape(by, bh, bx, bw, 4).transpose(0, 2, 1, 3, 4)
                 astc = ldr_encode.encode_blocks_ldr(
                     pb.reshape(by * bx, bh * bw, 4), bw, bh,
-                    has_alpha=has_alpha, effort=params.effort)
+                    has_alpha=has_alpha, effort=params.effort,
+                    scd_grid=(bx, by), srgb=params.perceptual)
             slices.append(dict(
                 image_index=image_index, level_index=level_index,
                 orig_width=w, orig_height=h, num_blocks_x=bx,
