@@ -348,13 +348,19 @@ def _solid_rdo(blocks, info, px: np.ndarray, bw: int, bh: int,
 
 def encode_image(rgba: np.ndarray, block_w: int, block_h: int,
                  has_alpha: bool, srgb: bool, effort: int = 1,
-                 dct_quality=None, rdo_quality=None) -> bytes:
-    """(H, W, 4) uint8 → full-zstd XUASTC LDR stream.
+                 dct_quality=None, rdo_quality=None,
+                 syntax: str = "full_zstd") -> bytes:
+    """(H, W, 4) uint8 → XUASTC LDR stream.
 
     dct_quality: None = lossless entropy layer; 1-100 = weight-grid DCT
     quantization at that JPEG-style quality (the reference's m_dct_quality,
     encoder/basisu_astc_ldr_encode.h:46; stream contract decoded by
-    xuastc_ldr.decode_log_blocks and the reference transcoder)."""
+    xuastc_ldr.decode_log_blocks and the reference transcoder).
+
+    syntax: entropy syntax — 'full_zstd' (default), 'hybrid'
+    (HybridArithZstd), 'arith' (FullArith), or 'auto' which emits all three
+    and returns the smallest, mirroring the reference's per-image syntax
+    pick (transcoder ids basisu_transcoder_internal.h:2177-2184)."""
     import zstandard
 
     h, w = rgba.shape[:2]
@@ -508,7 +514,22 @@ def encode_image(rgba: np.ndarray, block_w: int, block_h: int,
             info[i] = (lookup[(gw, gh, cem, -1, ep_rng, rng, 1)],
                        False, None, None)
 
-    # --- emission, mirroring the decoder's ring/hash state
+    # --- emission
+    arith_out = None
+    if syntax in ("arith", "hybrid", "auto"):
+        from . import xuastc_arith_encode as XA
+
+        cand = [XA.emit_arith(
+            blocks, info, bsi=bsi, width=w, height=h, has_alpha=has_alpha,
+            srgb=srgb, use_dct=use_dct, q=q, nbx=nbx, nby=nby,
+            hybrid=hyb) for hyb in
+            ((False,) if syntax == "arith" else
+             (True,) if syntax == "hybrid" else (False, True))]
+        arith_out = min(cand, key=len)
+        if syntax != "auto":
+            return arith_out
+
+    # full-zstd syntax, mirroring the decoder's ring/hash state
     raw = _LsbWriter()
     mode_w = _SimpleWriter()
     solid_w = _SimpleWriter()
@@ -734,4 +755,6 @@ def encode_image(rgba: np.ndarray, block_w: int, block_h: int,
     out += raw_bytes
     for n in order:
         out += comp[n]
+    if arith_out is not None and len(arith_out) < len(out):
+        return arith_out
     return bytes(out)

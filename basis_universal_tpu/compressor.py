@@ -104,6 +104,10 @@ class CompressorParams:
     # basisu_comp.h:931 → pack_options::set_rdo_level): 0 = off (reference
     # default); >0 enables the repeat/solid/endpoint RDO pre-passes
     xubc7_rdo_level: int = 0
+    # XUASTC entropy syntax: 'full_zstd' | 'hybrid' | 'arith' | 'auto'
+    # ('auto' emits every syntax and keeps the smallest per slice, the
+    # reference's per-image syntax pick)
+    xuastc_syntax: str = "full_zstd"
     seed: int = 0
 
 
@@ -608,7 +612,8 @@ def _compress_xuastc_ldr(images, params: CompressorParams,
         lambda img, ha: xuastc_encode.encode_image(
             img, bw, bh, has_alpha=ha, srgb=params.perceptual,
             effort=params.effort, dct_quality=dct_q,
-            rdo_quality=float(q) if 1 <= q <= 99 else None),
+            rdo_quality=float(q) if 1 <= q <= 99 else None,
+            syntax=params.xuastc_syntax),
         bw, bh)
     descs, streams, flags = _xu_basis_slices(slices, params)
     data = basis_file.write_basis_file(

@@ -157,6 +157,60 @@ def test_encode_oracle_conformance(golden_dir, oracle):
     assert len(out.ktx2_data) * 8 / (128 * 160) < 8.0
 
 
+@pytest.mark.parametrize("syntax", ["hybrid", "arith"])
+def test_encode_arith_syntaxes_roundtrip(syntax):
+    """Encode-side FullArith / HybridArithZstd: pixel-identical to the
+    full-zstd emission of the same plan (same blocks, different entropy
+    syntax; reference syntax ids basisu_transcoder_internal.h:2177-2184)."""
+    from basis_universal_tpu.codecs.astc import xuastc_encode
+
+    img = np.asarray(
+        Image.open(TEST_FILES / "kodim23.png").convert("RGBA"))[:96, :132]
+    base = xuastc_encode.encode_image(img, 6, 6, has_alpha=False,
+                                      srgb=False, effort=1)
+    _, rgba0 = xuastc_ldr.decode_rgba(base)
+    data = xuastc_encode.encode_image(img, 6, 6, has_alpha=False,
+                                      srgb=False, effort=1, syntax=syntax)
+    assert data[0] & 3 == (1 if syntax == "hybrid" else 0)
+    _, rgba = xuastc_ldr.decode_rgba(data)
+    np.testing.assert_array_equal(rgba, rgba0)
+    # lossy DCT emission through the arith layer too
+    lossy0 = xuastc_encode.encode_image(img, 6, 6, has_alpha=False,
+                                        srgb=False, effort=1,
+                                        dct_quality=50.0)
+    lossy = xuastc_encode.encode_image(img, 6, 6, has_alpha=False,
+                                       srgb=False, effort=1,
+                                       dct_quality=50.0, syntax=syntax)
+    _, l0 = xuastc_ldr.decode_rgba(lossy0)
+    _, l1 = xuastc_ldr.decode_rgba(lossy)
+    np.testing.assert_array_equal(l1, l0)
+
+
+def test_encode_arith_oracle_conformance(golden_dir, oracle):
+    """Our FullArith-syntax KTX2 is accepted by the reference transcoder
+    and matches our own decode pixel-exactly; 'auto' picks the smallest
+    syntax (the reference's per-image pick)."""
+    from basis_universal_tpu import compressor
+    from basis_universal_tpu.formats.constants import BasisTexFormat
+
+    img = np.asarray(
+        Image.open(TEST_FILES / "kodim23.png").convert("RGBA"))[:96, :132]
+    params = compressor.CompressorParams(
+        tex_format=BasisTexFormat.XUASTC_LDR_6x6, quality_level=100,
+        xuastc_syntax="auto")
+    out = compressor.compress(img, params)
+    data = K.Ktx2File(out.ktx2_data).level_data(0)
+    assert data[0] & 3 in (0, 1)        # an arith syntax won on this crop
+    p = golden_dir / "ours_xu_arith_k23crop.ktx2"
+    p.write_bytes(out.ktx2_data)
+    subprocess.run([str(oracle), "-unpack", str(p)], cwd=golden_dir,
+                   check=True, capture_output=True, timeout=1200)
+    ref = _ref_unpack_rgba(golden_dir, "ours_xu_arith_k23crop").copy()
+    ref[..., 3] = 255
+    c, ours = xuastc_ldr.decode_rgba(data)
+    np.testing.assert_array_equal(ours, ref)
+
+
 def test_encode_solid_and_runs_roundtrip():
     """Synthetic image exercising SOLID blocks and RUN coding."""
     from basis_universal_tpu.codecs.astc import xuastc_encode
