@@ -140,11 +140,11 @@ def encode_blocks(pixels, radius: int = 1):
     mean = jnp.mean(pixels, axis=1)  # (B,3)
     base5 = jnp.clip(jnp.round(mean * (31.0 / 255.0)).astype(jnp.int32), 0, 31)
 
-    c5s = jnp.clip(base5[None] + deltas[:, None, :], 0, 31)    # (D,B,3)
     d_, t_ = deltas.shape[0], 8
     if pallas_etc1s.use_pallas():
         flat = pallas_etc1s.factorized_scan(pixels, radius=radius)  # (B,D*8)
     else:
+        c5s = jnp.clip(base5[None] + deltas[:, None, :], 0, 31)  # (D,B,3)
         mom = _block_moments(pixels)
         base8 = expand5(c5s).astype(jnp.float32)
         err_dbt = _scan_block_errs(mom, base8)                 # (D,B,8)
@@ -155,13 +155,27 @@ def encode_blocks(pixels, radius: int = 1):
     _, cand = jax.lax.top_k(-flat, k_re)                       # (B,K)
     b = jnp.arange(pixels.shape[0])
     cand_d, cand_t = cand // 8, cand % 8
-    cb8 = expand5(c5s[cand_d, b[:, None]]).astype(jnp.float32)  # (B,K,3)
-    cpal = jnp.clip(cb8[:, :, None, :] + _INTEN[cand_t][..., None], 0.0, 255.0)  # (B,K,4,3)
-    cerr = _palette_errs(pixels, cpal)                         # (B,K)
-    kbest = jnp.argmin(cerr, axis=-1)
-    err = cerr[b, kbest]
-    inten = cand_t[b, kbest].astype(jnp.int32)
-    color5 = c5s[cand_d[b, kbest], b]                          # (B,3)
+    if pallas_etc1s.use_pallas():
+        # packed-descriptor rescore: the candidate palette never touches
+        # HBM (TPU gathers are row-count-bound, so the (B,K,4,3) palette
+        # gather costs ~10x the whole rescore kernel)
+        c5k = jnp.clip(base5[:, None, :] + deltas[cand_d], 0, 31)  # (B,K,3)
+        packed = (c5k[..., 0] | (c5k[..., 1] << 5) | (c5k[..., 2] << 10)
+                  | (cand_t << 15))
+        cerr = pallas_etc1s.palette_errs_packed(pixels, packed)
+        kbest = jnp.argmin(cerr, axis=-1)
+        err = cerr[b, kbest]
+        pk = packed[b, kbest]
+        inten = ((pk >> 15) & 7).astype(jnp.int32)
+        color5 = jnp.stack([pk & 31, (pk >> 5) & 31, (pk >> 10) & 31], -1)
+    else:
+        cb8 = expand5(c5s[cand_d, b[:, None]]).astype(jnp.float32)  # (B,K,3)
+        cpal = jnp.clip(cb8[:, :, None, :] + _INTEN[cand_t][..., None], 0.0, 255.0)  # (B,K,4,3)
+        cerr = _palette_errs(pixels, cpal)                     # (B,K)
+        kbest = jnp.argmin(cerr, axis=-1)
+        err = cerr[b, kbest]
+        inten = cand_t[b, kbest].astype(jnp.int32)
+        color5 = c5s[cand_d[b, kbest], b]                      # (B,3)
 
     base8 = expand5(color5).astype(jnp.float32)
     pal = jnp.clip(base8[:, None, :] + _INTEN[inten][:, :, None], 0.0, 255.0)  # (B,4,3)
@@ -240,6 +254,18 @@ def optimize_cluster_endpoints(pixels, cluster_ids, cluster_means,
     _, cand = jax.lax.top_k(-flat, k_re)                       # (C,K)
     c = jnp.arange(num_clusters)
     cand_d, cand_t = cand // 8, cand % 8
+    if pallas_etc1s.use_pallas():
+        c5k = jnp.clip(base5[:, None, :] + deltas[cand_d], 0, 31)  # (C,K,3)
+        packed_c = (c5k[..., 0] | (c5k[..., 1] << 5)
+                    | (c5k[..., 2] << 10) | (cand_t << 15))    # (C,K)
+        pk_blocks = packed_c[cluster_ids]                      # (B,K) row gather
+        berr = pallas_etc1s.palette_errs_packed(pixels, pk_blocks)
+        cerr = jax.ops.segment_sum(berr, cluster_ids,
+                                   num_segments=num_clusters)
+        kbest = jnp.argmin(cerr, axis=-1)
+        pk = packed_c[c, kbest]
+        return (jnp.stack([pk & 31, (pk >> 5) & 31, (pk >> 10) & 31], -1),
+                ((pk >> 15) & 7).astype(jnp.int32))
     cb8 = expand5(c5s[cand_d, c[:, None]]).astype(jnp.float32)  # (C,K,3)
     cpal = jnp.clip(cb8[:, :, None, :] + _INTEN[cand_t][..., None], 0.0, 255.0)  # (C,K,4,3)
     blk_pal = cpal[cluster_ids]                                # (B,K,4,3)
@@ -369,10 +395,18 @@ def refine_endpoint_assignment(pixels, blk_vec6, cb_vec6, cb_color5, cb_inten,
     # perturbs the shortlist tail (the exact rescore below picks the winner)
     _, cand = jax.lax.approx_min_k(d6, topk)                    # (B,K)
 
-    base8 = expand5(cb_color5).astype(jnp.float32)              # (C,3)
-    pal_all = jnp.clip(base8[:, None, :] + _INTEN[cb_inten][:, :, None], 0.0, 255.0)  # (C,4,3)
-    pal = pal_all[cand]                                         # (B,K,4,3)
-    err_k = _palette_errs(pixels, pal)                          # (B,K)
+    from . import pallas_etc1s
+
+    if pallas_etc1s.use_pallas():
+        ptab = (cb_color5[:, 0] | (cb_color5[:, 1] << 5)
+                | (cb_color5[:, 2] << 10) | (cb_inten << 15))   # (C,)
+        err_k = pallas_etc1s.palette_errs_packed(
+            pixels, ptab[cand])                                 # (B,K)
+    else:
+        base8 = expand5(cb_color5).astype(jnp.float32)          # (C,3)
+        pal_all = jnp.clip(base8[:, None, :] + _INTEN[cb_inten][:, :, None], 0.0, 255.0)  # (C,4,3)
+        pal = pal_all[cand]                                     # (B,K,4,3)
+        err_k = _palette_errs(pixels, pal)                      # (B,K)
     best = jnp.argmin(err_k, axis=-1)
     b = jnp.arange(pixels.shape[0])
     return cand[b, best], err_k[b, best]
@@ -396,6 +430,12 @@ def find_best_selector_patterns(dists, patterns, num_patterns: int):
     (device analog of find_optimal_selector_clusters_for_each_block,
     ocl_kernels.cl:1159).
     """
+    from . import pallas_etc1s
+
+    if pallas_etc1s.use_pallas():
+        # fused matmul+argmin: the (B, S) error matrix never leaves VMEM
+        return pallas_etc1s.find_best_selector_patterns(
+            dists, patterns, num_patterns)
     b = dists.shape[0]
     d_flat = dists.reshape(b, 64)
     one = jax.nn.one_hot(patterns, 4, dtype=jnp.bfloat16)       # (S,16,4)

@@ -80,6 +80,146 @@ def use_pallas() -> bool:
     return jax.default_backend() == "tpu"
 
 
+def _rescore_kernel(pix_ref, pk_ref, out_ref, *, n_cand: int, tabs):
+    """Exact clipped rescore from PACKED candidate descriptors.
+
+    pk_ref: (K, T) i32, each value r5 | g5<<5 | b5<<10 | inten<<15. The
+    palette is reconstructed in VMEM (expand5 + intensity-table select
+    against baked scalar constants), so the kernel's HBM traffic is the
+    (K, T) i32 descriptor tile instead of the (K*12, T) f32 palettes the
+    plain palette_errs variant ships — the (B, K, 4, 3) palette gather the
+    XLA path materializes (the frontend's hottest fusion) disappears."""
+    r = pix_ref[0:16, :]
+    g = pix_ref[16:32, :]
+    b = pix_ref[32:48, :]
+    for k in range(n_cand):
+        v = pk_ref[k, :][None, :]
+        r5 = (v & 31).astype(jnp.float32)
+        g5 = ((v >> 5) & 31).astype(jnp.float32)
+        b5 = ((v >> 10) & 31).astype(jnp.float32)
+        tt = ((v >> 15) & 7).astype(jnp.float32)
+        b8r = r5 * 8.0 + jnp.floor(r5 * 0.25)
+        b8g = g5 * 8.0 + jnp.floor(g5 * 0.25)
+        b8b = b5 * 8.0 + jnp.floor(b5 * 0.25)
+        acc = None
+        for sel in range(4):
+            tsel = jnp.full_like(tt, tabs[7][sel])
+            for t in range(6, -1, -1):
+                tsel = jnp.where(tt == float(t), tabs[t][sel], tsel)
+            pr = jnp.clip(b8r + tsel, 0.0, 255.0)
+            pg = jnp.clip(b8g + tsel, 0.0, 255.0)
+            pb = jnp.clip(b8b + tsel, 0.0, 255.0)
+            dr = r - pr
+            dg = g - pg
+            db = b - pb
+            dist = dr * dr + dg * dg + db * db            # (16,T)
+            acc = dist if acc is None else jnp.minimum(acc, dist)
+        out_ref[k, :] = jnp.sum(acc, axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def palette_errs_packed(pixels, packed, interpret: bool = False):
+    """Exact clipped ETC1S candidate errors from packed descriptors.
+
+    pixels: (B, 16, 3) f32 in [0,255]; packed: (B, K) i32 with
+    r5 | g5<<5 | b5<<10 | inten<<15 per candidate. Returns (B, K) f32."""
+    from .etc1 import ETC1_INTEN_TABLES
+
+    b_n, k_n = packed.shape
+    bp = -(-b_n // _LANES) * _LANES
+    pix_t = pixels.astype(jnp.float32).transpose(2, 1, 0).reshape(48, b_n)
+    pk_t = packed.astype(jnp.int32).T
+    if bp != b_n:
+        pix_t = jnp.pad(pix_t, ((0, 0), (0, bp - b_n)))
+        pk_t = jnp.pad(pk_t, ((0, 0), (0, bp - b_n)))
+    tabs = tuple(tuple(float(v) for v in row) for row in ETC1_INTEN_TABLES)
+    err = pl.pallas_call(
+        functools.partial(_rescore_kernel, n_cand=k_n, tabs=tabs),
+        grid=(bp // _LANES,),
+        in_specs=[
+            pl.BlockSpec((48, _LANES), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k_n, _LANES), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((k_n, _LANES), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((k_n, bp), jnp.float32),
+        interpret=interpret,
+    )(pix_t, pk_t)
+    return err[:, :b_n].T
+
+
+def _selbest_kernel(d_ref, p_ref, best_ref, val_ref, *, n_pat: int,
+                    s_chunk: int):
+    """Fused (T,64)@(64,S) matmul + running argmin over pattern chunks.
+
+    The XLA formulation materializes the full (B, S) error matrix in HBM
+    (~270 MB at kodim scale) just to argmin it; here each (T, s_chunk) tile
+    lives only in VMEM. d_ref: (T, 64) f32 block distances; p_ref:
+    (S_pad, 64) bf16 one-hot patterns (resident across grid steps)."""
+    d = d_ref[...].astype(jnp.bfloat16)
+    t = d.shape[0]
+    best = jnp.zeros((t,), jnp.int32)
+    val = jnp.full((t,), jnp.inf, jnp.float32)
+    n_chunks = p_ref.shape[0] // s_chunk
+    for ci in range(n_chunks):
+        p = p_ref[pl.ds(ci * s_chunk, s_chunk), :]
+        err = jax.lax.dot_general(
+            d, p, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)       # (T, s_chunk)
+        col = jax.lax.broadcasted_iota(jnp.int32, err.shape, 1) \
+            + ci * s_chunk
+        err = jnp.where(col < n_pat, err, jnp.inf)
+        cmin = jnp.min(err, axis=1)
+        carg = jnp.argmin(err, axis=1).astype(jnp.int32) + ci * s_chunk
+        take = cmin < val
+        best = jnp.where(take, carg, best)
+        val = jnp.where(take, cmin, val)
+    best_ref[0, :] = best
+    val_ref[0, :] = val
+
+
+@functools.partial(jax.jit, static_argnames=("num_patterns", "interpret"))
+def find_best_selector_patterns(dists, patterns, num_patterns: int,
+                                interpret: bool = False):
+    """Pallas analog of etc1s_encode.find_best_selector_patterns: per-block
+    best codebook selector pattern without materializing the (B, S) error
+    matrix. Returns (best (B,) i32, min_err (B,) f32)."""
+    b_n = dists.shape[0]
+    t = 1024
+    s_chunk = 512
+    s_pad = -(-num_patterns // s_chunk) * s_chunk
+    bp = -(-b_n // t) * t
+    d_flat = dists.reshape(b_n, 64).astype(jnp.float32)
+    if bp != b_n:
+        d_flat = jnp.pad(d_flat, ((0, bp - b_n), (0, 0)))
+    one = jax.nn.one_hot(patterns, 4, dtype=jnp.bfloat16)
+    p_flat = one.reshape(num_patterns, 64)
+    if s_pad != num_patterns:
+        p_flat = jnp.pad(p_flat, ((0, s_pad - num_patterns), (0, 0)))
+    best, val = pl.pallas_call(
+        functools.partial(_selbest_kernel, n_pat=num_patterns,
+                          s_chunk=s_chunk),
+        grid=(bp // t,),
+        in_specs=[
+            pl.BlockSpec((t, 64), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((s_pad, 64), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, t), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((1, bp), jnp.int32),
+            jax.ShapeDtypeStruct((1, bp), jnp.float32),
+        ],
+        interpret=interpret,
+    )(d_flat, p_flat)
+    return best[0, :b_n], val[0, :b_n]
+
+
 def _fscan_kernel(deltas_ref, mids_ref, tabs_ref, pix_ref, base_ref, err_ref,
                   *, n_deltas: int, external_base: bool):
     """Factorized candidate scan, one delta per fori step, all 8 intensity
