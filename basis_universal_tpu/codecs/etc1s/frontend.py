@@ -86,7 +86,8 @@ def _init_selector_patterns(opt_sel, num_s: int):
 def _frontend_impl(px, seed, left_idx, up_idx, e_thresh, s_thresh, *,
                    num_e: int, num_s: int, radius: int,
                    kmeans_iters: int, refine_iters: int, sel_iters: int,
-                   topk: int, rdo: bool, raw_image: bool = False):
+                   topk: int, rdo: bool, raw_image: bool = False,
+                   init_sub: int = 1):
     """The full device pipeline: returns (assign, color5, inten, patterns,
     sel_assign) — everything the host needs for dedup + entropy coding."""
     # callers ship either (B,16,3) blocks or, with raw_image, the padded
@@ -104,7 +105,12 @@ def _frontend_impl(px, seed, left_idx, up_idx, e_thresh, s_thresh, *,
     vec6 = jnp.concatenate([init["low"], init["high"]], axis=-1) * (1.0 / 255.0)
     weights = jnp.ones(nblocks, dtype=jnp.float32)
 
-    seeds = ops.bisecting_init(vec6, weights, num_e, key)
+    # bisecting init only needs REPRESENTATIVE seeds: run it on a strided
+    # subsample (its per-round segment-sum over (N, 1+F+F²) features is
+    # ~17% of the whole frontend at full N); the full-N k-means +
+    # exact-rescore refinement below consumes every block
+    seeds = ops.bisecting_init(vec6[::init_sub], weights[::init_sub],
+                               num_e, key)
     _, assign = ops.kmeans(vec6, weights, seeds, num_e, iters=kmeans_iters)
 
     # refine + selector loops as lax.fori_loop: one body in the executable
@@ -215,9 +221,13 @@ def _knobs_and_neighbors(pixels_shape_b: int, params: FrontendParams,
         up = left
     else:
         left, up = neighbors
+    # subsample the bisecting init once the image is much larger than the
+    # codebook (seeds stay representative; k-means refines on all blocks)
+    init_sub = int(max(1, min(4, pixels_shape_b // max(4 * num_e, 1))))
     knobs = dict(num_e=num_e, num_s=num_s, radius=radius,
                  kmeans_iters=kmeans_iters, refine_iters=refine_iters,
-                 sel_iters=sel_iters, topk=topk, rdo=rdo)
+                 sel_iters=sel_iters, topk=topk, rdo=rdo,
+                 init_sub=init_sub)
     return knobs, jnp.asarray(left), jnp.asarray(up)
 
 
@@ -304,7 +314,7 @@ def compress_batch(pixels: np.ndarray, params: FrontendParams,
 
 
 def compress_batch_iter(pixels, params: FrontendParams,
-                        seed: int = 0, neighbors=None, group_size: int = 4):
+                        seed: int = 0, neighbors=None, group_size: int = 6):
     """Generator form of compress_batch: yields FrontendOutput per image.
 
     pixels: (N, B, 16, 3) array OR a list of N per-image payloads (block
@@ -335,22 +345,27 @@ def compress_batch_iter(pixels, params: FrontendParams,
     e_t = float(params.endpoint_rdo_thresh)
     s_t = float(params.selector_rdo_thresh)
 
-    # consecutive same-shape runs, ramped 1 → 2 → group_size: the host's
-    # entropy coding (serial on this box's single CPU) is rate-matched with
-    # device compute, so small LEADING groups start the host pipeline after
-    # one image's compute instead of a full group's, while later groups
-    # amortize the per-program launch round trip over group_size images.
-    # (Runs split at orientation boundaries; flat block counts still match.)
+    # consecutive same-shape runs: a small LEADING group (2) starts the
+    # host entropy pipeline early, then full group_size chunks amortize the
+    # per-program launch round trip. Groups split at payload-shape
+    # boundaries, and — only when device RDO is on — at neighbor-grid
+    # boundaries (the fused program shares one left/up grid per group).
+    def _sig(i):
+        s = pixels[i].shape
+        if knobs["rdo"] and neighbors:
+            return s, id(neighbors[i][0]), id(neighbors[i][1])
+        return s
+
     groups = []
     i = 0
-    ramp = 1
+    first = True
     while i < n:
+        lim = min(2, group_size) if first else group_size
+        first = False
         j = i + 1
-        while (j < n and j - i < min(ramp, group_size)
-               and pixels[j].shape == pixels[i].shape):
+        while j < n and j - i < lim and _sig(j) == _sig(i):
             j += 1
         groups.append((i, j - i))
-        ramp *= 2
         i = j
 
     fns = {cnt: _jitted_fused(raw_image=raw, **knobs)

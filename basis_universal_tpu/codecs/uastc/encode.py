@@ -551,70 +551,95 @@ def _mode_trial_dualplane_la(px, wb: int, ep_range: int, ls_iters: int):
     return err, eps.astype(jnp.int32), w
 
 
+def _search_impl(px, modes: tuple, ls_iters: int, extra: tuple = (),
+                 topk: int = 4):
+    """Full mode search for one image; the winner is chosen ON DEVICE.
+
+    Returns ONE compact (B, 59) uint8 buffer [slot | ep(24) | w(32) |
+    aux | etc1_inten] — the only bytes that cross the serving tunnel
+    (fetching every mode's endpoints/weights measured ~20 MB/image and
+    dominated encode wall time; the winner rows are ~1.4 MB)."""
+    b = px.shape[0]
+    errs, eps24, ws32, auxs = [], [], [], []
+
+    def _slot(e, ep, w, aux=None):
+        errs.append(e)
+        eps24.append(jnp.zeros((b, 24), jnp.int32).at[:, :ep.shape[1]].set(ep))
+        ws32.append(jnp.zeros((b, 32), jnp.int32).at[:, :w.shape[1]].set(w))
+        auxs.append(jnp.zeros(b, jnp.int32) if aux is None else aux)
+
+    for (mode, wb, ep_range, comps) in modes:
+        e, ep, w = _mode_trial(px, wb, ep_range, comps, ls_iters)
+        _slot(e, ep, w)
+    # solid-color candidate: mean RGBA rides in the endpoint lanes
+    mean = jnp.clip(jnp.round(jnp.mean(px, axis=1)), 0, 255)
+    solid_err = jnp.sum((px - mean[:, None, :]) ** 2, axis=(1, 2))
+    _slot(solid_err, mean.astype(jnp.int32), jnp.zeros((b, 1), jnp.int32))
+
+    for name in extra:
+        if name == "mode2":
+            _slot(*_mode_trial_2subset(px, 3, 8, 3, ls_iters, topk=topk))
+        elif name == "mode4":
+            _slot(*_mode_trial_2subset(px, 2, 12, 3, ls_iters, topk=topk))
+        elif name == "mode6":
+            _slot(*_mode_trial_dualplane(px, 2, 18, ls_iters))
+        elif name == "mode9":
+            _slot(*_mode_trial_2subset(px, 2, 8, 4, ls_iters, topk=topk))
+        elif name == "mode7":
+            _slot(*_mode_trial_2subset(px, 2, 12, 3, ls_iters,
+                                       pattern_list=7, topk=topk))
+        elif name == "mode16":
+            _slot(*_mode_trial_2subset(px, 2, 20, 2, ls_iters, topk=topk))
+        elif name == "mode3":
+            _slot(*_mode_trial_3subset(px, ls_iters))
+        elif name == "mode11":
+            _slot(*_mode_trial_dualplane4(px, 2, 13, ls_iters))
+        elif name == "mode13":
+            _slot(*_mode_trial_dualplane4(px, 1, 20, ls_iters))
+        elif name == "mode17":
+            e17, ep17, w17 = _mode_trial_dualplane_la(px, 2, 20, ls_iters)
+            _slot(e17, ep17, w17)
+
+    err_mat = jnp.stack(errs, axis=1)                       # (B, S)
+    best = jnp.argmin(err_mat, axis=1).astype(jnp.int32)
+    ep_all = jnp.stack(eps24, axis=1)                       # (B, S, 24)
+    w_all = jnp.stack(ws32, axis=1)                         # (B, S, 32)
+    aux_all = jnp.stack(auxs, axis=1)                       # (B, S)
+    sel = best[:, None, None]
+    ep_win = jnp.take_along_axis(ep_all, sel, axis=1)[:, 0]     # (B,24)
+    w_win = jnp.take_along_axis(w_all, sel, axis=1)[:, 0]       # (B,32)
+    aux_win = jnp.take_along_axis(aux_all, best[:, None], axis=1)[:, 0]
+
+    # ETC1 transcode hint, fused into the same program (one launch, and the
+    # hint only needs the intensity-table index of a radius-0 ETC1S fit)
+    from ...ops import etc1s_encode as eops
+
+    etc1_inten = eops.encode_blocks(px[..., :3], radius=0)["inten"]
+
+    out = jnp.concatenate([
+        best[:, None], ep_win, w_win, aux_win[:, None], etc1_inten[:, None],
+    ], axis=1)
+    return out.astype(jnp.uint8)                            # (B, 59)
+
+
 @functools.partial(jax.jit, static_argnames=("modes", "ls_iters", "extra", "topk"))
 def _search_device(px, modes: tuple, ls_iters: int, extra: tuple = (),
                    topk: int = 4):
-    errs, eps, ws = [], [], []
-    for (mode, wb, ep_range, comps) in modes:
-        e, ep, w = _mode_trial(px, wb, ep_range, comps, ls_iters)
-        errs.append(e)
-        ep_pad = jnp.zeros((px.shape[0], 8), jnp.int32).at[:, :comps * 2].set(ep)
-        eps.append(ep_pad)
-        ws.append(w)
-    # solid-color candidate
-    mean = jnp.clip(jnp.round(jnp.mean(px, axis=1)), 0, 255)
-    solid_err = jnp.sum((px - mean[:, None, :]) ** 2, axis=(1, 2))
-    errs.append(solid_err)
+    return _search_impl(px, modes, ls_iters, extra, topk)
 
-    extra_results = {}
-    for name in extra:
-        if name == "mode2":
-            e2, ep2, w2, p2 = _mode_trial_2subset(px, 3, 8, 3, ls_iters, topk=topk)
-            extra_results["mode2"] = (e2, ep2, w2, p2)
-            errs.append(e2)
-        elif name == "mode4":
-            e4, ep4, w4, p4 = _mode_trial_2subset(px, 2, 12, 3, ls_iters, topk=topk)
-            extra_results["mode4"] = (e4, ep4, w4, p4)
-            errs.append(e4)
-        elif name == "mode6":
-            e6, ep6, w6, c6 = _mode_trial_dualplane(px, 2, 18, ls_iters)
-            extra_results["mode6"] = (e6, ep6, w6, c6)
-            errs.append(e6)
-        elif name == "mode9":
-            e9, ep9, w9, p9 = _mode_trial_2subset(px, 2, 8, 4, ls_iters, topk=topk)
-            extra_results["mode9"] = (e9, ep9, w9, p9)
-            errs.append(e9)
-        elif name == "mode7":
-            e7, ep7, w7, p7 = _mode_trial_2subset(px, 2, 12, 3, ls_iters,
-                                                  pattern_list=7, topk=topk)
-            extra_results["mode7"] = (e7, ep7, w7, p7)
-            errs.append(e7)
-        elif name == "mode16":
-            e16, ep16, w16, p16 = _mode_trial_2subset(px, 2, 20, 2, ls_iters, topk=topk)
-            extra_results["mode16"] = (e16, ep16, w16, p16)
-            errs.append(e16)
-        elif name == "mode3":
-            e3, ep3, w3, p3 = _mode_trial_3subset(px, ls_iters)
-            extra_results["mode3"] = (e3, ep3, w3, p3)
-            errs.append(e3)
-        elif name == "mode11":
-            e11, ep11, w11, c11 = _mode_trial_dualplane4(px, 2, 13, ls_iters)
-            extra_results["mode11"] = (e11, ep11, w11, c11)
-            errs.append(e11)
-        elif name == "mode13":
-            e13, ep13, w13, c13 = _mode_trial_dualplane4(px, 1, 20, ls_iters)
-            extra_results["mode13"] = (e13, ep13, w13, c13)
-            errs.append(e13)
-        elif name == "mode17":
-            e17, ep17, w17 = _mode_trial_dualplane_la(px, 2, 20, ls_iters)
-            extra_results["mode17"] = (e17, ep17, w17, None)
-            errs.append(e17)
 
-    err_mat = jnp.stack(errs, axis=1)                       # (B, M+1+X)
-    best = jnp.argmin(err_mat, axis=1).astype(jnp.int32)
-    eps_all = jnp.stack(eps, axis=1)                        # (B, M, 8)
-    ws_all = jnp.stack(ws, axis=1)                          # (B, M, 16)
-    return best, eps_all, ws_all, mean.astype(jnp.int32), extra_results
+@functools.lru_cache(maxsize=32)
+def _search_device_fused(n: int, modes: tuple, ls_iters: int, extra: tuple,
+                         topk: int):
+    """N same-shaped images, ONE device program (lax.map keeps the working
+    set at one image; the group costs one tunnel round trip, not N)."""
+    def fused(px_stack):
+        out = jax.lax.map(
+            lambda p: _search_impl(p.astype(jnp.float32), modes, ls_iters,
+                                   extra, topk), px_stack)
+        return tuple(out[i] for i in range(out.shape[0]))
+
+    return jax.jit(fused)
 
 
 # --- ETC1 hint computation (cheap): one ETC1S fit per block -----------------
@@ -650,17 +675,13 @@ def _solid_hints(rgb):
     return inten, sel, base
 
 
-def encode_blocks(px_rgba: np.ndarray, effort: int = 2,
-                  has_alpha: bool = True) -> np.ndarray:
-    """Encode (B,16,4) float32 RGBA pixels → (B,16) uint8 UASTC blocks."""
-    b = px_rgba.shape[0]
+def _effort_mode_set(effort: int, has_alpha: bool):
     modes = list(RGB_MODES)
     if has_alpha:
         modes += RGBA_MODES + LA_MODES
     if effort <= 1:
         modes = [m for m in modes if m[0] in (0, 10, 15)]
     ls_iters = 1 if effort <= 2 else 2
-    modes_t = tuple(modes)
     extra = ()
     if effort >= 2:
         extra = ("mode2", "mode4", "mode6")
@@ -673,24 +694,24 @@ def encode_blocks(px_rgba: np.ndarray, effort: int = 2,
         extra += ("mode7", "mode3")
         if has_alpha and effort >= 4:
             extra += ("mode16",)
+    return tuple(modes), ls_iters, extra, (4 if effort < 3 else 8)
 
-    best, eps, ws, mean, extra_res = jax.device_get(_search_device(
-        jnp.asarray(px_rgba, dtype=jnp.float32), modes_t, ls_iters, extra,
-        topk=4 if effort < 3 else 8))
 
-    # etc1 hints from a quick per-block ETC1S-style fit of the RGB mean/range
-    # (affects only ETC1/ETC2 transcode quality, not UASTC correctness)
-    from ...ops import etc1s_encode as eops
-
-    etc1 = jax.device_get(
-        eops.encode_blocks(jnp.asarray(px_rgba[..., :3], jnp.float32), radius=0))
-    etc1_inten = etc1["inten"].astype(np.int32)
+def _pack_from_compact(compact: np.ndarray, px_rgba: np.ndarray,
+                       modes: tuple, extra: tuple) -> np.ndarray:
+    """Pack UASTC blocks from the device's compact winner buffer (B,59)."""
+    b = compact.shape[0]
+    best = compact[:, 0].astype(np.int32)
+    ep = compact[:, 1:25].astype(np.int64)
+    ws = compact[:, 25:57].astype(np.int64)
+    aux = compact[:, 57].astype(np.int64)
+    etc1_inten = compact[:, 58].astype(np.int32)
 
     out = np.zeros((b, 16), dtype=np.uint8)
     solid_slot = len(modes)
     solid_idx = np.flatnonzero(best == solid_slot)
     if solid_idx.size:
-        out[solid_idx] = _pack_solid(mean[solid_idx],
+        out[solid_idx] = _pack_solid(ep[solid_idx, :3].astype(np.int32),
                                      px_rgba[solid_idx, 0, 3].astype(np.int32))
     for mi, (mode, wb, ep_range, comps) in enumerate(modes):
         idx = np.flatnonzero(best == mi)
@@ -698,48 +719,89 @@ def encode_blocks(px_rgba: np.ndarray, effort: int = 2,
             continue
         out[idx] = _pack_mode(
             mode, wb, ep_range, comps,
-            eps[idx, mi, :comps * 2], ws[idx, mi], etc1_inten[idx])
+            ep[idx, :comps * 2], ws[idx, :16], etc1_inten[idx])
     for xi, name in enumerate(extra):
         slot = solid_slot + 1 + xi
         idx = np.flatnonzero(best == slot)
         if not idx.size:
             continue
-        e_, ep_, w_, aux_ = extra_res[name]
+        ep_, w16, w32, aux_ = ep[idx], ws[idx, :16], ws[idx], aux[idx]
         if name == "mode2":
-            out[idx] = _pack_mode_2subset(2, 3, 8, 3, ep_[idx], w_[idx],
-                                          aux_[idx], etc1_inten[idx])
+            out[idx] = _pack_mode_2subset(2, 3, 8, 3, ep_[:, :12], w16,
+                                          aux_, etc1_inten[idx])
         elif name == "mode4":
-            out[idx] = _pack_mode_2subset(4, 2, 12, 3, ep_[idx], w_[idx],
-                                          aux_[idx], etc1_inten[idx])
+            out[idx] = _pack_mode_2subset(4, 2, 12, 3, ep_[:, :12], w16,
+                                          aux_, etc1_inten[idx])
         elif name == "mode6":
-            out[idx] = _pack_mode_dualplane(6, 2, 18, ep_[idx], w_[idx],
-                                            aux_[idx], etc1_inten[idx])
+            out[idx] = _pack_mode_dualplane(6, 2, 18, ep_[:, :6], w32,
+                                            aux_, etc1_inten[idx])
         elif name == "mode9":
-            out[idx] = _pack_mode_2subset(9, 2, 8, 4, ep_[idx], w_[idx],
-                                          aux_[idx], etc1_inten[idx])
+            out[idx] = _pack_mode_2subset(9, 2, 8, 4, ep_[:, :16], w16,
+                                          aux_, etc1_inten[idx])
         elif name == "mode7":
-            out[idx] = _pack_mode_2subset(7, 2, 12, 3, ep_[idx], w_[idx],
-                                          aux_[idx], etc1_inten[idx])
+            out[idx] = _pack_mode_2subset(7, 2, 12, 3, ep_[:, :12], w16,
+                                          aux_, etc1_inten[idx])
         elif name == "mode16":
-            out[idx] = _pack_mode_2subset(16, 2, 20, 2, ep_[idx], w_[idx],
-                                          aux_[idx], etc1_inten[idx])
+            out[idx] = _pack_mode_2subset(16, 2, 20, 2, ep_[:, :8], w16,
+                                          aux_, etc1_inten[idx])
         elif name == "mode3":
-            out[idx] = _pack_mode_3subset(ep_[idx], w_[idx], aux_[idx],
+            out[idx] = _pack_mode_3subset(ep_[:, :18], w16, aux_,
                                           etc1_inten[idx])
         elif name == "mode11":
-            out[idx] = _pack_mode_dualplane(11, 2, 13, ep_[idx], w_[idx],
-                                            aux_[idx], etc1_inten[idx],
-                                            comps=4)
+            out[idx] = _pack_mode_dualplane(11, 2, 13, ep_[:, :8], w32,
+                                            aux_, etc1_inten[idx], comps=4)
         elif name == "mode13":
-            out[idx] = _pack_mode_dualplane(13, 1, 20, ep_[idx], w_[idx],
-                                            aux_[idx], etc1_inten[idx],
-                                            comps=4)
+            out[idx] = _pack_mode_dualplane(13, 1, 20, ep_[:, :8], w32,
+                                            aux_, etc1_inten[idx], comps=4)
         elif name == "mode17":
             out[idx] = _pack_mode_dualplane(
-                17, 2, 20, ep_[idx], w_[idx],
+                17, 2, 20, ep_[:, :4], w32,
                 np.ones(len(idx), np.int64), etc1_inten[idx],
                 comps=2, emit_ccs=False)
     return out
+
+
+def encode_blocks(px_rgba: np.ndarray, effort: int = 2,
+                  has_alpha: bool = True) -> np.ndarray:
+    """Encode (B,16,4) float32 RGBA pixels → (B,16) uint8 UASTC blocks."""
+    modes, ls_iters, extra, topk = _effort_mode_set(effort, has_alpha)
+    compact = np.asarray(jax.device_get(_search_device(
+        jnp.asarray(px_rgba, dtype=jnp.float32), modes, ls_iters, extra,
+        topk=topk)))
+    return _pack_from_compact(compact, px_rgba, modes, extra)
+
+
+def encode_blocks_batch(px_list, effort: int = 2, has_alpha: bool = True,
+                        group_size: int = 2):
+    """Encode N same-shaped (B,16,4) images; yields (B,16) uint8 per image.
+
+    Images fuse into device programs of `group_size` (lax.map inside each
+    program), all dispatched asynchronously up front: host packing of group
+    i (the serial-CPU half of the pipeline on this 1-core box) overlaps
+    device compute of groups i+1.. . The compact winner buffers are fetched
+    by a thread pool."""
+    import concurrent.futures as cf
+
+    n = len(px_list)
+    if n == 1:
+        yield encode_blocks(px_list[0], effort, has_alpha)
+        return
+    modes, ls_iters, extra, topk = _effort_mode_set(effort, has_alpha)
+    groups = [(s, min(group_size, n - s)) for s in range(0, n, group_size)]
+    fns = {cnt: _search_device_fused(cnt, modes, ls_iters, extra, topk)
+           for _, cnt in groups}
+    with cf.ThreadPoolExecutor(min(n, 8)) as ex:
+        futs = []
+        for start, cnt in groups:
+            # ship pixels as uint8 (4x smaller tunnel upload); cast on device
+            stack = jax.device_put(
+                np.stack(px_list[start:start + cnt]).astype(np.uint8))
+            outs = fns[cnt](stack)
+            futs.extend(ex.submit(lambda o=o: np.asarray(jax.device_get(o)))
+                        for o in outs)
+        for i in range(n):
+            yield _pack_from_compact(futs[i].result(), px_list[i], modes,
+                                     extra)
 
 
 def _wr(lanes, ofs: int, vals, n: int):

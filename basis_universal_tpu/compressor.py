@@ -254,6 +254,8 @@ def compress_batch(images, params: CompressorParams = CompressorParams()):
     (the basis_parallel_compress analog, basisu_comp.cpp:5466 — but a single
     vmapped launch instead of one CPU job per file). Returns a list of
     CompressorOutput, one .basis/.KTX2 per input texture."""
+    if params.tex_format == BasisTexFormat.UASTC_LDR_4x4:
+        return _compress_uastc_batch(images, params)
     assert params.tex_format == BasisTexFormat.ETC1S
     per_image = [_prepare_slices([img], params) for img in images]
     # the device program only depends on flat block counts; orientation
@@ -265,14 +267,11 @@ def compress_batch(images, params: CompressorParams = CompressorParams()):
         return [compress(img, params) for img in images]
     total_blocks = sum(s["blocks"].shape[0] for s in per_image[0])
     fp = _frontend_params(params, total_blocks)
-    # per-image device payload: single-RGB-slice images ship as a padded raw
-    # image (3x smaller tunnel upload; the device extracts blocks), other
-    # layouts ship concatenated block arrays
+    # per-image device payload: flat uint8 block arrays — orientation-
+    # independent (portrait/landscape images share one program shape, so
+    # groups fuse across orientation changes), same byte count as the raw
+    # image, and the device cast to f32 is free
     def _payload(sl):
-        # (a 16-px-wide padded image would be shape-ambiguous with a block
-        # array — ship blocks for that corner case)
-        if len(sl) == 1 and "padded" in sl[0] and sl[0]["padded"].shape[1] != 16:
-            return sl[0]["padded"]
         if len(sl) == 1:
             return sl[0]["blocks"]
         return np.concatenate([s["blocks"] for s in sl], axis=0)
@@ -306,13 +305,9 @@ def compress_batch(images, params: CompressorParams = CompressorParams()):
         return [f.result() for f in futs]
 
 
-def _compress_uastc(images, params: CompressorParams) -> CompressorOutput:
-    """UASTC LDR 4x4: per-slice raw UASTC blocks (8 bpp), optional RDO later.
-
-    Mirrors basis_compressor's UASTC path (encoder/basisu_comp.cpp:1065-1129):
-    slice data = raw blocks, slice CRC over the block bytes, KTX2 uses
-    Zstandard supercompression."""
-    from .codecs.uastc import encode as uastc_encode
+def _prep_uastc_slices(images, params: CompressorParams):
+    """Per-slice pixel prep for UASTC (no encoding): returns (slices,
+    any_alpha) where each slice dict carries its (B,16,4) f32 `px`."""
     from .ops.resample import generate_mipmaps
 
     slices = []
@@ -338,19 +333,54 @@ def _compress_uastc(images, params: CompressorParams) -> CompressorOutput:
             h, w = lvl.shape[:2]
             blocks = image_to_blocks(lvl).astype(np.float32)
             by, bx = blocks.shape[:2]
-            ub = uastc_encode.encode_blocks(
-                blocks.reshape(by * bx, 16, 4), effort=params.effort,
-                has_alpha=has_alpha)
-            if params.rdo_uastc_quality > 0.0:
-                ub = uastc_encode.rdo_selector_match(
-                    ub, blocks.reshape(by * bx, 16, 4),
-                    params.rdo_uastc_quality,
-                    dict_size=params.rdo_uastc_dict_size)
             slices.append(dict(
                 image_index=image_index, level_index=level_index,
                 orig_width=w, orig_height=h, num_blocks_x=bx,
-                num_blocks_y=by, alpha=has_alpha, data=ub.tobytes()))
+                num_blocks_y=by, alpha=has_alpha,
+                px=blocks.reshape(by * bx, 16, 4)))
+    return slices, any_alpha
 
+
+def _encode_uastc_slices(slice_groups, params: CompressorParams):
+    """Encode UASTC slice dicts in place (sets `data`), batching same-shaped
+    slices — across images — into fused device programs."""
+    from .codecs.uastc import encode as uastc_encode
+
+    groups = {}
+    for s in slice_groups:
+        groups.setdefault((s["px"].shape, s["alpha"]), []).append(s)
+    for (shape, alpha), members in groups.items():
+        px_list = [s["px"] for s in members]
+        for s, ub in zip(members, uastc_encode.encode_blocks_batch(
+                px_list, effort=params.effort, has_alpha=alpha)):
+            if params.rdo_uastc_quality > 0.0:
+                ub = uastc_encode.rdo_selector_match(
+                    ub, s["px"], params.rdo_uastc_quality,
+                    dict_size=params.rdo_uastc_dict_size)
+            s["data"] = ub.tobytes()
+
+
+def _compress_uastc(images, params: CompressorParams) -> CompressorOutput:
+    """UASTC LDR 4x4: per-slice raw UASTC blocks (8 bpp), optional RDO later.
+
+    Mirrors basis_compressor's UASTC path (encoder/basisu_comp.cpp:1065-1129):
+    slice data = raw blocks, slice CRC over the block bytes, KTX2 uses
+    Zstandard supercompression."""
+    slices, any_alpha = _prep_uastc_slices(images, params)
+    _encode_uastc_slices(slices, params)
+    return _assemble_uastc(slices, any_alpha, params)
+
+
+def _compress_uastc_batch(images, params: CompressorParams):
+    """N UASTC textures: all same-shaped slices (across images) fuse into
+    one device program each; one CompressorOutput per input image."""
+    preps = [_prep_uastc_slices([img], params) for img in images]
+    _encode_uastc_slices([s for sl, _ in preps for s in sl], params)
+    return [_assemble_uastc(sl, a, params) for sl, a in preps]
+
+
+def _assemble_uastc(slices, any_alpha: bool,
+                    params: CompressorParams) -> CompressorOutput:
     descs = []
     for s in slices:
         descs.append(basis_file.SliceDesc(

@@ -86,22 +86,21 @@ def _measure_ours(imgs):
 
 def _measure_ours_uastc(imgs):
     """UASTC LDR 4x4 encode Mpix/s (the north star is ETC1S+UASTC,
-    BASELINE.md:6); recorded as extra keys on the headline JSON line."""
+    BASELINE.md:6); recorded as extra keys on the headline JSON line.
+    Uses the batched pipeline (basis_parallel_compress analog), same as
+    the ETC1S headline."""
     from basis_universal_tpu import compressor
     from basis_universal_tpu.formats.constants import BasisTexFormat
 
     params = compressor.CompressorParams(
         tex_format=BasisTexFormat.UASTC_LDR_4x4, effort=2)
-    sub = imgs[:2]
-    for img in sub:                      # warm-up / compile
-        compressor.compress(img, params)
+    compressor.compress_batch(imgs, params)      # warm-up / compile
     best = 0.0
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.time()
-        for img in sub:
-            compressor.compress(img, params)
+        compressor.compress_batch(imgs, params)
         dt = time.time() - t0
-        best = max(best, sum(i.shape[0] * i.shape[1] for i in sub) / 1e6 / dt)
+        best = max(best, sum(i.shape[0] * i.shape[1] for i in imgs) / 1e6 / dt)
     return best
 
 
