@@ -90,6 +90,80 @@ def _partition2_patterns(bw: int, bh: int):
     return seeds, pats
 
 
+_PLAIN_WEIGHT_RANGES = {0: 1, 2: 2, 5: 3, 8: 4}  # range → bits
+
+
+@functools.lru_cache(maxsize=None)
+def _weight_complement(rng: int) -> np.ndarray:
+    """LUT c with dequant(c[v]) == 64 - dequant(v): the endpoint-swap weight
+    inversion for ANY weight ISE range (trit/quint value orders are
+    scrambled, so (nlev-1)-v only works for plain-bit ranges)."""
+    n = ah.ise_levels(rng)
+    vals = np.array([ah.dequant_weight(x, rng) for x in range(n)])
+    comp = np.empty(n, dtype=np.int64)
+    for x in range(n):
+        m = np.flatnonzero(vals == 64 - vals[x])
+        assert m.size, f"range {rng}: no complement for value {x}"
+        comp[x] = m[0]
+    return comp
+
+
+@functools.lru_cache(maxsize=None)
+def _grid_configs_main(bw: int, bh: int, n_vals: int) -> tuple:
+    """Rich single-plane weight-grid enumeration for the MAIN candidate
+    search: every grid shape × every weight ISE range (incl. trit/quint —
+    the reference's winners routinely use ranges 3/4/6/7), endpoint range
+    inferred from the remaining bits. Returns 5-tuples
+    (gw, gh, weight_rng, weight_bits_or_-1, ep_rng); wb == -1 marks a
+    non-plain range (LogBlock/ISE emission required)."""
+    out = []
+    for (gw, gh, rng, ep_rng) in _grid_configs_rich(bw, bh, n_vals, False):
+        out.append((gw, gh, rng, _PLAIN_WEIGHT_RANGES.get(rng, -1), ep_rng))
+    # union with the plain-bit list (its dense full-resolution grids beat
+    # the rich ranking on hard 6x6 content)
+    seen = {(c[0], c[1], c[2]) for c in out}
+    for (gw, gh, rng, wb) in _grid_configs(bw, bh):
+        if (gw, gh, rng) not in seen:
+            ep_rng = _endpoint_range(n_vals, gw * gh * wb)
+            out.append((gw, gh, rng, wb, ep_rng))
+    return tuple(out)
+
+
+@functools.lru_cache(maxsize=None)
+def _partition3_patterns(bw: int, bh: int):
+    """(seeds, patterns (P, bw*bh) uint8 in {0,1,2}) for all distinct
+    3-subset ASTC patterns of this footprint that use all three subsets
+    (reference estimate_partition3 search space,
+    basisu_astc_ldr_encode.cpp:3167)."""
+    small = bw * bh < 31
+    seen = {}
+    for seed in range(1024):
+        pat = tuple(
+            T.astc_select_partition(seed, i % bw, i // bw, 0, 3, small)
+            for i in range(bw * bh))
+        if len(set(pat)) == 3 and pat not in seen:
+            seen[pat] = seed
+    pats = np.array(list(seen.keys()), dtype=np.uint8)
+    seeds = np.array(list(seen.values()), dtype=np.int32)
+    return seeds, pats
+
+
+@functools.lru_cache(maxsize=None)
+def _grid_configs3(bw: int, bh: int, n_vals3: int) -> tuple:
+    """Weight-grid configs for 3-partition blocks (same 29-bit config
+    overhead as 2-partition; three subsets' endpoint values)."""
+    out = []
+    for (gw, gh, rng, wb) in _grid_configs(bw, bh):
+        remaining = 128 - 29 - gw * gh * wb
+        ep_rng = -1
+        for r in range(4, 21):
+            if ah.ise_sequence_bits(n_vals3, r) <= remaining:
+                ep_rng = r
+        if ep_rng >= 4:
+            out.append((gw, gh, rng, wb, ep_rng))
+    return tuple(out[:3])
+
+
 @functools.lru_cache(maxsize=None)
 def _grid_configs2(bw: int, bh: int, n_vals2: int) -> tuple:
     """Weight-grid configs for 2-partition blocks: config overhead is
@@ -611,19 +685,191 @@ def _two_partition_candidates(pxf, v, bw: int, bh: int, cem: int,
     return best_err, best
 
 
+def _three_partition_candidates(pxf, v, bw: int, bh: int, cem: int,
+                                effort: int):
+    """Trial the top-K agreement-ranked 3-subset patterns per block
+    (reference estimate_partition3, basisu_astc_ldr_encode.cpp:3167:
+    3-means texel labels → confusion-matrix match over the 6 label
+    permutations → full fit of the best seeds).
+    Returns (err (B,), details list per block or None)."""
+    b, nt = v.shape[:2]
+    comps = v.shape[2]
+    n_vals = 6 if cem == 8 else 8
+    configs3 = _grid_configs3(bw, bh, n_vals * 3)
+    if not configs3:
+        return None, None
+    seeds_all, pats_all = _partition3_patterns(bw, bh)
+    if not len(seeds_all):
+        return None, None
+
+    # 3-means on full color distance, seeded min/mean/max along luma
+    lum = v.mean(-1)
+    idx = np.stack([lum.argmin(1), np.abs(lum - lum.mean(1, keepdims=True)
+                                          ).argmin(1), lum.argmax(1)], 1)
+    cc = np.take_along_axis(v, idx[..., None].repeat(comps, -1), 1)  # (B,3,C)
+    for _ in range(3):
+        d = ((v[:, :, None, :] - cc[:, None, :, :]) ** 2).sum(-1)  # (B,nt,3)
+        lab = d.argmin(-1)                                         # (B,nt)
+        one = np.eye(3)[lab]                                       # (B,nt,3)
+        cnt = np.maximum(one.sum(1), 1.0)
+        cc = np.einsum("bik,bic->bkc", one, v) / cnt[..., None]
+    ideal = np.eye(3)[lab]                                         # (B,nt,3)
+
+    pat_oh = np.eye(3)[pats_all]                                   # (P,nt,3)
+    conf = np.einsum("bik,pij->bpkj", ideal, pat_oh)               # (B,P,3,3)
+    perms = [(0, 1, 2), (0, 2, 1), (1, 0, 2), (1, 2, 0), (2, 0, 1), (2, 1, 0)]
+    score = np.stack([conf[..., 0, p[0]] + conf[..., 1, p[1]]
+                      + conf[..., 2, p[2]] for p in perms], -1).max(-1)
+    topk = min(1 + effort // 2, score.shape[1])
+    cand_idx = np.argpartition(-score, topk - 1, axis=1)[:, :topk]
+
+    best_err = np.full(b, np.inf)
+    best = [None] * b
+    for (gw, gh, rng, wb, ep_rng) in configs3[:2]:
+        inv, unq = _quant_tables(ep_rng)
+        m_in, pinv = _infill_matrix(gw, gh, bw, bh)
+        levels = np.array([ah.dequant_weight(x, rng) for x in range(1 << wb)])
+        for k in range(topk):
+            pat = pats_all[cand_idx[:, k]].astype(np.int64)        # (B,nt)
+            seeds_k = seeds_all[cand_idx[:, k]]
+            w_tex = np.zeros((b, nt))
+            los = np.zeros((b, 3, comps))
+            his = np.zeros((b, 3, comps))
+            for s in range(3):
+                mask = (pat == s).astype(np.float64)
+                lo, hi, w = _masked_line_fit(v, mask)
+                fl = lo[:, :3].sum(-1) > hi[:, :3].sum(-1)
+                lo2 = np.where(fl[:, None], hi, lo)
+                hi2 = np.where(fl[:, None], lo, hi)
+                w = np.where(fl[:, None], 64.0 - w, w)
+                los[:, s] = lo2
+                his[:, s] = hi2
+                w_tex = np.where(mask > 0, w, w_tex)
+            grid_f = np.clip(w_tex @ pinv.T, 0, 64)
+            codes = np.abs(grid_f[..., None] - levels).argmin(-1)
+            up = np.clip((levels[codes] @ (m_in.T * 64.0) + 32
+                          ).astype(np.int64) >> 6, 0, 64)          # (B,nt)
+            upf = up.astype(np.float64)
+            for s in range(3):
+                mask = (pat == s).astype(np.float64)
+                lo_r, hi_r = _ls_endpoints_masked(v, upf, mask)
+                los[:, s] = lo_r
+                his[:, s] = hi_r
+            lo_q = inv[np.clip(np.round(los), 0, 255).astype(np.int64)]
+            hi_q = inv[np.clip(np.round(his), 0, 255).astype(np.int64)]
+            lo_u = unq[lo_q].astype(np.float64)                    # (B,3,C)
+            hi_u = unq[hi_q].astype(np.float64)
+            lo_t = np.take_along_axis(
+                lo_u, pat[..., None].repeat(comps, -1), axis=1)
+            hi_t = np.take_along_axis(
+                hi_u, pat[..., None].repeat(comps, -1), axis=1)
+            rec = (lo_t * (64 - up[..., None]) + hi_t * up[..., None]
+                   + 32) // 64
+            err = ((rec - v) ** 2).sum(axis=(1, 2))
+            if cem == 8:
+                err = err + ((pxf[..., 3] - 255.0) ** 2).sum(-1)
+            better = err < best_err
+            for i in np.flatnonzero(better):
+                lq, hq = lo_q[i].copy(), hi_q[i].copy()
+                for s in range(3):
+                    lq[s, :], hq[s, :] = _fix_subset_order(
+                        lq[s], hq[s], ep_rng)
+                best[i] = (gw, gh, rng, wb, ep_rng, int(seeds_k[i]),
+                           lq, hq, codes[i])
+            best_err = np.where(better, err, best_err)
+    return best_err, best
+
+
+def _dual_plane_rgb_candidates(pxf, bw: int, bh: int, effort: int):
+    """CEM-8 dual-plane trials, CCS in {0,1,2}: the decorrelated-channel
+    case (e.g. red text over a green/blue gradient) a single weight plane
+    can't represent. Returns (err (B,), details per block)."""
+    b, nt = pxf.shape[:2]
+    configs = _grid_configs_dp_nvals(bw, bh, 6)
+    if not configs:
+        return None, None
+    rgb = pxf[..., :3]
+    ones = np.ones((b, nt))
+
+    best_err = np.full(b, np.inf)
+    best = [None] * b
+    ccs_list = (0, 1, 2) if effort >= 2 else (2,)
+    for ccs in ccs_list:
+        others = [c for c in range(3) if c != ccs]
+        v0 = rgb[..., others]                                     # (B,nt,2)
+        v1 = rgb[..., ccs]                                        # (B,nt)
+        lo2, hi2, w0 = _masked_line_fit(v0, ones)
+        c_lo = v1.min(1)
+        c_hi = v1.max(1)
+        den = np.maximum(c_hi - c_lo, 1e-9)
+        w1 = np.clip(64.0 * (v1 - c_lo[:, None]) / den[:, None], 0, 64)
+
+        lo3 = np.zeros((b, 3))
+        hi3 = np.zeros((b, 3))
+        lo3[:, others] = lo2
+        hi3[:, others] = hi2
+        lo3[:, ccs] = c_lo
+        hi3[:, ccs] = c_hi
+        # CEM 8 decode order: flip endpoints + BOTH planes on blue-contract
+        fl = lo3.sum(-1) > hi3.sum(-1)
+        lo3, hi3 = (np.where(fl[:, None], hi3, lo3),
+                    np.where(fl[:, None], lo3, hi3))
+        w0 = np.where(fl[:, None], 64.0 - w0, w0)
+        w1 = np.where(fl[:, None], 64.0 - w1, w1)
+
+        for (gw, gh, rng, wb, ep_rng) in configs:
+            inv, unq = _quant_tables(ep_rng)
+            m_in, pinv = _infill_matrix(gw, gh, bw, bh)
+            levels = np.array([ah.dequant_weight(x, rng)
+                               for x in range(1 << wb)])
+            lo_q = inv[np.clip(np.round(lo3), 0, 255).astype(np.int64)]
+            hi_q = inv[np.clip(np.round(hi3), 0, 255).astype(np.int64)]
+            lo_u = unq[lo_q].astype(np.float64)
+            hi_u = unq[hi_q].astype(np.float64)
+
+            def fit_plane(w_tex):
+                grid_f = np.clip(w_tex @ pinv.T, 0, 64)
+                codes = np.abs(grid_f[..., None] - levels).argmin(-1)
+                up = np.clip((levels[codes] @ (m_in.T * 64.0) + 32
+                              ).astype(np.int64) >> 6, 0, 64)
+                return codes, up
+
+            c_p0, up0 = fit_plane(w0)
+            c_p1, up1 = fit_plane(w1)
+            rec0 = (lo_u[:, None, others] * (64 - up0[..., None])
+                    + hi_u[:, None, others] * up0[..., None] + 32) // 64
+            rec1 = (lo_u[:, None, ccs] * (64 - up1)
+                    + hi_u[:, None, ccs] * up1 + 32) // 64
+            err = (((rec0 - rgb[..., others]) ** 2).sum(axis=(1, 2))
+                   + ((rec1 - rgb[..., ccs]) ** 2).sum(-1)
+                   + ((pxf[..., 3] - 255.0) ** 2).sum(-1))
+            better = err < best_err
+            for i in np.flatnonzero(better):
+                lq, hq = _fix_subset_order(lo_q[i], hi_q[i], ep_rng)
+                best[i] = (gw, gh, rng, wb, ep_rng, lq, hq,
+                           c_p0[i], c_p1[i], ccs)
+            best_err = np.where(better, err, best_err)
+    return best_err, best
+
+
 def encode_blocks_plan(px: np.ndarray, bw: int, bh: int,
                        has_alpha: bool, effort: int = 1,
                        allow_partitions: bool = False,
-                       want_candidates: bool = False) -> dict:
+                       want_candidates: bool = False,
+                       config_filter=None) -> dict:
     """Candidate search only: returns the per-block encode decisions
     without packing, shared by the physical-ASTC writer and the XUASTC
     entropy layer. Keys: config (B,) index into configs;
-    configs [(gw, gh, weight_rng, weight_bits, ep_rng)]; endpoints (list
-    of per-block CEM-ordered ISE values, s0<=s1 ordering applied);
+    configs [(gw, gh, weight_rng, weight_bits_or_-1, ep_rng)]; endpoints
+    (list of per-block CEM-ordered ISE values, s0<=s1 ordering applied);
     codes (list of per-block weight ISE symbols, inverted on swap);
     two_part {block_index: (gw, gh, rng, wb, ep_rng, seed, lo_q, hi_q,
     codes)} for blocks where a 2-subset encode won (only when
     allow_partitions).
+
+    config_filter: optional predicate over 5-tuples restricting the
+    single-partition config bank (the XUASTC layer passes its trial-mode
+    table membership so every emitted config is representable).
 
     want_candidates (truthy; pass the string "srgb" for sRGB decode
     semantics) additionally returns the full single-partition candidate
@@ -631,7 +877,8 @@ def encode_blocks_plan(px: np.ndarray, bw: int, bh: int,
     decode-true reconstructions and cand_pack [(codes, lo_c, hi_c)] per
     config (see codecs/astc/scd.py)."""
     plan = _encode_blocks_core(px, bw, bh, has_alpha, effort,
-                               allow_partitions, want_candidates)
+                               allow_partitions, want_candidates,
+                               config_filter)
     return plan
 
 
@@ -647,7 +894,7 @@ def config_candidate_block(plan: dict, i: int, ci: int):
     s1 = int(unq[hc[0]] + unq[hc[1]] + unq[hc[2]])
     if s0 > s1:
         lc, hc = hc, lc
-        cd = ((1 << wb) - 1) - cd
+        cd = _weight_complement(rng)[cd]
     vals = []
     for comp in range(3):
         vals += [int(lc[comp]), int(hc[comp])]
@@ -659,7 +906,8 @@ def config_candidate_block(plan: dict, i: int, ci: int):
 def _encode_blocks_core(px: np.ndarray, bw: int, bh: int,
                         has_alpha: bool, effort: int = 1,
                         allow_partitions: bool = False,
-                        want_candidates: bool = False) -> dict:
+                        want_candidates: bool = False,
+                        config_filter=None) -> dict:
     b = px.shape[0]
     nt = bw * bh
     pxf = px.astype(np.float64)
@@ -685,16 +933,20 @@ def _encode_blocks_core(px: np.ndarray, bw: int, bh: int,
     den = np.maximum((dd * dd).sum(-1), 1e-9)
     w_tex = np.clip(64.0 * num / den[:, None], 0, 64)       # (B,nt)
 
-    configs = _grid_configs(bw, bh)
     n_vals = 6 if cem == 8 else 8
+    configs = _grid_configs_main(bw, bh, n_vals)
+    if config_filter is not None:
+        kept = tuple(c for c in configs if config_filter(c))
+        if kept:
+            configs = kept
     ones = np.ones(v.shape[:2])
     refine_iters = 1 + min(max(effort, 0), 3)
     cand = []
-    for (gw, gh, rng, wb) in configs:
-        ep_rng = _endpoint_range(n_vals, gw * gh * wb)
+    for (gw, gh, rng, wb, ep_rng) in configs:
         inv, unq = _quant_tables(ep_rng)
         m, pinv = _infill_matrix(gw, gh, bw, bh)
-        levels = np.array([ah.dequant_weight(x, rng) for x in range(1 << wb)])
+        levels = np.array([ah.dequant_weight(x, rng)
+                           for x in range(ah.ise_levels(rng))])
         lo_f, hi_f, wt = lo, hi, w_tex
         codes = lo_c = hi_c = None
         for it in range(refine_iters):
@@ -743,59 +995,82 @@ def _encode_blocks_core(px: np.ndarray, bw: int, bh: int,
     best = np.argmin(err_mat, axis=1)
     best_err1 = err_mat[np.arange(b), best]
 
+    # running per-block winner error; later candidate families must beat it
+    cur_err = best_err1.copy()
+
     two_part = {}
     if allow_partitions and effort >= 2 and nt > 16:
         err2, details = _two_partition_candidates(pxf, v, bw, bh, cem,
                                                   effort)
         if err2 is not None:
-            for i in np.flatnonzero(err2 < best_err1):
+            for i in np.flatnonzero(err2 < cur_err):
                 if details[i] is not None:
                     two_part[int(i)] = details[i]
+                    cur_err[i] = err2[i]
+
+    three_part = {}
+    if allow_partitions and effort >= 2 and nt > 16:
+        err3, details3 = _three_partition_candidates(pxf, v, bw, bh, cem,
+                                                     effort)
+        if err3 is not None:
+            for i in np.flatnonzero(err3 < cur_err):
+                if details3[i] is not None:
+                    three_part[int(i)] = details3[i]
+                    two_part.pop(int(i), None)
+                    cur_err[i] = err3[i]
 
     dual_plane = {}
     if allow_partitions and has_alpha and effort >= 1:
         err_dp, details_dp = _dual_plane_candidates(pxf, bw, bh, effort)
         if err_dp is not None:
-            tp_err = np.full(b, np.inf)
-            for i in two_part:
-                tp_err[i] = err2[i]
-            for i in np.flatnonzero(err_dp < np.minimum(best_err1, tp_err)):
+            for i in np.flatnonzero(err_dp < cur_err):
                 if details_dp[i] is not None:
                     dual_plane[int(i)] = details_dp[i]
                     two_part.pop(int(i), None)
+                    three_part.pop(int(i), None)
+                    cur_err[i] = err_dp[i]
+
+    dual_plane_rgb = {}
+    if allow_partitions and not has_alpha and effort >= 1 and nt > 16:
+        err_dpr, details_dpr = _dual_plane_rgb_candidates(pxf, bw, bh,
+                                                          effort)
+        if err_dpr is not None:
+            for i in np.flatnonzero(err_dpr < cur_err):
+                if details_dpr[i] is not None:
+                    dual_plane_rgb[int(i)] = details_dpr[i]
+                    two_part.pop(int(i), None)
+                    three_part.pop(int(i), None)
+                    cur_err[i] = err_dpr[i]
 
     log_override = {}
     if allow_partitions:
-        cur_err = best_err1.copy()
-        for i in two_part:
-            cur_err[i] = err2[i]
-        for i in dual_plane:
-            cur_err[i] = err_dp[i]
         err_la, la_blocks = _la_candidates(pxf, bw, bh, has_alpha, effort)
         for i in np.flatnonzero(err_la < cur_err):
             if la_blocks[i] is not None:
                 log_override[int(i)] = la_blocks[i]
                 two_part.pop(int(i), None)
+                three_part.pop(int(i), None)
                 dual_plane.pop(int(i), None)
+                dual_plane_rgb.pop(int(i), None)
 
     endpoints = [None] * b
     out_codes = [None] * b
     cfg_list = []
-    for ci, (gw, gh, rng, wb) in enumerate(configs):
-        err, codes, lo_c, hi_c, ep_rng, _rec = cand[ci]
+    for ci, (gw, gh, rng, wb, ep_rng) in enumerate(configs):
+        err, codes, lo_c, hi_c, _ep_rng, _rec = cand[ci]
         cfg_list.append((gw, gh, rng, wb, ep_rng))
         idx = np.flatnonzero(best == ci)
         if not idx.size:
             continue
         _, unq = _quant_tables(ep_rng)
-        wmax = (1 << wb) - 1
+        comp_lut = _weight_complement(rng)
         for i in idx:
             lc, hc, cd = lo_c[i], hi_c[i], codes[i]
             s0 = int(unq[lc[0]] + unq[lc[1]] + unq[lc[2]])
             s1 = int(unq[hc[0]] + unq[hc[1]] + unq[hc[2]])
             if s0 > s1:
                 lc, hc = hc, lc
-                cd = wmax - cd
+                cd = comp_lut[cd]
             vals = []
             for comp in range(3):
                 vals += [int(lc[comp]), int(hc[comp])]
@@ -805,7 +1080,8 @@ def _encode_blocks_core(px: np.ndarray, bw: int, bh: int,
             out_codes[i] = cd
     plan = dict(config=best, configs=cfg_list, endpoints=endpoints,
                 codes=out_codes, cem=cem, two_part=two_part,
-                dual_plane=dual_plane, log_override=log_override)
+                three_part=three_part, dual_plane=dual_plane,
+                dual_plane_rgb=dual_plane_rgb, log_override=log_override)
     if want_candidates:
         plan["cand_rec"] = np.stack([cc[5] for cc in cand], axis=1)
         plan["cand_err"] = err_mat
@@ -841,6 +1117,16 @@ def encode_blocks_ldr(px: np.ndarray, bw: int, bh: int,
         dp = plan["dual_plane"].get(i)
         if dp is not None:
             out[i] = _pack_ldr_block_dp(*dp)
+            continue
+        dpr = plan["dual_plane_rgb"].get(i)
+        if dpr is not None:
+            out[i] = _pack_ldr_block_dp_rgb(*dpr)
+            continue
+        tp3 = plan["three_part"].get(i)
+        if tp3 is not None:
+            gw, gh, rng, wb, ep_rng, seed, lo_q, hi_q, codes = tp3
+            out[i] = _pack_ldr_block_multi(plan["cem"], 3, gw, gh, rng, wb,
+                                           ep_rng, seed, lo_q, hi_q, codes)
             continue
         tp = plan["two_part"].get(i)
         if tp is not None:
@@ -901,6 +1187,55 @@ def _pack_ldr_block_dp(gw, gh, rng, wb, ep_rng, lo_q, hi_q, c_rgb, c_a):
     return np.frombuffer(w.to_bytes(), dtype=np.uint8)
 
 
+def _pack_ldr_block_dp_rgb(gw, gh, rng, wb, ep_rng, lo_q, hi_q, c_p0, c_p1,
+                           ccs: int):
+    """CEM-8 dual-plane single-partition block, CCS in {0,1,2}: plane 1
+    carries the selected RGB channel."""
+    wmax = (1 << wb) - 1
+    w = astc_pack._BlockWriter()
+    w.put(_find_block_mode_dp(gw, gh, rng), 11)
+    w.put(0, 2)
+    w.put(8, 4)
+    vals = []
+    for c in range(3):
+        vals += [int(lo_q[c]), int(hi_q[c])]
+    astc_pack._ise_encode(w, vals, ep_rng)
+    nw = gw * gh
+    wbits = 0
+    for i in range(nw):
+        wbits |= (int(c_p0[i]) & wmax) << (wb * (2 * i))
+        wbits |= (int(c_p1[i]) & wmax) << (wb * (2 * i + 1))
+    nwb = 2 * nw * wb
+    rev = astc_pack._reverse_bits64(wbits, nwb)
+    w.put_at(rev, nwb, 128 - nwb)
+    w.put_at(ccs, 2, 128 - nwb - 2)
+    return np.frombuffer(w.to_bytes(), dtype=np.uint8)
+
+
+def _pack_ldr_block_multi(cem, nparts, gw, gh, rng, wb, ep_rng, seed,
+                          lo_q, hi_q, codes):
+    """One CEM 8/12 block with 2..4 partitions sharing the CEM."""
+    wmax = (1 << wb) - 1
+    comps = 3 if cem == 8 else 4
+    w = astc_pack._BlockWriter()
+    w.put(_find_block_mode(gw, gh, rng), 11)
+    w.put(nparts - 1, 2)
+    w.put(int(seed), 10)
+    w.put(cem << 2, 6)
+    vals = []
+    for s in range(nparts):
+        for c in range(comps):
+            vals += [int(lo_q[s][c]), int(hi_q[s][c])]
+    astc_pack._ise_encode(w, vals, ep_rng)
+    wbits = 0
+    nwb = gw * gh * wb
+    for i, cval in enumerate(codes):
+        wbits |= (int(cval) & wmax) << (wb * i)
+    rev = astc_pack._reverse_bits64(wbits, nwb)
+    w.put_at(rev, nwb, 128 - nwb)
+    return np.frombuffer(w.to_bytes(), dtype=np.uint8)
+
+
 def _pack_ldr_block2(cem, gw, gh, rng, wb, ep_rng, seed, lo_q, hi_q, codes):
     """One CEM 8/12 two-partition block: 11-bit mode, '01' partition
     count, 10-bit seed, 6-bit all-same CEM, per-subset endpoint pairs."""
@@ -927,7 +1262,19 @@ def _pack_ldr_block2(cem, gw, gh, rng, wb, ep_rng, seed, lo_q, hi_q, codes):
 
 def _pack_ldr_block(cem, gw, gh, rng, wb, ep_rng, vals, codes):
     """One CEM 8/12 single-partition block (endpoint ordering already
-    applied by the plan so the decoder's blue-contract path stays off)."""
+    applied by the plan so the decoder's blue-contract path stays off).
+    Trit/quint weight ranges (wb == -1) go through the generic LogBlock
+    packer, which ISE-encodes the reversed weight stream."""
+    if wb < 0:
+        from .hdr6x6_decode import pack_log_block
+
+        blk = ah.LogBlock(
+            grid_width=gw, grid_height=gh, dual_plane=False,
+            weight_ise_range=rng, endpoint_ise_range=ep_rng,
+            num_partitions=1, cems=(cem,),
+            endpoints=[int(x) for x in vals],
+            weights=[int(x) for x in codes])
+        return np.frombuffer(pack_log_block(blk), dtype=np.uint8)
     wmax = (1 << wb) - 1
 
     w = astc_pack._BlockWriter()

@@ -246,10 +246,12 @@ def _plan_direct(px: np.ndarray, bw: int, bh: int, has_alpha: bool,
     trial-mode entry fall back to the block's single-partition candidate."""
     bsi = XT.ASTC_BLOCK_SIZES.index((bw, bh))
     lookup, _ = _tm_lookup(bsi)
-    plan = ldr_encode.encode_blocks_plan(px, bw, bh, has_alpha,
-                                         effort=effort,
-                                         allow_partitions=True,
-                                         want_candidates=want_candidates)
+    cem0 = 12 if has_alpha else 8
+    plan = ldr_encode.encode_blocks_plan(
+        px, bw, bh, has_alpha, effort=effort, allow_partitions=True,
+        want_candidates=want_candidates,
+        config_filter=lambda c: (c[0], c[1], cem0, -1, c[4], c[2], 1)
+        in lookup)
     cem = plan["cem"]
     out = []
     for i in range(px.shape[0]):
@@ -267,10 +269,47 @@ def _plan_direct(px: np.ndarray, bw: int, bh: int, has_alpha: bool,
         if dp is not None and (dp[0], dp[1], 12, 3, dp[4], dp[2], 1) \
                 not in lookup:
             dp = None
+        dpr = plan["dual_plane_rgb"].get(i)
+        if dpr is not None and (dpr[0], dpr[1], 8, dpr[9], dpr[4], dpr[2], 1) \
+                not in lookup:
+            dpr = None
+        tp3 = plan["three_part"].get(i)
+        if tp3 is not None and (tp3[0], tp3[1], cem, -1, tp3[4], tp3[2], 3) \
+                not in lookup:
+            tp3 = None
         tp = plan["two_part"].get(i)
         if tp is not None and (tp[0], tp[1], cem, -1, tp[4], tp[2], 2) \
                 not in lookup:
             tp = None
+        if dpr is not None:
+            gw, gh, rng, wb, ep_rng, lo_q, hi_q, c_p0, c_p1, ccs = dpr
+            wts = [0] * (2 * gw * gh)
+            for k in range(gw * gh):
+                wts[2 * k] = int(c_p0[k])
+                wts[2 * k + 1] = int(c_p1[k])
+            eps = []
+            for c in range(3):
+                eps += [int(lo_q[c]), int(hi_q[c])]
+            out.append(ah.LogBlock(
+                grid_width=gw, grid_height=gh, dual_plane=True,
+                weight_ise_range=rng, endpoint_ise_range=ep_rng,
+                num_partitions=1, cems=(8,), ccs=int(ccs),
+                endpoints=eps, weights=wts))
+            continue
+        if tp3 is not None:
+            gw, gh, rng, wb, ep_rng, seed, lo_q, hi_q, codes = tp3
+            comps = 3 if cem == 8 else 4
+            eps = []
+            for s in range(3):
+                for c in range(comps):
+                    eps += [int(lo_q[s][c]), int(hi_q[s][c])]
+            out.append(ah.LogBlock(
+                grid_width=gw, grid_height=gh, dual_plane=False,
+                weight_ise_range=rng, endpoint_ise_range=ep_rng,
+                num_partitions=3, partition_id=int(seed),
+                cems=(cem, cem, cem), endpoints=eps,
+                weights=[int(v) for v in codes]))
+            continue
         if dp is not None:
             gw, gh, rng, wb, ep_rng, lo_q, hi_q, c_rgb, c_a = dp
             wts = [0] * (2 * gw * gh)
@@ -421,9 +460,12 @@ def encode_image(rgba: np.ndarray, block_w: int, block_h: int,
             if upi is None:
                 # pattern not canonical-representable (doesn't use every
                 # subset); re-plan this block single-partition
+                cem0 = 12 if has_alpha else 8
                 p1 = ldr_encode.encode_blocks_plan(
                     px[i:i + 1], block_w, block_h, has_alpha,
-                    effort=effort, allow_partitions=False)
+                    effort=effort, allow_partitions=False,
+                    config_filter=lambda c: (c[0], c[1], cem0, -1, c[4],
+                                             c[2], 1) in lookup)
                 gw, gh, rng, wb, ep_rng = p1["configs"][p1["config"][0]]
                 blk = ah.LogBlock(
                     grid_width=gw, grid_height=gh, dual_plane=False,

@@ -221,9 +221,17 @@ def _knobs_and_neighbors(pixels_shape_b: int, params: FrontendParams,
         up = left
     else:
         left, up = neighbors
+    # effort-1 iteration trim, gated on codebook density: with a SPARSE
+    # codebook (blocks >> clusters) one fewer Lloyd/selector round costs
+    # <=0.1 dB at ~3% smaller files (A/B on kodim03/18/23 q128/q50 e1);
+    # dense codebooks (q>=~230) need the full ladder — the same trim sent
+    # kodim01 q255 e1 past the 0.3 dB parity gate.
+    if params.effort <= 1 and pixels_shape_b >= 4 * num_e:
+        kmeans_iters = min(kmeans_iters, 2)
+        sel_iters = min(sel_iters, 2)
     # subsample the bisecting init once the image is much larger than the
     # codebook (seeds stay representative; k-means refines on all blocks)
-    init_sub = int(max(1, min(4, pixels_shape_b // max(4 * num_e, 1))))
+    init_sub = int(max(1, min(4, pixels_shape_b // max(2 * num_e, 1))))
     knobs = dict(num_e=num_e, num_s=num_s, radius=radius,
                  kmeans_iters=kmeans_iters, refine_iters=refine_iters,
                  sel_iters=sel_iters, topk=topk, rdo=rdo,
@@ -314,21 +322,22 @@ def compress_batch(pixels: np.ndarray, params: FrontendParams,
 
 
 def compress_batch_iter(pixels, params: FrontendParams,
-                        seed: int = 0, neighbors=None, group_size: int = 6):
+                        seed: int = 0, neighbors=None):
     """Generator form of compress_batch: yields FrontendOutput per image.
 
     pixels: (N, B, 16, 3) array OR a list of N per-image payloads (block
     arrays or raw padded images). neighbors: optional list of per-image
     (left_idx, up_idx) arrays (or one shared pair).
 
-    Images are fused into groups of `group_size` consecutive same-shaped
-    payloads, each group ONE device program (`_jitted_fused`): the serving
-    tunnel charges a ~30 ms round trip per executed program, so per-image
-    programs pay N round trips while fused groups pay N/group_size. All
-    groups dispatch asynchronously up front (the device runs them
-    back-to-back); per-image result buffers are fetched by a thread pool and
-    yielded in order, so the caller's host-side entropy coding overlaps with
-    device compute of later groups.
+    One device program PER image, all dispatched asynchronously up front
+    (JAX dispatch is non-blocking, so the chip runs them back-to-back and
+    launch round trips pipeline). Each image's ~120 KB result buffer is
+    fetched by a thread the moment its program finishes — device→host
+    bandwidth over the serving tunnel is the scarce resource, and per-image
+    fetches overlap the NEXT image's compute, unlike a fused multi-image
+    program whose whole result materializes (and must transfer) at the end.
+    The caller's host-side entropy coding overlaps device compute the same
+    way. (Measured: 8 kodims, fused-8 423 ms vs per-image 251 ms e2e.)
     """
     n = len(pixels)
     raw = pixels[0].ndim == 3 and pixels[0].shape[1:] != (16, 3)
@@ -344,61 +353,27 @@ def compress_batch_iter(pixels, params: FrontendParams,
 
     e_t = float(params.endpoint_rdo_thresh)
     s_t = float(params.selector_rdo_thresh)
+    fn = _jitted_single(raw_image=raw, **knobs)
 
-    # consecutive same-shape runs: a small LEADING group (2) starts the
-    # host entropy pipeline early, then full group_size chunks amortize the
-    # per-program launch round trip. Groups split at payload-shape
-    # boundaries, and — only when device RDO is on — at neighbor-grid
-    # boundaries (the fused program shares one left/up grid per group).
-    def _sig(i):
-        s = pixels[i].shape
-        if knobs["rdo"] and neighbors:
-            return s, id(neighbors[i][0]), id(neighbors[i][1])
-        return s
-
-    groups = []
-    i = 0
-    first = True
-    while i < n:
-        lim = min(2, group_size) if first else group_size
-        first = False
-        j = i + 1
-        while j < n and j - i < lim and _sig(j) == _sig(i):
-            j += 1
-        groups.append((i, j - i))
-        i = j
-
-    fns = {cnt: _jitted_fused(raw_image=raw, **knobs)
-           for cnt in {c for _, c in groups}}
-
-    def _upload(g):
-        return device_put_chunked(np.stack(
-            [np.asarray(p) for p in pixels[g[0]:g[0] + g[1]]]))
-
-    with cf.ThreadPoolExecutor(min(max(len(groups), 1), 8)) as upl_ex, \
-            cf.ThreadPoolExecutor(min(n, 8)) as fetch_ex:
-        # all uploads run concurrently; dispatch each group the moment ITS
-        # upload lands (ex.map yields in order), so group 1 starts computing
-        # while later uploads are still in flight. Neighbor grids depend only
-        # on image orientation — dedupe their (synchronous) device uploads by
-        # array identity so they leave the critical path after the first use.
+    with cf.ThreadPoolExecutor(min(n, 8)) as fetch_ex:
+        # dedupe neighbor-grid uploads by array identity (orientation-
+        # keyed pairs are shared between images by the caller)
         nbr_cache = {}
 
-        def _nbr(start):
-            l_np, u_np = neighbors[start]
+        def _nbr(i):
+            l_np, u_np = neighbors[i]
             key = (id(l_np), id(u_np))
             if key not in nbr_cache:
                 nbr_cache[key] = (jnp.asarray(l_np), jnp.asarray(u_np))
             return nbr_cache[key]
 
         fetched = []
-        for (start, cnt), stack in zip(groups, upl_ex.map(_upload, groups)):
-            left, up = _nbr(start) if neighbors else (left0, up0)
-            seeds = jnp.arange(start, start + cnt, dtype=jnp.int32) + seed
-            outs = fns[cnt](stack, seeds, left, up, e_t, s_t)
-            fetched.extend(
-                fetch_ex.submit(lambda f=f: np.asarray(jax.device_get(f)))
-                for f in outs)
+        for i in range(n):
+            left, up = _nbr(i) if neighbors else (left0, up0)
+            out = fn(device_put_chunked(np.asarray(pixels[i])),
+                     seed + i, left, up, e_t, s_t)
+            fetched.append(fetch_ex.submit(
+                lambda f=out: np.asarray(jax.device_get(f))))
         for i in range(n):
             got = _unpack_result(fetched[i].result(), nblocks,
                                  knobs["num_e"], knobs["num_s"])

@@ -152,32 +152,35 @@ def palette_errs_packed(pixels, packed, interpret: bool = False):
 
 def _selbest_kernel(d_ref, p_ref, best_ref, val_ref, *, n_pat: int,
                     s_chunk: int):
-    """Fused (T,64)@(64,S) matmul + running argmin over pattern chunks.
+    """Fused (T,64)@(64,s_chunk) matmul + running argmin over the pattern
+    axis of the grid.
 
     The XLA formulation materializes the full (B, S) error matrix in HBM
     (~270 MB at kodim scale) just to argmin it; here each (T, s_chunk) tile
-    lives only in VMEM. d_ref: (T, 64) f32 block distances; p_ref:
-    (S_pad, 64) bf16 one-hot patterns (resident across grid steps)."""
+    lives only in VMEM. The pattern axis is the FASTEST grid dimension, so
+    the (1, T) best/val output tile is revisited sequentially and carries
+    the running argmin (resident-table variants OOM scoped VMEM once the
+    selector codebook reaches q255 scale, ~16K patterns)."""
+    ci = pl.program_id(1)
     d = d_ref[...].astype(jnp.bfloat16)
-    t = d.shape[0]
-    best = jnp.zeros((t,), jnp.int32)
-    val = jnp.full((t,), jnp.inf, jnp.float32)
-    n_chunks = p_ref.shape[0] // s_chunk
-    for ci in range(n_chunks):
-        p = p_ref[pl.ds(ci * s_chunk, s_chunk), :]
-        err = jax.lax.dot_general(
-            d, p, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)       # (T, s_chunk)
-        col = jax.lax.broadcasted_iota(jnp.int32, err.shape, 1) \
-            + ci * s_chunk
-        err = jnp.where(col < n_pat, err, jnp.inf)
-        cmin = jnp.min(err, axis=1)
-        carg = jnp.argmin(err, axis=1).astype(jnp.int32) + ci * s_chunk
-        take = cmin < val
-        best = jnp.where(take, carg, best)
-        val = jnp.where(take, cmin, val)
-    best_ref[0, :] = best
-    val_ref[0, :] = val
+    err = jax.lax.dot_general(
+        d, p_ref[...], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)           # (T, s_chunk)
+    col = jax.lax.broadcasted_iota(jnp.int32, err.shape, 1) + ci * s_chunk
+    err = jnp.where(col < n_pat, err, jnp.inf)
+    cmin = jnp.min(err, axis=1)
+    carg = jnp.argmin(err, axis=1).astype(jnp.int32) + ci * s_chunk
+
+    @pl.when(ci == 0)
+    def _init():
+        best_ref[0, :] = carg
+        val_ref[0, :] = cmin
+
+    @pl.when(ci > 0)
+    def _accum():
+        take = cmin < val_ref[0, :]
+        best_ref[0, :] = jnp.where(take, carg, best_ref[0, :])
+        val_ref[0, :] = jnp.where(take, cmin, val_ref[0, :])
 
 
 @functools.partial(jax.jit, static_argnames=("num_patterns", "interpret"))
@@ -201,15 +204,18 @@ def find_best_selector_patterns(dists, patterns, num_patterns: int,
     best, val = pl.pallas_call(
         functools.partial(_selbest_kernel, n_pat=num_patterns,
                           s_chunk=s_chunk),
-        grid=(bp // t,),
+        grid=(bp // t, s_pad // s_chunk),
         in_specs=[
-            pl.BlockSpec((t, 64), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((s_pad, 64), lambda i: (0, 0),
+            pl.BlockSpec((t, 64), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((s_chunk, 64), lambda i, j: (j, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, t), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, t), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t), lambda i, j: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t), lambda i, j: (0, i),
+                         memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((1, bp), jnp.int32),

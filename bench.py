@@ -52,7 +52,11 @@ def _ensure_oracle() -> bool:
         print(f"note: oracle build failed: {exc}", file=sys.stderr)
         return False
 
-IMAGES = [f"kodim{i:02}.png" for i in range(1, 9)]
+# 16 images: the batched pipeline's fill/drain tails (first upload, last
+# fetch + host entropy) amortize with depth; the reference CPU baseline is
+# measured per-image on the same files, so the comparison stays apples-to-
+# apples (throughput at steady state)
+IMAGES = [f"kodim{i:02}.png" for i in range(1, 17)]
 
 
 def _load_images():
