@@ -28,6 +28,9 @@ from . import logical as L
 _T = L.tables()
 _PARTITION2 = _T["partition2"].astype(np.int32)        # (64,16) subset ids
 _ANCHOR2 = _T["anchor2"].astype(np.int32)              # (64,) subset-1 anchor
+_PARTITION3 = _T["partition3"].astype(np.int32)        # (64,16) subset ids
+_ANCHOR3A = _T["anchor3a"].astype(np.int32)            # (64,) subset-1 anchor
+_ANCHOR3B = _T["anchor3b"].astype(np.int32)            # (64,) subset-2 anchor
 _W2 = _T["weights2"].astype(np.int32)                  # (4,)
 _W3 = _T["weights3"].astype(np.int32)                  # (8,)
 _W4 = _T["weights4"].astype(np.int32)                  # (16,)
@@ -219,17 +222,23 @@ def _search_single_subset(px, cbits, abits, nbits, wtab, pbit_mode, chan_w):
 
 def _search_two_subset(px, parts, cbits, nbits, wtab, pbit_mode, chan_w,
                        nchan):
-    """Modes 1/7: search all 64 2-subset partitions.
+    """Modes 1/7: search all 64 2-subset partitions (see _search_n_subset)."""
+    return _search_n_subset(px, parts, 2, cbits, nbits, wtab, pbit_mode,
+                            chan_w, nchan)
+
+
+def _search_n_subset(px, parts, nsub, cbits, nbits, wtab, pbit_mode, chan_w,
+                     nchan):
+    """Modes 0/1/2/3/7: search all multi-subset partitions.
 
     px (N,16,C) → per-block best over (partition, subset solves).
-    Returns (err, part_id, lo(2,C), hi(2,C), pbits(2,2), sel(16))."""
+    Returns (err, part_id, [per-subset (lo,hi,pbl,pbh,sel)], sel(16))."""
     jnp = _jnp()
-    nparts = parts.shape[0]
     px_b = px[:, None, :, :]                               # (N,1,16,C)
     subset_of = jnp.asarray(parts)                          # (P,16)
     errs = []
     packs = []
-    for s in (0, 1):
+    for s in range(nsub):
         mask = (subset_of == s).astype(px.dtype)[None]     # (1,P,16)
         mask = jnp.broadcast_to(mask, (px.shape[0],) + mask.shape[1:])
         lo, hi, sel = _solve_cell(px_b, mask, nbits)
@@ -238,7 +247,7 @@ def _search_two_subset(px, parts, cbits, nbits, wtab, pbit_mode, chan_w,
             nchan, chan_w)
         errs.append(err)
         packs.append((ql, qh, pl, ph, sel))
-    tot = errs[0] + errs[1]                                # (N,P)
+    tot = sum(errs)                                        # (N,P)
     bp = jnp.argmin(tot, axis=1)                           # (N,)
     berr = jnp.take_along_axis(tot, bp[:, None], 1)[:, 0]
 
@@ -247,12 +256,14 @@ def _search_two_subset(px, parts, cbits, nbits, wtab, pbit_mode, chan_w,
             x, bp.reshape((-1,) + (1,) * (x.ndim - 1)), 1)[:, 0]
 
     out = []
-    for s in (0, 1):
+    for s in range(nsub):
         ql, qh, pl, ph, sel = packs[s]
         out.append(tuple(pick(v) for v in (ql, qh, pl, ph, sel)))
     # merge selectors by the winning partition's subset map
     submap = jnp.asarray(parts)[bp]                        # (N,16)
-    sel = jnp.where(submap == 0, out[0][4], out[1][4])
+    sel = out[0][4]
+    for s in range(1, nsub):
+        sel = jnp.where(submap == s, out[s][4], sel)
     return berr, bp, out, sel
 
 
@@ -400,6 +411,118 @@ def pack_mode7(part, lo, hi, pbl, pbh, sel):
     return pk.bytes()
 
 
+def pack_mode0(part, lo, hi, pbl, pbh, sel):
+    """part (N,) 0..15, lo/hi (N,3,3) codes 0..15, per-endpoint pbits
+    pbl/pbh (N,3), sel (N,16) 0..7."""
+    n = lo.shape[0]
+    submap = _PARTITION3[part]
+    anchors = [np.zeros(n, np.int64), _ANCHOR3A[part].astype(np.int64),
+               _ANCHOR3B[part].astype(np.int64)]
+    sel, lo, hi, pbl, pbh = _fix_anchors(sel, 3, anchors, lo, hi, pbl, pbh,
+                                         submap)
+    pk = _VecPack(n)
+    pk.put(np.full(n, 1, np.uint64), 1)                # mode 0 marker
+    pk.put(part, 4)
+    for c in range(3):
+        for s in (0, 1, 2):
+            pk.put(lo[:, s, c], 4)
+            pk.put(hi[:, s, c], 4)
+    for s in (0, 1, 2):
+        pk.put(pbl[:, s], 1)
+        pk.put(pbh[:, s], 1)
+    is_anchor = np.zeros((n, 16), bool)
+    is_anchor[:, 0] = True
+    is_anchor[np.arange(n), anchors[1]] = True
+    is_anchor[np.arange(n), anchors[2]] = True
+    _put_weights_varpos(pk, sel, 3, is_anchor)
+    return pk.bytes()
+
+
+def pack_mode2(part, lo, hi, sel):
+    """part (N,) 0..63, lo/hi (N,3,3) codes 0..31, sel (N,16) 0..3."""
+    n = lo.shape[0]
+    submap = _PARTITION3[part]
+    anchors = [np.zeros(n, np.int64), _ANCHOR3A[part].astype(np.int64),
+               _ANCHOR3B[part].astype(np.int64)]
+    z = np.zeros((n, 3), np.int64)
+    sel, lo, hi, _, _ = _fix_anchors(sel, 2, anchors, lo, hi, z.copy(),
+                                     z.copy(), submap)
+    pk = _VecPack(n)
+    pk.put(np.full(n, 1 << 2, np.uint64), 3)           # mode 2 marker
+    pk.put(part, 6)
+    for c in range(3):
+        for s in (0, 1, 2):
+            pk.put(lo[:, s, c], 5)
+            pk.put(hi[:, s, c], 5)
+    is_anchor = np.zeros((n, 16), bool)
+    is_anchor[:, 0] = True
+    is_anchor[np.arange(n), anchors[1]] = True
+    is_anchor[np.arange(n), anchors[2]] = True
+    _put_weights_varpos(pk, sel, 2, is_anchor)
+    return pk.bytes()
+
+
+def pack_mode3(part, lo, hi, pbl, pbh, sel):
+    """part (N,), lo/hi (N,2,3) codes 0..127, per-endpoint pbits, sel 0..3."""
+    n = lo.shape[0]
+    submap = _PARTITION2[part]
+    anchors = [np.zeros(n, np.int64), _ANCHOR2[part].astype(np.int64)]
+    sel, lo, hi, pbl, pbh = _fix_anchors(sel, 2, anchors, lo, hi, pbl, pbh,
+                                         submap)
+    pk = _VecPack(n)
+    pk.put(np.full(n, 1 << 3, np.uint64), 4)           # mode 3 marker
+    pk.put(part, 6)
+    for c in range(3):
+        for s in (0, 1):
+            pk.put(lo[:, s, c], 7)
+            pk.put(hi[:, s, c], 7)
+    for s in (0, 1):
+        pk.put(pbl[:, s], 1)
+        pk.put(pbh[:, s], 1)
+    is_anchor = np.zeros((n, 16), bool)
+    is_anchor[:, 0] = True
+    is_anchor[np.arange(n), anchors[1]] = True
+    _put_weights_varpos(pk, sel, 2, is_anchor)
+    return pk.bytes()
+
+
+def pack_mode4(idx_sel, lo, hi, alo, ahi, csel, asel):
+    """Mode 4, rotation 0. lo/hi (N,1,3) codes 0..31, alo/ahi (N,) codes
+    0..63; csel/asel are the color/alpha weight selectors. idx_sel (N,)
+    chooses which plane rides the 3-bit index1 stream (0: alpha, 1: color);
+    the corresponding selector array must already be 0..7, the other 0..3."""
+    n = lo.shape[0]
+    zero = np.zeros((n, 1), np.int64)
+    cb = np.where(idx_sel == 1, 3, 2)
+    ab = np.where(idx_sel == 1, 2, 3)
+    # anchor-flip per plane (MSB of each plane's own bit width)
+    a_csel = csel[:, 0]
+    cflip = a_csel >= (1 << (cb - 1))
+    csel = np.where(cflip[:, None], ((1 << cb) - 1)[:, None] - csel, csel)
+    lo, hi = (np.where(cflip[:, None, None], hi, lo),
+              np.where(cflip[:, None, None], lo, hi))
+    a_asel = asel[:, 0]
+    aflip = a_asel >= (1 << (ab - 1))
+    asel = np.where(aflip[:, None], ((1 << ab) - 1)[:, None] - asel, asel)
+    alo, ahi = np.where(aflip, ahi, alo), np.where(aflip, alo, ahi)
+    pk = _VecPack(n)
+    pk.put(np.full(n, 1 << 4, np.uint64), 5)           # mode 4 marker
+    pk.put(np.zeros(n, np.uint64), 2)                  # rotation 0
+    pk.put(idx_sel.astype(np.uint64), 1)
+    for c in range(3):
+        pk.put(lo[:, 0, c], 5)
+        pk.put(hi[:, 0, c], 5)
+    pk.put(alo, 6)
+    pk.put(ahi, 6)
+    is_anchor = np.zeros((n, 16), bool)
+    is_anchor[:, 0] = True
+    sel0 = np.where(idx_sel[:, None] == 1, asel, csel)   # 2-bit stream
+    sel1 = np.where(idx_sel[:, None] == 1, csel, asel)   # 3-bit stream
+    _put_weights_varpos(pk, sel0, 2, is_anchor)
+    _put_weights_varpos(pk, sel1, 3, is_anchor)
+    return pk.bytes()
+
+
 def pack_mode5(lo, hi, alo, ahi, csel, asel):
     """Color lo/hi (N,1,3) codes 0..127, alpha endpoints 0..255,
     csel/asel (N,16) 0..3. Rotation fixed at 0 (matches
@@ -438,7 +561,7 @@ _CHUNK = 2048
 
 
 @functools.lru_cache(maxsize=8)
-def _device_search(max_parts: int, perceptual: bool):
+def _device_search(max_parts: int, perceptual: bool, all_modes: bool):
     import jax
     import jax.numpy as jnp
 
@@ -448,7 +571,7 @@ def _device_search(max_parts: int, perceptual: bool):
     # `parts` is a traced ARGUMENT, not a closure constant: as a constant,
     # XLA constant-folds the (N, parts, 16) mask broadcasts at compile time
     # (minutes of host folding for full-image N)
-    def run(px_u8, parts):
+    def run(px_u8, parts, parts3):
         px = px_u8.astype(jnp.float32)
         w2, w3, w4 = (jnp.asarray(w) for w in (_W2, _W3, _W4))
         # mode 6: joint RGBA, 4-bit weights, per-endpoint pbits. Opaque
@@ -480,25 +603,76 @@ def _device_search(max_parts: int, perceptual: bool):
         ea5, qal, qah, _, _, as5 = _quant_cell(
             a, mask1, alo, ahi, None, 8, 2, w2, "none", 1, chan_w[3:])
         e5 = ec5 + ea5
-        return ((e6, l6, h6, pl6, ph6, s6),
-                (e1 + aerr, p1, sub1, s1),
-                (e7, p7, sub7, s7),
-                (e5, ql5, qh5, qal[..., 0], qah[..., 0], cs5, as5))
+        out = [(e6, l6, h6, pl6, ph6, s6),
+               (e1 + aerr, p1, sub1, s1),
+               (e7, p7, sub7, s7),
+               (e5, ql5, qh5, qal[..., 0], qah[..., 0], cs5, as5)]
+        if not all_modes:
+            return tuple(out)
+        # --- bc7e-class extra modes (basisu_bc7e_scalar.cpp mode sweep) ---
+        # mode 0: 3 subsets over the first 16 partitions, RGB 4+pbit/ep,
+        # 3-bit weights
+        e0, p0, sub0, s0 = _search_n_subset(
+            px[..., :3], parts3[:16], 3, 4, 3, w3, "per", chan_w[:3], 3)
+        # mode 2: 3 subsets x 64 partitions, RGB 5, no pbits, 2-bit weights
+        e2, p2, sub2, s2 = _search_n_subset(
+            px[..., :3], parts3, 3, 5, 2, w2, "none", chan_w[:3], 3)
+        # mode 3: 2 subsets x 64 partitions, RGB 7+pbit/ep, 2-bit weights
+        e3, p3, sub3, s3 = _search_n_subset(
+            px[..., :3], parts, 2, 7, 2, w2, "per", chan_w[:3], 3)
+        # mode 4 (rotation 0): color 5b / alpha 6b planes; both index
+        # selectors tried (which plane rides the 3-bit stream)
+        c4 = px[..., :3]
+        lo4a, hi4a, _ = _solve_cell(c4, mask1, 2)
+        ec4a, qc4al, qc4ah, _, _, cs4a = _quant_cell(
+            c4, mask1, lo4a, hi4a, None, 5, 2, w2, "none", 3, chan_w[:3])
+        lo4b, hi4b, _ = _solve_cell(c4, mask1, 3)
+        ec4b, qc4bl, qc4bh, _, _, cs4b = _quant_cell(
+            c4, mask1, lo4b, hi4b, None, 5, 3, w3, "none", 3, chan_w[:3])
+        alo4, ahi4, _ = _solve_cell(a, mask1, 3)
+        ea4a, qa4al, qa4ah, _, _, as4a = _quant_cell(
+            a, mask1, alo4, ahi4, None, 6, 3, w3, "none", 1, chan_w[3:])
+        alo4b, ahi4b, _ = _solve_cell(a, mask1, 2)
+        ea4b, qa4bl, qa4bh, _, _, as4b = _quant_cell(
+            a, mask1, alo4b, ahi4b, None, 6, 2, w2, "none", 1, chan_w[3:])
+        e4_s0 = ec4a + ea4a         # idx_sel 0: color 2-bit, alpha 3-bit
+        e4_s1 = ec4b + ea4b         # idx_sel 1: color 3-bit, alpha 2-bit
+        out += [(e0 + aerr, p0, sub0, s0), (e2 + aerr, p2, sub2, s2),
+                (e3 + aerr, p3, sub3, s3),
+                (e4_s0, qc4al, qc4ah, qa4al[..., 0], qa4ah[..., 0],
+                 cs4a, as4a),
+                (e4_s1, qc4bl, qc4bh, qa4bl[..., 0], qa4bh[..., 0],
+                 cs4b, as4b)]
+        return tuple(out)
 
     return jax.jit(run)
+
+
+def _stack_subsets(sub, m, nsub, with_pbits=True):
+    lo = np.stack([sub[s][0][m] for s in range(nsub)], 1)
+    hi = np.stack([sub[s][1][m] for s in range(nsub)], 1)
+    if not with_pbits:
+        return lo, hi
+    pbl = np.stack([sub[s][2][m] for s in range(nsub)], 1)
+    pbh = np.stack([sub[s][3][m] for s in range(nsub)], 1)
+    return lo, hi, pbl, pbh
 
 
 def encode_blocks(pixels, effort: int = 2, perceptual: bool = False,
                   modes=None) -> np.ndarray:
     """(N,16,4) uint8 RGBA → (N,16) uint8 physical BC7 blocks.
 
-    effort 0-1: modes 6(+5 on alpha); 2+: adds modes 1/7 full-partition
-    search (the bc7enc m_max_partitions_mode1=64 configuration)."""
+    effort 0-1: modes 6+1(16 partitions) (+5/7 on alpha); 2+: the bc7e
+    all-mode sweep — adds modes 0/2/3/4 and the full 64-partition search
+    (basisu_bc7e_scalar.cpp's per-mode trials as one batched program)."""
     px = np.ascontiguousarray(np.asarray(pixels, np.uint8).reshape(-1, 16, 4))
     n = px.shape[0]
+    all_modes = effort >= 2 if modes is None else bool(
+        set(modes) & {0, 2, 3, 4})
     max_parts = 64 if effort >= 2 else 16
-    run = _device_search(max_parts, bool(perceptual))
+    run = _device_search(max_parts, bool(perceptual), all_modes)
     parts_arg = _PARTITION2[:max_parts]
+    parts3_arg = _PARTITION3[:max_parts]
 
     def _host(x):
         if isinstance(x, (tuple, list)):
@@ -514,35 +688,37 @@ def encode_blocks(pixels, effort: int = 2, perceptual: bool = False,
             pad = _CHUNK - c.shape[0]
             if pad and px_all.shape[0] > _CHUNK:
                 c = np.concatenate([c, np.repeat(c[-1:], pad, 0)], axis=0)
-            chunks.append(_host(run(c, parts_arg)))
+            chunks.append(_host(run(c, parts_arg, parts3_arg)))
         if len(chunks) == 1:
             return chunks[0]
         merged = jax.tree.map(lambda *xs: np.concatenate(xs, 0), *chunks)
         return jax.tree.map(lambda x: x[:px_all.shape[0]], merged)
 
-    out6, out1, out7, out5 = _run_chunked(px)
+    outs = _run_chunked(px)
+    out6, out1, out7, out5 = outs[:4]
     has_alpha = (px[..., 3] != 255).any(-1)
+    big = np.float64(1e30)
 
-    e6 = out6[0]
-    e1 = out1[0]
-    e7 = out7[0]
-    e5 = out5[0]
+    # candidate order: [6, 1, 7, 5, 0, 2, 3, 4(idx0), 4(idx1)]
+    errs = [out6[0], out1[0], out7[0], out5[0]]
+    cand_mode = [6, 1, 7, 5]
+    if all_modes:
+        out0, out2, out3, out4a, out4b = outs[4:]
+        errs += [out0[0], out2[0], out3[0], out4a[0], out4b[0]]
+        cand_mode += [0, 2, 3, 4, 4]
+    errs = [e.astype(np.float64).copy() for e in errs]
     if modes is not None:
-        big = np.float64(1e30)
-        if 6 not in modes:
-            e6 = np.full_like(e6, big)
-        if 1 not in modes:
-            e1 = np.full_like(e1, big)
-        if 7 not in modes:
-            e7 = np.full_like(e7, big)
-        if 5 not in modes:
-            e5 = np.full_like(e5, big)
+        for i, m in enumerate(cand_mode):
+            if m not in modes:
+                errs[i][:] = big
     else:
-        # opaque blocks stick to modes 1/6 (bc7enc_compress_block's opaque
-        # path, basisu_bc7enc.h:79): modes 5/7 there could drift A off 255
-        e5 = np.where(has_alpha, e5, 1e30)
-        e7 = np.where(has_alpha, e7, 1e30)
-    cand = np.stack([e6, e1, e7, e5], axis=0)
+        # opaque blocks stick to the RGB-only / pinned-alpha modes
+        # (bc7enc_compress_block's opaque path, basisu_bc7enc.h:79):
+        # modes 4/5/7 there could drift A off 255
+        for i, m in enumerate(cand_mode):
+            if m in (4, 5, 7):
+                errs[i] = np.where(has_alpha, errs[i], big)
+    cand = np.stack(errs, axis=0)
     pick = np.argmin(cand, axis=0)
 
     blocks = np.empty((n, 16), np.uint8)
@@ -554,21 +730,40 @@ def encode_blocks(pixels, effort: int = 2, perceptual: bool = False,
     m = pick == 1
     if m.any():
         _, p1, sub1, s1 = out1
-        lo = np.stack([sub1[0][0][m], sub1[1][0][m]], 1)
-        hi = np.stack([sub1[0][1][m], sub1[1][1][m]], 1)
-        pb = np.stack([sub1[0][2][m], sub1[1][2][m]], 1)
+        lo, hi, pb, _ = _stack_subsets(sub1, m, 2)
         blocks[m] = pack_mode1(p1[m], lo, hi, pb, pb.copy(), s1[m])
     m = pick == 2
     if m.any():
         _, p7, sub7, s7 = out7
-        lo = np.stack([sub7[0][0][m], sub7[1][0][m]], 1)
-        hi = np.stack([sub7[0][1][m], sub7[1][1][m]], 1)
-        pbl = np.stack([sub7[0][2][m], sub7[1][2][m]], 1)
-        pbh = np.stack([sub7[0][3][m], sub7[1][3][m]], 1)
+        lo, hi, pbl, pbh = _stack_subsets(sub7, m, 2)
         blocks[m] = pack_mode7(p7[m], lo, hi, pbl, pbh, s7[m])
     m = pick == 3
     if m.any():
         _, ql5, qh5, qal, qah, cs5, as5 = out5
         blocks[m] = pack_mode5(ql5[m][:, None, :], qh5[m][:, None, :],
                                qal[m], qah[m], cs5[m], as5[m])
+    if all_modes:
+        m = pick == 4
+        if m.any():
+            _, p0, sub0, s0 = out0
+            lo, hi, pbl, pbh = _stack_subsets(sub0, m, 3)
+            blocks[m] = pack_mode0(p0[m], lo, hi, pbl, pbh, s0[m])
+        m = pick == 5
+        if m.any():
+            _, p2, sub2, s2 = out2
+            lo, hi = _stack_subsets(sub2, m, 3, with_pbits=False)
+            blocks[m] = pack_mode2(p2[m], lo, hi, s2[m])
+        m = pick == 6
+        if m.any():
+            _, p3, sub3, s3 = out3
+            lo, hi, pbl, pbh = _stack_subsets(sub3, m, 2)
+            blocks[m] = pack_mode3(p3[m], lo, hi, pbl, pbh, s3[m])
+        for pick_id, out4, isel in ((7, out4a, 0), (8, out4b, 1)):
+            m = pick == pick_id
+            if m.any():
+                _, qcl, qch, qal4, qah4, cs4, as4 = out4
+                blocks[m] = pack_mode4(
+                    np.full(int(m.sum()), isel, np.int64),
+                    qcl[m][:, None, :], qch[m][:, None, :],
+                    qal4[m], qah4[m], cs4[m], as4[m])
     return blocks

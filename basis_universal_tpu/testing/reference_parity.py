@@ -69,10 +69,10 @@ GATES = {
     "xuastc_ldr_6x6":  (2.10, 0.30),
     "xuastc_ldr_10x10": (1.00, 0.30),
     "xuastc_ldr_12x12": (1.50, 0.30),
-    # XUBC7 (round-4 ratchet: RDO pre-passes + XY-delta endpoint refs +
-    # mode-5/6 lossy base landed lossy rows at -7..+5% size with PSNR
-    # +1.7-2.7 dB; lossless rows measure +6.7-10.4%)
-    "xubc7":           (0.30, 0.12),
+    # XUBC7 (round-5 ratchet: bc7e-class all-mode base (modes 0/2/3/4)
+    # landed lossless rows at +3.5-4.7% size with PSNR +1.1-1.3 dB ABOVE
+    # the reference; lossy rows -7..+5% at +1.7-2.7 dB)
+    "xubc7":           (0.30, 0.06),
     # HDR (round-4 multi-mode encoders: measured -1.0/-0.55 dB 4x4,
     # 6x6/6x6i now BEAT the reference's PSNR at q0)
     "uastc_hdr_4x4":   (1.50, 0.10),

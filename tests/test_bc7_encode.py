@@ -63,7 +63,21 @@ def test_alpha_blocks():
     assert _psnr(dec, px) > 35.0
     modes = {L.unpack_phys(blocks[i].tobytes()).mode
              for i in range(len(blocks))}
-    assert modes <= {5, 6, 7}, modes  # alpha-capable modes only
+    assert modes <= {4, 5, 6, 7}, modes  # alpha-capable modes only
+
+
+@pytest.mark.parametrize("mode,min_db", [(0, 38.0), (2, 38.0), (3, 41.0),
+                                         (4, 33.0)])
+def test_forced_mode_roundtrip(kodim_blocks, mode, min_db):
+    """Each bc7e-class mode packs validly (decodes via the oracle-exact
+    logical unpack) and lands in its expected quality band on kodim."""
+    px = kodim_blocks[:256]
+    blocks = bc7e.encode_blocks(px, effort=2, modes={mode})
+    got = {L.unpack_phys(blocks[i].tobytes()).mode for i in range(len(blocks))}
+    assert got == {mode}, got
+    dec = _decode(blocks)
+    assert _psnr(dec, px, slice(0, 3)) > min_db
+    assert (dec[..., 3] == 255).all()  # opaque stays opaque in RGB modes
 
 
 def test_solid_blocks_near_lossless():
