@@ -493,7 +493,8 @@ def _collect_slice_symbols_native(e_idx, s_idx, num_endpoints, num_selectors):
 
 def encode_slices_rdo(pixels_list, e_idx_list, s_idx_list,
                       color5, inten5, selectors,
-                      e_thresh: float, s_thresh: float, comp_level: int):
+                      e_thresh: float, s_thresh: float, comp_level: int,
+                      perceptual: bool = True):
     """RDO backend pipeline (basisu_backend.cpp encode_image RDO analog).
 
     pixels_list: per-slice (B,16,3) uint8 source pixels.
@@ -543,7 +544,7 @@ def encode_slices_rdo(pixels_list, e_idx_list, s_idx_list,
             p(pxc, ctypes.c_uint8), p(sel_pat, ctypes.c_uint8),
             p(pal_c, ctypes.c_int32), num_e, float(e_thresh),
             p(pred, ctypes.c_uint8), p(ref, ctypes.c_uint8),
-            p(seq, ctypes.c_int32))
+            p(seq, ctypes.c_int32), int(bool(perceptual)))
         preds.append(pred)
         refs.append(ref)
         expl.append(seq[:n])
@@ -629,7 +630,8 @@ def encode_slices_rdo(pixels_list, e_idx_list, s_idx_list,
             n_used, num_s, float(e_thresh), float(s_thresh), int(comp_level),
             p(op_kind, ctypes.c_int32), p(op_val, ctypes.c_int32),
             p(pred_freq, ctypes.c_int64), p(delta_freq, ctypes.c_int64),
-            p(sel_freq, ctypes.c_int64), p(rle_freq, ctypes.c_int64))
+            p(sel_freq, ctypes.c_int64), p(rle_freq, ctypes.c_int64),
+            int(bool(perceptual)))
         all_ops.append((op_kind[:n].copy(), op_val[:n].copy()))
         e_g[:] = e_flat.reshape(by, bx)      # pass B remaps in place
         s_g[:] = s_flat.reshape(by, bx)

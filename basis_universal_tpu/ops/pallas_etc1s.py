@@ -80,7 +80,16 @@ def use_pallas() -> bool:
     return jax.default_backend() == "tpu"
 
 
-def _rescore_kernel(pix_ref, pk_ref, out_ref, *, n_cand: int, tabs):
+def _perc_rows():
+    """Baked perceptual-transform rows (see etc1s_encode.PERC_P): dist =
+    ||P d||² equals the reference's luma-weighted color_distance."""
+    from .etc1s_encode import PERC_P
+
+    return tuple(tuple(float(v) for v in row) for row in PERC_P)
+
+
+def _rescore_kernel(pix_ref, pk_ref, out_ref, *, n_cand: int, tabs,
+                    perceptual: bool = False):
     """Exact clipped rescore from PACKED candidate descriptors.
 
     pk_ref: (K, T) i32, each value r5 | g5<<5 | b5<<10 | inten<<15. The
@@ -112,17 +121,27 @@ def _rescore_kernel(pix_ref, pk_ref, out_ref, *, n_cand: int, tabs):
             dr = r - pr
             dg = g - pg
             db = b - pb
-            dist = dr * dr + dg * dg + db * db            # (16,T)
+            if perceptual:
+                p = _perc_rows()
+                d0 = p[0][0] * dr + p[0][1] * dg + p[0][2] * db
+                d1 = p[1][0] * dr + p[1][1] * dg + p[1][2] * db
+                d2 = p[2][0] * dr + p[2][1] * dg + p[2][2] * db
+                dist = d0 * d0 + d1 * d1 + d2 * d2        # (16,T)
+            else:
+                dist = dr * dr + dg * dg + db * db        # (16,T)
             acc = dist if acc is None else jnp.minimum(acc, dist)
         out_ref[k, :] = jnp.sum(acc, axis=0)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def palette_errs_packed(pixels, packed, interpret: bool = False):
+@functools.partial(jax.jit, static_argnames=("interpret", "perceptual"))
+def palette_errs_packed(pixels, packed, interpret: bool = False,
+                        perceptual: bool = False):
     """Exact clipped ETC1S candidate errors from packed descriptors.
 
-    pixels: (B, 16, 3) f32 in [0,255]; packed: (B, K) i32 with
-    r5 | g5<<5 | b5<<10 | inten<<15 per candidate. Returns (B, K) f32."""
+    pixels: (B, 16, 3) f32 RGB in [0,255]; packed: (B, K) i32 with
+    r5 | g5<<5 | b5<<10 | inten<<15 per candidate. Returns (B, K) f32.
+    perceptual: score with the luma-weighted metric (palette construction
+    and gamut clip stay in RGB; only the distance is transformed)."""
     from .etc1 import ETC1_INTEN_TABLES
 
     b_n, k_n = packed.shape
@@ -134,7 +153,8 @@ def palette_errs_packed(pixels, packed, interpret: bool = False):
         pk_t = jnp.pad(pk_t, ((0, 0), (0, bp - b_n)))
     tabs = tuple(tuple(float(v) for v in row) for row in ETC1_INTEN_TABLES)
     err = pl.pallas_call(
-        functools.partial(_rescore_kernel, n_cand=k_n, tabs=tabs),
+        functools.partial(_rescore_kernel, n_cand=k_n, tabs=tabs,
+                          perceptual=perceptual),
         grid=(bp // _LANES,),
         in_specs=[
             pl.BlockSpec((48, _LANES), lambda i: (0, i),
@@ -227,7 +247,8 @@ def find_best_selector_patterns(dists, patterns, num_patterns: int,
 
 
 def _fscan_kernel(deltas_ref, mids_ref, tabs_ref, pix_ref, base_ref, err_ref,
-                  *, n_deltas: int, external_base: bool):
+                  *, n_deltas: int, external_base: bool,
+                  perceptual: bool = False):
     """Factorized candidate scan, one delta per fori step, all 8 intensity
     tables vectorized on sublanes.
 
@@ -235,17 +256,34 @@ def _fscan_kernel(deltas_ref, mids_ref, tabs_ref, pix_ref, base_ref, err_ref,
         err = q - su2/3 + 3 * sum_i min_k (t_k - u_i)^2
     entirely in VMEM. deltas_ref: (D,3) i32 SMEM; pix_ref: (48,T) f32;
     err_ref: (D*8, T) f32. mids (8,3) / tabs (8,4) are baked numpy consts.
+
+    perceptual: channels are transformed through P at entry (base colors
+    likewise per candidate); PERC_P is scaled so P@(1,1,1) = (√3,0,0), so
+    the gray-axis projection is √3·channel0 and the 1/3 and 3.0 constants
+    (= 1/|g|² and |g|²) hold for both metrics.
     """
     r = pix_ref[0:16, :]
     g = pix_ref[16:32, :]
     b = pix_ref[32:48, :]
-    luma = r + g + b                                     # (16,T)
-    sum_l = jnp.sum(luma, 0, keepdims=True)              # (1,T)
-    sum_l2 = jnp.sum(luma * luma, 0, keepdims=True)
     sr = jnp.sum(r, 0, keepdims=True)
     sg = jnp.sum(g, 0, keepdims=True)
     sb = jnp.sum(b, 0, keepdims=True)
-    sum_x2 = jnp.sum(r * r + g * g + b * b, 0, keepdims=True)
+    if perceptual:
+        p = _perc_rows()
+        sq3 = float(np.sqrt(3.0))
+        x0 = p[0][0] * r + p[0][1] * g + p[0][2] * b     # (16,T) luma axis
+        x1 = p[1][0] * r + p[1][1] * g + p[1][2] * b
+        x2 = p[2][0] * r + p[2][1] * g + p[2][2] * b
+        luma = sq3 * x0
+    else:
+        x0, x1, x2 = r, g, b
+        luma = r + g + b                                 # (16,T)
+    sum_l = jnp.sum(luma, 0, keepdims=True)              # (1,T)
+    sum_l2 = jnp.sum(luma * luma, 0, keepdims=True)
+    s0 = jnp.sum(x0, 0, keepdims=True)
+    s1 = jnp.sum(x1, 0, keepdims=True)
+    s2 = jnp.sum(x2, 0, keepdims=True)
+    sum_x2 = jnp.sum(x0 * x0 + x1 * x1 + x2 * x2, 0, keepdims=True)
     if external_base:
         b5r = base_ref[0:1, :]
         b5g = base_ref[1:2, :]
@@ -271,9 +309,17 @@ def _fscan_kernel(deltas_ref, mids_ref, tabs_ref, pix_ref, base_ref, err_ref,
         b8r = c5r * 8.0 + jnp.floor(c5r * 0.25)
         b8g = c5g * 8.0 + jnp.floor(c5g * 0.25)
         b8b = c5b * 8.0 + jnp.floor(c5b * 0.25)
-        lb = b8r + b8g + b8b                             # (1,T)
-        q = (sum_x2 - 2.0 * (b8r * sr + b8g * sg + b8b * sb)
-             + 16.0 * (b8r * b8r + b8g * b8g + b8b * b8b))
+        if perceptual:
+            p = _perc_rows()
+            e0 = p[0][0] * b8r + p[0][1] * b8g + p[0][2] * b8b
+            e1 = p[1][0] * b8r + p[1][1] * b8g + p[1][2] * b8b
+            e2 = p[2][0] * b8r + p[2][1] * b8g + p[2][2] * b8b
+            lb = float(np.sqrt(3.0)) * e0                # (1,T)
+        else:
+            e0, e1, e2 = b8r, b8g, b8b
+            lb = b8r + b8g + b8b                         # (1,T)
+        q = (sum_x2 - 2.0 * (e0 * s0 + e1 * s1 + e2 * s2)
+             + 16.0 * (e0 * e0 + e1 * e1 + e2 * e2))
         su2 = sum_l2 - 2.0 * lb * sum_l + 16.0 * lb * lb
         const = q - su2 * (1.0 / 3.0)                    # (1,T)
 
@@ -292,9 +338,10 @@ def _fscan_kernel(deltas_ref, mids_ref, tabs_ref, pix_ref, base_ref, err_ref,
     jax.lax.fori_loop(0, n_deltas, d_body, 0)
 
 
-@functools.partial(jax.jit, static_argnames=("radius", "interpret"))
+@functools.partial(jax.jit, static_argnames=("radius", "interpret",
+                                              "perceptual"))
 def factorized_scan(pixels, base5=None, radius: int = 1,
-                    interpret: bool = False):
+                    interpret: bool = False, perceptual: bool = False):
     """Unclipped factorized candidate errors, (B, D*8) — the Pallas analog
     of etc1s_encode._scan_block_errs whose XLA broadcast chain materializes
     lane-padded (D,B,8,16) temporaries. Feeds the existing top-k shortlist +
@@ -323,7 +370,7 @@ def factorized_scan(pixels, base5=None, radius: int = 1,
         base_t = jnp.pad(base_t, ((0, 0), (0, bp - b_n)))
     err = pl.pallas_call(
         functools.partial(_fscan_kernel, n_deltas=n_deltas,
-                          external_base=external),
+                          external_base=external, perceptual=perceptual),
         grid=(bp // tile,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),

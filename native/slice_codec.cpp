@@ -349,6 +349,32 @@ static inline uint64_t px_dist(const uint8_t* px, const int32_t* c) {
   return (uint64_t)(dr * dr + dg * dg + db * db);
 }
 
+// Perceptual (luma-weighted) distance, the reference's exact integer
+// color_distance(perceptual=true,...) (encoder/basisu_enc.h:1141). Max value
+// per pixel ~1.3e7 — fits uint32 (same guarantee the reference relies on).
+static inline uint32_t perc_dist(int dr, int dg, int db) {
+  int dl = dr * 14 + dg * 45 + db * 5;
+  int dcr = dr * 64 - dl;
+  int dcb = db * 64 - dl;
+  return ((uint32_t)(dl * dl) >> 5) + ((((uint32_t)(dcr * dcr) >> 5) * 26u) >> 7) +
+         ((((uint32_t)(dcb * dcb) >> 5) * 3u) >> 7);
+}
+
+// Exact PSD form of the same metric without the >>5 truncations:
+// d^T K d with K = A^T diag(128,26,3) A (4096x the perc_dist scale — every
+// use compares values of the SAME form, so scale cancels). Used by the
+// moments-factorized block errors, whose linearity needs an exact form.
+static const int64_t kPercK[3][3] = {{90676, 24030, -18},
+                                     {24030, 317925, 26685},
+                                     {-18, 26685, 14293}};
+
+// x^T K x for an RGB triple (any integer source)
+static inline int64_t perc_qform(int64_t r, int64_t g, int64_t b) {
+  return kPercK[0][0] * r * r + kPercK[1][1] * g * g + kPercK[2][2] * b * b +
+         2 * (kPercK[0][1] * r * g + kPercK[0][2] * r * b +
+              kPercK[1][2] * g * b);
+}
+
 #if defined(__SSE2__)
 // sum of absolute differences of two 16-byte selector patterns (one psadbw)
 static inline int pat_sad(const uint8_t* a, const uint8_t* b) {
@@ -379,10 +405,12 @@ static inline uint64_t block_err(const uint8_t* px, const int32_t* pal,
   return e;
 }
 
-// Selector-class moments of one block: err(pal) = s2 + Σ_k n_k|c_k|² −
-// 2 Σ_k c_k·s1_k — exact integer identity with block_err (no rounding), so
-// scanning many candidate palettes costs ~16 multiplies each instead of a
-// 16-pixel pass. pal_norm: caller-precomputed |c_k|² per (endpoint, k).
+// Selector-class moments of one block: err(pal) = s2 + Σ_k n_k (c_kᵀM c_k) −
+// 2 Σ_k s1_k·(M c_k) — exact integer identity for ANY PSD metric M (uniform
+// I or the perceptual K), so scanning many candidate palettes costs ~16
+// multiplies each instead of a 16-pixel pass. Callers precompute, per
+// (endpoint, k): pal_norm = c_kᵀM c_k and pal_mc = M·c_k (which is just c_k
+// for the uniform metric).
 struct BlockMoments {
   int32_t n[4];
   int32_t s1[4][3];
@@ -390,7 +418,7 @@ struct BlockMoments {
 };
 
 static inline void calc_block_moments(const uint8_t* px, const uint8_t* pat,
-                                      BlockMoments& m) {
+                                      BlockMoments& m, int perceptual) {
   memset(&m, 0, sizeof(m));
   int64_t s2 = 0;
   for (int i = 0; i < 16; i++) {
@@ -400,21 +428,48 @@ static inline void calc_block_moments(const uint8_t* px, const uint8_t* pat,
     m.s1[k][0] += r;
     m.s1[k][1] += g;
     m.s1[k][2] += b;
-    s2 += r * r + g * g + b * b;
+    s2 += perceptual ? perc_qform(r, g, b)
+                     : (int64_t)(r * r + g * g + b * b);
   }
   m.s2 = s2;
 }
 
-static inline uint64_t block_err_m(const BlockMoments& m, const int32_t* pal,
+static inline uint64_t block_err_m(const BlockMoments& m, const int64_t* mc,
                                    const int64_t* pal_norm4) {
   int64_t e = m.s2;
   for (int k = 0; k < 4; k++) {
-    const int32_t* c = pal + k * 3;
+    const int64_t* c = mc + k * 3;
     e += (int64_t)m.n[k] * pal_norm4[k] -
          2 * ((int64_t)m.s1[k][0] * c[0] + (int64_t)m.s1[k][1] * c[1] +
               (int64_t)m.s1[k][2] * c[2]);
   }
   return (uint64_t)e;
+}
+
+// Fill pal_norm (num_e*4) and pal_mc (num_e*4*3) for block_err_m under the
+// selected metric.
+static void calc_pal_metric(const int32_t* pal_colors, int64_t num_e,
+                            int perceptual, std::vector<int64_t>& pal_norm,
+                            std::vector<int64_t>& pal_mc) {
+  pal_norm.resize((size_t)num_e * 4);
+  pal_mc.resize((size_t)num_e * 12);
+  for (int64_t t = 0; t < num_e; t++)
+    for (int k = 0; k < 4; k++) {
+      const int32_t* c = pal_colors + t * 12 + k * 3;
+      int64_t* mc = &pal_mc[(size_t)(t * 4 + k) * 3];
+      if (perceptual) {
+        for (int a = 0; a < 3; a++)
+          mc[a] = kPercK[a][0] * c[0] + kPercK[a][1] * c[1] +
+                  kPercK[a][2] * c[2];
+        pal_norm[t * 4 + k] = mc[0] * c[0] + mc[1] * c[1] + mc[2] * c[2];
+      } else {
+        mc[0] = c[0];
+        mc[1] = c[1];
+        mc[2] = c[2];
+        pal_norm[t * 4 + k] =
+            (int64_t)c[0] * c[0] + (int64_t)c[1] * c[1] + (int64_t)c[2] * c[2];
+      }
+    }
 }
 
 }  // namespace
@@ -429,20 +484,16 @@ int64_t etc1s_rdo_pred_pass(
     const uint8_t* sel_pat,      // by*bx*16
     const int32_t* pal_colors,   // num_e*12
     int32_t num_e, float e_thresh,
-    uint8_t* pred_out, uint8_t* referenced_out, int32_t* explicit_seq) {
+    uint8_t* pred_out, uint8_t* referenced_out, int32_t* explicit_seq,
+    int32_t perceptual) {
   const int64_t nb = (int64_t)by * bx;
   memset(referenced_out, 0, (size_t)nb);
   // dx,dy per pred index: 0=left, 1=up, 2=upper-left
   const int pdx[3] = {-1, 0, -1}, pdy[3] = {0, -1, -1};
 
-  // per-endpoint palette-color norms (see block_err_m)
-  std::vector<int64_t> pal_norm((size_t)num_e * 4);
-  for (int64_t t = 0; t < num_e; t++)
-    for (int k = 0; k < 4; k++) {
-      const int32_t* c = pal_colors + t * 12 + k * 3;
-      pal_norm[t * 4 + k] =
-          (int64_t)c[0] * c[0] + (int64_t)c[1] * c[1] + (int64_t)c[2] * c[2];
-    }
+  // per-endpoint palette metric data (see block_err_m)
+  std::vector<int64_t> pal_norm, pal_mc;
+  calc_pal_metric(pal_colors, num_e, perceptual, pal_norm, pal_mc);
 
   for (int y = 0; y < by; y++) {
     for (int x = 0; x < bx; x++) {
@@ -459,9 +510,9 @@ int64_t etc1s_rdo_pred_pass(
         const uint8_t* px = pixels + bi * 48;
         const uint8_t* pat = sel_pat + bi * 16;
         BlockMoments mom;
-        calc_block_moments(px, pat, mom);
+        calc_block_moments(px, pat, mom, perceptual);
         uint64_t cur_err =
-            block_err_m(mom, pal_colors + (int64_t)e * 12, &pal_norm[e * 4]);
+            block_err_m(mom, &pal_mc[(size_t)e * 12], &pal_norm[e * 4]);
         if (cur_err) {
           const uint64_t thresh_err =
               (uint64_t)((double)cur_err * (e_thresh > 1.0f ? e_thresh : 1.0f));
@@ -471,7 +522,7 @@ int64_t etc1s_rdo_pred_pass(
             int nx = x + pdx[p], ny = y + pdy[p];
             if (nx < 0 || ny < 0) continue;
             int32_t ne = e_idx[(int64_t)ny * bx + nx];
-            uint64_t te = block_err_m(mom, pal_colors + (int64_t)ne * 12,
+            uint64_t te = block_err_m(mom, &pal_mc[(size_t)ne * 12],
                                       &pal_norm[(int64_t)ne * 4]);
             if (te <= thresh_err && te < best_err) {
               best_err = te;
@@ -516,18 +567,14 @@ int64_t etc1s_rdo_collect_slice_symbols(
     float e_thresh, float s_thresh, int32_t comp_level,
     int32_t* op_kind, int32_t* op_val,
     int64_t* pred_freq, int64_t* delta_freq,
-    int64_t* sel_freq, int64_t* rle_freq) {
+    int64_t* sel_freq, int64_t* rle_freq,
+    int32_t perceptual) {
   const int32_t SEL_RLE_SYM = num_s + (int32_t)MAX_SELECTOR_HISTORY_BUF_SIZE;
   const int gx = (bx + 1) / 2;
   const int gy = (by + 1) / 2;
-  // per-endpoint palette-color norms for the factorized candidate errors
-  std::vector<int64_t> pal_norm((size_t)num_e * 4);
-  for (int64_t t = 0; t < num_e; t++)
-    for (int k = 0; k < 4; k++) {
-      const int32_t* c = pal_colors + t * 12 + k * 3;
-      pal_norm[t * 4 + k] =
-          (int64_t)c[0] * c[0] + (int64_t)c[1] * c[1] + (int64_t)c[2] * c[2];
-    }
+  // per-endpoint palette metric data for the factorized candidate errors
+  std::vector<int64_t> pal_norm, pal_mc;
+  calc_pal_metric(pal_colors, num_e, perceptual, pal_norm, pal_mc);
   const int COLOR_DELTA_THRESH = 8;   // ref basisu_backend.cpp:719
   const int SEL_DIFF_THRESHOLD = 11;  // ref :720
   const int MAX_ENDPOINT_SEARCH_DIST = (comp_level >= 2) ? 64 : 16;  // ref :851
@@ -644,9 +691,9 @@ int64_t etc1s_rdo_collect_slice_symbols(
         if (e_thresh > 1.0f && adlt > 1 && !referenced[bi]) {
           const uint8_t* pat = patterns + (int64_t)s_idx[bi] * 16;
           BlockMoments mom;
-          calc_block_moments(px, pat, mom);
+          calc_block_moments(px, pat, mom, perceptual);
           uint64_t cur_err =
-              block_err_m(mom, pal_colors + (int64_t)e * 12, &pal_norm[e * 4]);
+              block_err_m(mom, &pal_mc[(size_t)e * 12], &pal_norm[e * 4]);
           if (cur_err) {
             const uint64_t thresh_err = (uint64_t)((double)cur_err * e_thresh);
             const int search_dist =
@@ -671,7 +718,7 @@ int64_t etc1s_rdo_collect_slice_symbols(
                 }
                 if (cd > COLOR_DELTA_THRESH) continue;
               }
-              uint64_t te = block_err_m(mom, pal_colors + (int64_t)t * 12,
+              uint64_t te = block_err_m(mom, &pal_mc[(size_t)t * 12],
                                         &pal_norm[(int64_t)t * 4]);
               if (te < best_err && te <= thresh_err) {
                 best_err = te;
@@ -778,10 +825,34 @@ int64_t etc1s_rdo_collect_slice_symbols(
                   _mm256_load_si256((const __m256i*)&gg[h * 8]), cg);
               __m256i db = _mm256_sub_epi32(
                   _mm256_load_si256((const __m256i*)&bb[h * 8]), cb);
-              __m256i e = _mm256_add_epi32(
-                  _mm256_add_epi32(_mm256_mullo_epi32(dr, dr),
-                                   _mm256_mullo_epi32(dg, dg)),
-                  _mm256_mullo_epi32(db, db));
+              __m256i e;
+              if (perceptual) {
+                // vector form of perc_dist (all intermediates < 2^31)
+                __m256i dl = _mm256_add_epi32(
+                    _mm256_add_epi32(
+                        _mm256_mullo_epi32(dr, _mm256_set1_epi32(14)),
+                        _mm256_mullo_epi32(dg, _mm256_set1_epi32(45))),
+                    _mm256_mullo_epi32(db, _mm256_set1_epi32(5)));
+                __m256i dcr = _mm256_sub_epi32(
+                    _mm256_slli_epi32(dr, 6), dl);
+                __m256i dcb = _mm256_sub_epi32(
+                    _mm256_slli_epi32(db, 6), dl);
+                __m256i tl = _mm256_srli_epi32(_mm256_mullo_epi32(dl, dl), 5);
+                __m256i tcr = _mm256_srli_epi32(
+                    _mm256_mullo_epi32(
+                        _mm256_srli_epi32(_mm256_mullo_epi32(dcr, dcr), 5),
+                        _mm256_set1_epi32(26)), 7);
+                __m256i tcb = _mm256_srli_epi32(
+                    _mm256_mullo_epi32(
+                        _mm256_srli_epi32(_mm256_mullo_epi32(dcb, dcb), 5),
+                        _mm256_set1_epi32(3)), 7);
+                e = _mm256_add_epi32(_mm256_add_epi32(tl, tcr), tcb);
+              } else {
+                e = _mm256_add_epi32(
+                    _mm256_add_epi32(_mm256_mullo_epi32(dr, dr),
+                                     _mm256_mullo_epi32(dg, dg)),
+                    _mm256_mullo_epi32(db, db));
+              }
               _mm256_store_si256((__m256i*)&ek[k][h * 8], e);
             }
           }
@@ -790,7 +861,11 @@ int64_t etc1s_rdo_collect_slice_symbols(
 #else
           for (int i = 0; i < 16; i++)
             for (int k = 0; k < 4; k++)
-              errtab[i * 4 + k] = (uint32_t)px_dist(px + i * 3, pal + k * 3);
+              errtab[i * 4 + k] = perceptual
+                  ? perc_dist((int)px[i * 3] - pal[k * 3],
+                              (int)px[i * 3 + 1] - pal[k * 3 + 1],
+                              (int)px[i * 3 + 2] - pal[k * 3 + 2])
+                  : (uint32_t)px_dist(px + i * 3, pal + k * 3);
 #endif
           uint64_t cur_err = 0;
           for (int i = 0; i < 16; i++) cur_err += errtab[i * 4 + cur_pat[i]];
