@@ -223,8 +223,12 @@ def encode_blocks(pixels, radius: int = 1, perceptual: bool = False):
     base8 = expand5(color5).astype(jnp.float32)
     pal = jnp.clip(base8[:, None, :] + _INTEN[inten][:, :, None], 0.0, 255.0)  # (B,4,3)
     pal_m = perceptual_transform(pal) if perceptual else pal
-    diff = pal_m[:, None, :, :] - px_m[:, :, None, :]
-    selectors = jnp.argmin(jnp.sum(diff * diff, -1), axis=-1).astype(jnp.int32)
+    # |x-c|² expanded through a batched einsum rather than a broadcasted
+    # (B,16,4,3) subtract: the cross term runs as a small batched matmul and
+    # the (B,16,4,3) diff tensor never materializes in HBM
+    cross = jnp.einsum("bic,bkc->bik", px_m, pal_m)              # (B,16,4)
+    d = jnp.sum(pal_m * pal_m, -1)[:, None, :] - 2.0 * cross
+    selectors = jnp.argmin(d, axis=-1).astype(jnp.int32)
     return {
         "color5": color5,
         "inten": inten,
